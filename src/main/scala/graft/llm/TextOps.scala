@@ -1,0 +1,222 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.query.Tables
+import graft.query.Tables.cnt
+
+/** Text-analysis + deduplication operators for LLM training-data pipelines
+  * (SURVEY.md §2.11 L1/L2/L5). Everything is pure column expressions /
+  * higher-order array functions — codegen-friendly, no UDFs — so each op is
+  * a single scan + (at most) one shuffle at any scale.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** L1: exact dedup — one representative row (min id) per distinct key.
+    * Scale shape: a single hash-shuffle on the (hashed) key; at 100 TB dedup
+    * on `sha2(text)` rather than raw text to keep shuffle rows small.
+    */
+  def exactDedup(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(id).as("keep_id"), cnt.as("n_copies"))
+
+  /** Word n-gram shingles, distinct. Empty array when the document has
+    * fewer than n words (Spark's `sequence(1,0)` would descend).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n))))))
+  }
+
+  /** Jaccard similarity of two pre-distinct string arrays — exact, for
+    * verification and small candidate sets. The 100 TB path is MinHash LSH
+    * (`VectorOps.minhashPairs`) which only ever compares within-bucket
+    * candidates; this exact form is its verifier.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** L2 (SimHash): 64-bit SimHash over distinct tokens, computed entirely
+    * inside codegen with nested higher-order functions — per-token xxhash64,
+    * per-bit majority vote, bit reassembly. Near-dups then pair by small
+    * Hamming distance (`bit_count(a ^ b)`).
+    */
+  def simhash64(textCol: String): Column = {
+    // fold token hashes into 64 per-bit counters, then reassemble the sign
+    // bits into one long. All array ops; no per-row JVM closures.
+    val tokenHashes =
+      s"transform(array_distinct(split($textCol, ' ')), w -> xxhash64(w))"
+    val counters =
+      s"""aggregate($tokenHashes, array_repeat(0L, 64),
+         |  (acc, h) -> zip_with(acc, sequence(0, 63),
+         |    (a, i) -> a + if((shiftright(h, i) & 1) = 1, 1L, -1L)))""".stripMargin
+    val assembled =
+      s"""aggregate(zip_with($counters, sequence(0, 63),
+         |  (c, i) -> if(c > 0, shiftleft(1L, i), 0L)),
+         |  0L, (a, x) -> a + x)""".stripMargin
+    expr(assembled)
+  }
+
+  /** Document fingerprint: order-sensitive 64-bit rolling hash over the
+    * token stream (per-step rehash of (acc, token) — overflow-free under
+    * ANSI mode). Distinguishes reorderings that set-based signatures
+    * (MinHash/SimHash) collapse.
+    */
+  def fingerprint(text: Column): Column =
+    expr("aggregate(split(text, ' '), 0L, (acc, w) -> xxhash64(acc, w))")
+
+  private val STOPWORDS = Seq("the", "a")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- L1: exact dedup ---------------------------------------------------
+    Q("q_dedup_exact", Some(
+      """SELECT doc_id, n_copies FROM (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |  FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin),
+      (s, d) => exactDedup(Tables(s, d, "documents"), col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"), col("n_copies"))
+        .orderBy("doc_id")),
+
+    // ---- L2: exact n-gram Jaccard on a bounded candidate set -----------------
+    // (all-pairs is the verifier; LSH below is the scale path)
+    Q("q_ngram_jaccard", Some(
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => {
+        val docs = Tables(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("j") >= 0.2)
+          .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jac"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- L2: SimHash near-dup pairs (engine-defined hash: rows-only check) ----
+    Q("q_simhash", None,
+      (s, d) => {
+        val sh = Tables(s, d, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), simhash64("text").as("sim"))
+        val a = sh.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+        val b = sh.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("hamming",
+            expr("bit_count(sim_a ^ sim_b)").cast("long"))
+          .filter(col("hamming") <= 4)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- L5: document fingerprint (engine-defined hash: rows-only check) -------
+    Q("q_fingerprint", None,
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(min("doc_id").as("doc_id"), cnt.as("n_same"))
+        .select("doc_id", "fp", "n_same")
+        .orderBy("doc_id")),
+
+    // ---- L5: term-frequency top-k -----------------------------------------------
+    Q("q_tf_topk", Some(
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin),
+      (s, d) => Tables(s, d, "documents")
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy("word").agg(cnt.as("cnt"))
+        .orderBy(desc("cnt"), asc("word"))
+        .limit(20)),
+
+    // ---- L5: per-language corpus stats --------------------------------------------
+    Q("q_text_stats", Some(
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  quantile_cont(n_chars, 0.5) AS median_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, d) => Tables(s, d, "documents")
+        .groupBy("lang").agg(
+          cnt.as("n_docs"),
+          (sum("n_chars").cast("double") / cnt).as("avg_chars"),
+          percentile(col("n_chars"), lit(0.5)).as("median_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang")),
+
+    // ---- L5: heuristic language ID (stopword-marker rule, SQL-twinned) -------------
+    Q("q_lang_id", Some(
+      s"""SELECT doc_id,
+        |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w IN ('the', 'a'))) AS DOUBLE)
+        |       / len(string_split(text, ' ')) > 0.02
+        |       THEN 'en_like' ELSE 'other' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val w = words(col("text"))
+        val stopRatio = size(filter(w, x => x.isin(STOPWORDS: _*)))
+          .cast("double") / size(w)
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            when(stopRatio > 0.02, "en_like").otherwise("other")
+              .as("pred_lang"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- L5: quality scoring (length / stopword / word-length ratios) ---------------
+    Q("q_quality_score", Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       w -> w IN ('the', 'a'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val w = words(col("text"))
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(w).cast("long").as("n_words"),
+          (size(filter(w, x => x.isin(STOPWORDS: _*))).cast("double")
+            / size(w)).as("stop_ratio"),
+          ((length(col("text")) - (size(w) - 1)).cast("double") / size(w))
+            .as("mean_word_len"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- L5: token counting — whitespace + BPE-ish regex pieces ----------------------
+    Q("q_token_count", Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        |       AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(words(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+          .cast("long").as("re_tokens"))
+        .orderBy("doc_id"))
+  )
+}

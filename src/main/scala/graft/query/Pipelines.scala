@@ -1,0 +1,98 @@
+package graft.query
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.store.TableStore
+import Tables.cnt
+
+/** `query_data` parity (SURVEY.md §3.2, §7.3): the reference's flagship
+  * analytics chain — value_counts → HAVING → broadcast join → substring
+  * filters → projection → global sort (`/root/reference/preprocess.py:209-244`)
+  * — mapped onto the driver testdata star schema.
+  */
+object Pipelines {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- the flagship: "popular non-excluded parts with promo types" -----------
+    // Operator-for-operator the commits pipeline (preprocess.py:214-230):
+    //   watch.value_counts -> lineitem.groupBy(partkey).count
+    //   repos[repos>5]     -> cnt > 25
+    //   repartition(1)+merge -> broadcast hash join (bounded dim side)
+    //   ~contains(username,'bot')    -> !contains(p_name,'small')
+    //   lower(message).contains(' dask') -> lower(p_type).contains('promo')
+    //   ~startswith(repo,'dask/')   -> !startswith(p_brand,'Brand#1')
+    //   sort_values(count, desc)    -> orderBy(cnt desc, partkey)  [total order]
+    Q("q_pipeline_parts", Some(
+      """WITH popular AS (
+        |  SELECT l_partkey, count(*) AS cnt FROM lineitem
+        |  GROUP BY l_partkey HAVING count(*) > 25)
+        |SELECT p_partkey, p_name, p_brand, p_type, cnt
+        |FROM part JOIN popular ON p_partkey = l_partkey
+        |WHERE NOT contains(p_name, 'small')
+        |  AND contains(lower(p_type), 'promo')
+        |  AND NOT starts_with(p_brand, 'Brand#1')
+        |ORDER BY cnt DESC, p_partkey""".stripMargin),
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val part = Tables(s, d, "part")
+        val popular = li.groupBy("l_partkey").agg(cnt.as("cnt"))
+          .filter(col("cnt") > 25)
+        part
+          .filter(!col("p_name").contains("small"))
+          .join(broadcast(popular), col("p_partkey") === col("l_partkey"))
+          .filter(lower(col("p_type")).contains("promo"))
+          .select("p_partkey", "p_name", "p_brand", "p_type", "cnt")
+          .filter(!col("p_brand").startsWith("Brand#1"))
+          .orderBy(desc("cnt"), asc("p_partkey"))
+      }),
+
+    // ---- the comments pipeline shape on documents (preprocess.py:233-244) -------
+    Q("q_pipeline_docs", Some(
+      """WITH popular AS (
+        |  SELECT source, count(*) AS cnt FROM documents
+        |  GROUP BY source HAVING count(*) > 20)
+        |SELECT doc_id, d.source AS source, lang, cnt
+        |FROM documents d JOIN popular USING (source)
+        |WHERE NOT contains(lang, 'zh')
+        |  AND contains(lower(text), ' spark')
+        |  AND NOT starts_with(d.source, 'src1')
+        |ORDER BY cnt DESC, doc_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val popular = docs.groupBy("source").agg(cnt.as("cnt"))
+          .filter(col("cnt") > 20)
+        docs
+          .filter(!col("lang").contains("zh"))
+          .join(broadcast(popular), Seq("source"))
+          .filter(lower(col("text")).contains(" spark"))
+          .select("doc_id", "source", "lang", "cnt")
+          .filter(!col("source").startsWith("src1"))
+          .orderBy(desc("cnt"), asc("doc_id"))
+      }),
+
+    // ---- S6-S9 e2e: append-partitioned write, compact, vacuum --------------------
+    // Returns one row of storage facts (no DuckDB twin — file counts are a
+    // storage property, not a query result). Asserts the Delta-OPTIMIZE
+    // analog: many small per-batch files collapse to one per date partition.
+    Q("q_compact", None,
+      (s, d) => {
+        import s.implicits._
+        val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+        Files.createDirectories(base)
+        val tmp = Files.createTempDirectory(base, "graft_compact")
+          .toString + "/events_t"
+        val ev = Tables(s, d, "events")
+          .withColumn("date", to_date(col("ts")))
+          .repartition(4) // simulate 4 small per-batch appends per partition
+        TableStore.append(ev, tmp)
+        val nParts = TableStore.read(s, tmp).select("date").distinct().count()
+        val (before, after) = TableStore.compact(s, tmp)
+        val rows = TableStore.read(s, tmp).count()
+        Seq((nParts, before, after, rows, after == nParts))
+          .toDF("n_partitions", "files_before", "files_after", "rows",
+            "one_file_per_partition")
+      })
+  )
+}

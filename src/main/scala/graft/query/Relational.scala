@@ -1,0 +1,331 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import Tables.{cnt, sumMoney, sumMoney4}
+
+/** The relational operator inventory (SURVEY.md §2.2-§2.8) expressed over
+  * the driver testdata. Every query is a declarative DataFrame plan —
+  * Catalyst handles pushdown/pruning/join selection; hints are used only
+  * where the 100 TB-scale choice must be pinned (broadcast for bounded dims,
+  * sort-merge for big x big).
+  *
+  * Determinism contract for the DuckDB oracle: total ORDER BY on every
+  * result, aggregate aliases identical on both sides, doubles either
+  * bit-identical (decimal-cast sums / int ratios / IEEE-identical scalar
+  * ops) or rounded.
+  */
+object Relational {
+
+  private def t(name: String)(implicit s: SparkSession, dir: String) =
+    Tables(s, dir, name)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- A4: scalar count -------------------------------------------------
+    Q("q_count", Some("SELECT count(*) AS n FROM lineitem"),
+      (s, d) => t("lineitem")(s, d).agg(cnt.as("n"))),
+
+    // ---- A1: group-by count (value_counts, preprocess.py:215) -------------
+    Q("q_groupby_count", Some(
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => t("events")(s, d)
+        .groupBy("event_type").agg(cnt.as("cnt"))
+        .orderBy("event_type")),
+
+    // ---- A2: frequencies(sort=True) (gha.ipynb:164) ------------------------
+    Q("q_freq_sorted", Some(
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin),
+      (s, d) => t("events")(s, d)
+        .groupBy("event_type").agg(cnt.as("cnt"))
+        .orderBy(desc("cnt"), asc("event_type"))),
+
+    // ---- A3: HAVING (repos[repos > 5], preprocess.py:216) ------------------
+    Q("q_having", Some(
+      """SELECT o_custkey, count(*) AS cnt FROM orders
+        |GROUP BY o_custkey HAVING count(*) > 5 ORDER BY o_custkey""".stripMargin),
+      (s, d) => t("orders")(s, d)
+        .groupBy("o_custkey").agg(cnt.as("cnt"))
+        .filter(col("cnt") > 5)
+        .orderBy("o_custkey")),
+
+    // ---- A5: multi-aggregate in one shared scan (gha.ipynb:337-341) --------
+    // Conditional aggregation: four counts + a money sum in a single pass,
+    // instead of four jobs over the same source.
+    Q("q_multi_agg", Some(
+      """SELECT
+        |  count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+        |  count(*) AS n_total,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events""".stripMargin),
+      (s, d) => t("events")(s, d).agg(
+        count(when(col("event_type") === "signup", 1)).as("n_signup"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        cnt.as("n_total"),
+        sumMoney(col("value")).as("total_value"))),
+
+    // ---- A7: exact distinct -------------------------------------------------
+    Q("q_count_distinct", Some(
+      """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => t("events")(s, d)
+        .groupBy("event_type").agg(countDistinct("user_id").as("n_users"))
+        .orderBy("event_type")),
+
+    // ---- A7: HLL approx distinct (no oracle: sketch is engine-defined) ------
+    // The 100 TB path for "people using Dask over time" (gha.ipynb:392):
+    // one pass, fixed memory, no shuffle explosion from exact distinct.
+    Q("q_approx_distinct", None,
+      (s, d) => t("events")(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("n_users_approx"))
+        .orderBy("event_type")),
+
+    // ---- A7: rollup over two time scales (gha.ipynb:392 "trends") ----------
+    Q("q_rollup", Some(
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(day, 'ALL') AS day, count(*) AS cnt
+        |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events)
+        |GROUP BY ROLLUP(event_type, day)
+        |ORDER BY event_type, day""".stripMargin),
+      (s, d) => t("events")(s, d)
+        .withColumn("day", Tables.day(col("ts")))
+        .rollup("event_type", "day").agg(cnt.as("cnt"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit("ALL")).as("day"),
+          col("cnt"))
+        .orderBy("event_type", "day")),
+
+    // ---- P1: type-dispatch filters (preprocess.py:112-130) ------------------
+    Q("q_filter_eq", Some(
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+      (s, d) => t("events")(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")),
+
+    Q("q_filter_isin", Some(
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE event_type IN ('signup', 'error')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => t("events")(s, d)
+        .filter(col("event_type").isin("signup", "error"))
+        .groupBy("event_type").agg(cnt.as("cnt"))
+        .orderBy("event_type")),
+
+    // ---- P8: disjunctive predicate (gha.ipynb:362) ---------------------------
+    Q("q_or_predicate", Some(
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type = 'error' OR value > 150
+        |ORDER BY event_id""".stripMargin),
+      (s, d) => t("events")(s, d)
+        .filter(col("event_type") === "error" || col("value") > 150)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    // ---- P5: negated substring (bot filter, preprocess.py:219) ---------------
+    Q("q_not_contains", Some(
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE NOT contains(text, 'spark') ORDER BY doc_id""".stripMargin),
+      (s, d) => t("documents")(s, d)
+        .filter(!col("text").contains("spark"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
+    // ---- P6/F2: case-insensitive substring (preprocess.py:221-223) -----------
+    Q("q_lower_contains", Some(
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE contains(lower(p_type), 'promo') ORDER BY p_partkey""".stripMargin),
+      (s, d) => t("part")(s, d)
+        .filter(lower(col("p_type")).contains("promo"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")),
+
+    // ---- P7/F3: negated prefix (preprocess.py:224) ----------------------------
+    Q("q_not_startswith", Some(
+      """SELECT source, count(*) AS cnt FROM documents
+        |WHERE NOT starts_with(source, 'src1')
+        |GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => t("documents")(s, d)
+        .filter(!col("source").startsWith("src1"))
+        .groupBy("source").agg(cnt.as("cnt"))
+        .orderBy("source")),
+
+    // ---- J1: broadcast inner equi-join (preprocess.py:216,220) ----------------
+    // The dimension side is explicitly broadcast — the reference hand-rolled
+    // this with repartition(npartitions=1). At 100 TB: supplier-like dims
+    // stay bounded, so a shuffle of the fact table is never paid.
+    Q("q_join_broadcast", Some(
+      """SELECT s_name, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin),
+      (s, d) => t("lineitem")(s, d)
+        .join(broadcast(t("supplier")(s, d)),
+          col("l_suppkey") === col("s_suppkey"), "inner")
+        .groupBy("s_name")
+        .agg(cnt.as("cnt"), sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_name")),
+
+    // ---- J2: big x big shuffle join, pinned to sort-merge ----------------------
+    // lineitem x orders both grow with the fact data; at scale neither side
+    // broadcasts, so the plan must be a shuffle join on the join key.
+    Q("q_join_sortmerge", Some(
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => t("lineitem")(s, d)
+        .join(t("orders")(s, d).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy("o_orderpriority")
+        .agg(cnt.as("cnt"),
+          sumMoney4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")),
+
+    // ---- J: left-semi — "repos with >=1 watch" idiom --------------------------
+    Q("q_join_semi", Some(
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      (s, d) => t("customer")(s, d)
+        .join(t("orders")(s, d), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .groupBy("c_mktsegment").agg(cnt.as("cnt"))
+        .orderBy("c_mktsegment")),
+
+    // ---- J: left-anti — table-level exclusion (P5/P7 lifted): orders that
+    // never shipped a line item.
+    Q("q_join_anti", Some(
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => t("orders")(s, d)
+        .join(t("lineitem")(s, d), col("o_orderkey") === col("l_orderkey"),
+          "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    // ---- J: left outer + order-count histogram ---------------------------------
+    Q("q_join_left", Some(
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin),
+      (s, d) => t("customer")(s, d)
+        .join(t("orders")(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders").agg(cnt.as("n_customers"))
+        .orderBy("n_orders")),
+
+    // ---- J: multi-way star join (TPC-H Q5 shape) --------------------------------
+    // Fact x fact on orderkey (shuffle), then three bounded dims broadcast.
+    // This is the canonical 100 TB plan: exactly one big shuffle.
+    Q("q_star_join", Some(
+      """SELECT r_name, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+      (s, d) => t("lineitem")(s, d)
+        .join(t("orders")(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t("customer")(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t("nation")(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t("region")(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(cnt.as("cnt"),
+          sumMoney4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("r_name")),
+
+    // ---- O1: global sort desc with total tie-break (preprocess.py:225) ----------
+    Q("q_sort_desc", Some(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin),
+      (s, d) => t("orders")(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))),
+
+    // ---- O2: true top-k (TakeOrderedAndProject, not a global sort) ---------------
+    Q("q_topk", Some(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin),
+      (s, d) => t("lineitem")(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+        .limit(10)),
+
+    // ---- O2: limit (deterministic via pre-sort) -----------------------------------
+    Q("q_limit", Some(
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 5""".stripMargin),
+      (s, d) => t("orders")(s, d)
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey").limit(5)),
+
+    // ---- set ops: union-all = the reference's multi-file append made explicit ------
+    Q("q_union_all", Some(
+      """SELECT event_type, count(*) AS cnt FROM (
+        |  SELECT * FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT * FROM events WHERE event_id % 2 = 1)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val e = t("events")(s, d)
+        e.filter(col("event_id") % 2 === 0)
+          .union(e.filter(col("event_id") % 2 === 1))
+          .groupBy("event_type").agg(cnt.as("cnt"))
+          .orderBy("event_type")
+      }),
+
+    Q("q_intersect", Some(
+      """SELECT user_id FROM events WHERE event_type = 'signup'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        val e = t("events")(s, d)
+        e.filter(col("event_type") === "signup").select("user_id")
+          .intersect(e.filter(col("event_type") === "purchase").select("user_id"))
+          .orderBy("user_id")
+      }),
+
+    Q("q_except", Some(
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+        |EXCEPT
+        |SELECT doc_id FROM documents WHERE source = 'src0'
+        |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t("documents")(s, d)
+        docs.filter(col("lang") === "en").select("doc_id")
+          .except(docs.filter(col("source") === "src0").select("doc_id"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- F10/G1: explode (flatten, preprocess.py:148) -------------------------------
+    Q("q_explode", Some(
+      """SELECT doc_id, count(*) AS n_words FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 50)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => t("documents")(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id").agg(cnt.as("n_words"))
+        .orderBy("doc_id"))
+  )
+}

@@ -1,0 +1,47 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loaders for the driver testdata tables (TESTDATA.md) + shared
+  * oracle-safe expression helpers.
+  */
+object Tables {
+
+  /** Read a testdata table. `events.ts` is parquet TIMESTAMP(NANOS), which
+    * Spark only reads via `nanosAsLong` — normalized here to a micros
+    * `TimestampType` so every downstream operator sees a real timestamp.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  // ---- oracle-parity helpers ------------------------------------------
+  // The driver hash-compares Spark output against DuckDB. Rules of the road
+  // (SURVEY.md §7.5): timestamps leave the engine as strings; doubles leave
+  // either bit-identical (decimal-cast sums, int ratios) or rounded.
+
+  /** Timestamp → 'yyyy-MM-dd HH:mm:ss' (DuckDB: strftime '%Y-%m-%d %H:%M:%S'). */
+  def tsSec(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Timestamp → 'yyyy-MM-dd' (DuckDB: strftime '%Y-%m-%d'). */
+  def day(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Exact money sum: doubles carrying 2-decimal values are summed as
+    * DECIMAL(18,2) so the result is order-independent and bit-identical to
+    * DuckDB's `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`. A plain
+    * double sum differs across engines in the last ulps (summation order).
+    */
+  def sumMoney(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Same for 4-decimal products like extendedprice*(1-discount). */
+  def sumMoney4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  def cnt: Column = count(lit(1))
+}

@@ -1,0 +1,195 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.time.Increments
+import Tables.{cnt, day, tsSec}
+
+/** Time semantics (SURVEY.md §2.5, §2.8 F4-F9, §2.9) over the `events`
+  * table: parsing, bucketing, watermarks, and the window-function surface
+  * the reference's product goals demand ("recent trends over a few time
+  * scales", `gha.ipynb:392`).
+  */
+object Temporal {
+
+  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  /** Daily counts per type — the shared base for window queries. */
+  private def daily(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("event_type"), day(col("ts")).as("day"))
+      .agg(cnt.as("cnt"))
+
+  private val dailySql =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- F4/P3: ISO-8601 string -> timestamp (preprocess.py:47) ----------
+    // Round-trips ts through a string parse to exercise to_timestamp.
+    Q("q_ts_parse", Some(
+      """SELECT event_id,
+        |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => ev(s, d)
+        .select(col("event_id"),
+          tsSec(to_timestamp(tsSec(col("ts")))).as("ts_str"))
+        .orderBy("event_id")),
+
+    // ---- F5: timestamp -> date partition column (preprocess.py:161) -------
+    Q("q_to_date", Some(
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => ev(s, d)
+        .groupBy(day(col("ts")).as("day")).agg(cnt.as("cnt"))
+        .orderBy("day")),
+
+    // ---- F6: ceil-to-hour, exact hours must not advance (preprocess.py:186) --
+    Q("q_ceil_hour", Some(
+      """SELECT event_id, strftime(
+        |  CASE WHEN date_trunc('hour', ts) = ts THEN ts
+        |       ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END,
+        |  '%Y-%m-%d %H:%M:%S') AS ceil_hour
+        |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => ev(s, d)
+        .select(col("event_id"),
+          tsSec(Increments.ceilHour(col("ts"))).as("ceil_hour"))
+        .orderBy("event_id")),
+
+    // ---- F7: floor-to-hour minus safety lag (preprocess.py:189) -------------
+    Q("q_floor_hour", Some(
+      """SELECT event_id,
+        |  strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |           '%Y-%m-%d %H:%M:%S') AS stop_bound
+        |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => ev(s, d)
+        .select(col("event_id"),
+          tsSec(Increments.floorHour(col("ts")) - expr("INTERVAL 1 HOUR"))
+            .as("stop_bound"))
+        .orderBy("event_id")),
+
+    // ---- S10/F8/F9: hourly file-list generation (preprocess.py:193-196) ------
+    Q("q_filelist", Some(
+      """SELECT 'https://data.gharchive.org/' || strftime(h, '%Y-%m-%d-')
+        |       || CAST(hour(h) AS VARCHAR) || '.json.gz' AS url
+        |FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |                     TIMESTAMP '2024-01-02 23:00:00',
+        |                     INTERVAL 1 HOUR) AS t(h)
+        |ORDER BY url""".stripMargin),
+      (s, _) => Increments
+        .hourlyUrls(s, "2024-01-01 00:00:00", "2024-01-02 23:00:00")
+        .orderBy("url")),
+
+    // ---- S5/A6/T1: ingestion watermark (preprocess.py:181-186) ---------------
+    Q("q_watermark_max", Some(
+      """SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts FROM events"""),
+      (s, d) => ev(s, d).agg(tsSec(max(col("ts"))).as("max_ts"))),
+
+    // ---- W: rank within partition — top-3 days per type ----------------------
+    Q("q_window_rank", Some(
+      s"""WITH daily AS ($dailySql)
+        |SELECT event_type, day, cnt, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY cnt DESC, day) AS rn
+        |  FROM daily)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(desc("cnt"), asc("day"))
+        daily(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .orderBy("event_type", "rn")
+      }),
+
+    // ---- W: lag — day-over-day delta ------------------------------------------
+    Q("q_window_lag", Some(
+      s"""WITH daily AS ($dailySql)
+        |SELECT event_type, day, cnt,
+        |  cnt - lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS delta
+        |FROM daily ORDER BY event_type, day""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily(s, d)
+          .withColumn("delta", col("cnt") - lag(col("cnt"), 1).over(w))
+          .orderBy("event_type", "day")
+      }),
+
+    // ---- W: rolling frame — 7-day trailing sum ----------------------------------
+    Q("q_window_rolling", Some(
+      s"""WITH daily AS ($dailySql)
+        |SELECT event_type, day, cnt,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS trailing7
+        |FROM daily ORDER BY event_type, day""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, Window.currentRow)
+        daily(s, d)
+          .withColumn("trailing7", sum(col("cnt")).over(w))
+          .orderBy("event_type", "day")
+      }),
+
+    // ---- T3: tumbling hourly window (the reference's micro-batch grain) ---------
+    Q("q_window_tumbling", Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |       event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(cnt.as("cnt"))
+        .select(tsSec(col("window.start")).as("wstart"),
+          col("event_type"), col("cnt"))
+        .orderBy("wstart", "event_type")),
+
+    // ---- T: sliding window (1h window, 30m slide) ---------------------------------
+    // Oracle: each event belongs to exactly 2 windows — its 30-min bucket
+    // start and that start minus 30 min.
+    Q("q_window_sliding", Some(
+      """SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |       count(*) AS cnt
+        |FROM (
+        |  SELECT event_type, unnest([b, b - INTERVAL 30 MINUTE]) AS s
+        |  FROM (
+        |    SELECT event_type,
+        |      date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+        |        THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b
+        |    FROM events))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(cnt.as("cnt"))
+        .select(tsSec(col("window.start")).as("wstart"),
+          col("event_type"), col("cnt"))
+        .orderBy("wstart", "event_type")),
+
+    // ---- T: session windows (5-minute gap) per user ---------------------------------
+    // Oracle: classic lag/cumsum sessionization — a new session starts when
+    // the gap to the previous event is >= 5 minutes.
+    Q("q_session_window", Some(
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM y)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS cnt
+        |FROM z GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin),
+      (s, d) => ev(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+        .agg(cnt.as("cnt"))
+        .select(col("user_id"),
+          tsSec(col("session_window.start")).as("session_start"), col("cnt"))
+        .orderBy("user_id", "session_start"))
+  )
+}

@@ -1,0 +1,73 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.schema.GhaSchemas
+import graft.ingest.Extract
+
+/** Structured-Streaming surface (SURVEY.md §2.9). The reference is
+  * micro-batch incremental — hourly files, a manual watermark, a 1-hour
+  * late-data guard (`/root/reference/preprocess.py:178-190, 260, 277-280`).
+  * Structured Streaming expresses all three natively: a file source with
+  * `Trigger.AvailableNow` is the "process everything since the checkpoint"
+  * loop, `withWatermark` is the incomplete-hour guard, and the windowed
+  * aggregations below are the trend queries the product goals ask for.
+  */
+object EventStream {
+
+  /** T2+T3: tumbling counts with late-data tolerance — the streaming form of
+    * the reference's hourly batch with its 1-hour lag (preprocess.py:188-189).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String = "ts",
+      window_ : String = "1 hour", lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Sliding-window counts (declared surface T∅). */
+  def slidingCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Session windows (5-minute gap) per user (declared surface T∅). */
+  def sessionCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(col("user_id"), session_window(col(tsCol), "5 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** T1/T4: the incremental ingest loop as a streaming job — NDJSON landing
+    * dir in, date-partitioned Parquet out, exactly-once via checkpoint.
+    * `AvailableNow` processes the backlog then stops: identical cadence
+    * semantics to the reference's hourly re-serve, without the manual
+    * watermark bookkeeping.
+    */
+  def ingestStream(spark: SparkSession, landingDir: String, outDir: String,
+      checkpointDir: String, table: String = "watch"): StreamingQuery = {
+    val lines = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .text(landingDir)
+    val parsed = Extract.parseRaw(lines)
+    val curated = table match {
+      case "commit"  => Extract.commits(parsed)
+      case "create"  => Extract.creates(parsed)
+      case "pr"      => Extract.prs(parsed)
+      case "comment" => Extract.comments(parsed)
+      case "watch"   => Extract.watches(parsed)
+      case "fork"    => Extract.forks(parsed)
+    }
+    curated.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("date")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

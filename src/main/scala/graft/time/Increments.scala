@@ -1,0 +1,75 @@
+package graft.time
+
+import java.time.Instant
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental-ingestion time logic (S5/S10/F6-F9/T1/T2 in SURVEY.md §2).
+  *
+  * The reference resumes each hourly run from
+  * `max(ingested created_at).ceil("1h")` and stops at
+  * `now().floor("1h") - 1h` — the current hour is excluded because it isn't
+  * fully published yet (`/root/reference/preprocess.py:178-196`). All of it
+  * is pure column arithmetic here; the watermark read is the only
+  * driver-side scalar in the engine (a single-row aggregate — Parquet footer
+  * stats make it a metadata-only scan in the common case).
+  */
+object Increments {
+
+  /** F6: ceil to the hour; an exact hour must NOT advance
+    * (pandas `.ceil("1h")` semantics, `preprocess.py:186`).
+    */
+  def ceilHour(ts: Column): Column = {
+    val floor = date_trunc("hour", ts)
+    when(floor === ts, ts).otherwise(floor + expr("INTERVAL 1 HOUR"))
+  }
+
+  /** F7: floor to the hour (`preprocess.py:189`). */
+  def floorHour(ts: Column): Column = date_trunc("hour", ts)
+
+  /** T1/S5: ingestion high-watermark = max event time already stored.
+    * Replaces the reference's Delta tx-log stats scan
+    * (`preprocess.py:181-186`) with `agg(max(...))` over Parquet footers.
+    * None when the table doesn't exist yet (first run).
+    */
+  def watermark(spark: SparkSession, tableDir: String,
+      tsCol: String = "created_at"): Option[java.sql.Timestamp] =
+    try {
+      val r = spark.read.parquet(tableDir).agg(max(col(tsCol))).head()
+      if (r.isNullAt(0)) None else Some(r.getTimestamp(0))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** T2: incremental range [start, stop] — start is the hour after the
+    * watermark, stop lags `now` by one full hour (incomplete-hour guard,
+    * `preprocess.py:188-189`).
+    */
+  def nextRange(wm: Option[Instant], now: Instant,
+      backfillStart: Instant): (Instant, Instant) = {
+    val start = wm.map(ceilHourI).getOrElse(backfillStart)
+    val stop = floorHourI(now).minusSeconds(3600)
+    (start, stop)
+  }
+
+  private def floorHourI(i: Instant): Instant =
+    Instant.ofEpochSecond(i.getEpochSecond / 3600 * 3600)
+  private def ceilHourI(i: Instant): Instant = {
+    val f = floorHourI(i)
+    if (f == i) i else f.plusSeconds(3600)
+  }
+
+  /** S10/F8/F9: one GH-Archive URL per hour in [start, stop] — the Spark
+    * form of `pd.date_range(freq="1h")` + f-string
+    * (`preprocess.py:193-196`). Note the non-zero-padded hour, matching the
+    * reference's `{d.hour}`.
+    */
+  def hourlyUrls(spark: SparkSession, start: String, stop: String): DataFrame =
+    spark.range(1)
+      .select(explode(sequence(
+        to_timestamp(lit(start)), to_timestamp(lit(stop)),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .select(concat(
+        lit("https://data.gharchive.org/"),
+        date_format(col("h"), "yyyy-MM-dd-"),
+        hour(col("h")).cast("string"),
+        lit(".json.gz")).as("url"))
+}
