@@ -29,7 +29,8 @@ object GhaPipeline {
     */
   def compactAll(spark: SparkSession, storeDir: String): Unit =
     graft.schema.GhaSchemas.tableNames.foreach { t =>
-      TableStore.compact(spark, s"$storeDir/$t")
+      TableStore.compact(spark, s"$storeDir/$t",
+        Some(graft.schema.GhaSchemas.curated(t)))
     }
 
   /** The `query_data` analytics (`preprocess.py:209-244`), parameterized by
@@ -39,9 +40,11 @@ object GhaPipeline {
   def queryData(spark: SparkSession, storeDir: String,
       keyword: String = " dask", minWatches: Long = 5)
       : (DataFrame, DataFrame) = {
-    val watch = TableStore.read(spark, s"$storeDir/watch")
-    val commit = TableStore.read(spark, s"$storeDir/commit")
-    val comment = TableStore.read(spark, s"$storeDir/comment")
+    import graft.schema.GhaSchemas.curated
+    val watch = TableStore.read(spark, s"$storeDir/watch", curated("watch"))
+    val commit = TableStore.read(spark, s"$storeDir/commit", curated("commit"))
+    val comment =
+      TableStore.read(spark, s"$storeDir/comment", curated("comment"))
 
     // repos = watches.repo.value_counts(); repos[repos > 5]  (215-216)
     val repos = watch.groupBy("repo").agg(count(lit(1)).as("count"))

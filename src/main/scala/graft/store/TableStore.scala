@@ -2,6 +2,7 @@ package graft.store
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Date-partitioned Parquet table store (S4/S6/S7/S8/S9 in SURVEY.md §2.1).
   *
@@ -52,6 +53,14 @@ object TableStore {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Schema-declared read: required for tables that may hold zero rows (an
+    * ingested batch with no events of some type writes only `_SUCCESS`, so
+    * there is no footer to infer from), and the right default everywhere —
+    * the curated schemas of `GhaSchemas` are the contract, not the files.
+    */
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(dir)
+
   /** Parquet data files under a table dir (recursive, excludes _SUCCESS). */
   def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val f = fs(spark, dir)
@@ -73,11 +82,13 @@ object TableStore {
     * vacuum the superseded generation (`preprocess.py:199-206`). Returns
     * (filesBefore, filesAfter).
     */
-  def compact(spark: SparkSession, dir: String): (Long, Long) = {
+  def compact(spark: SparkSession, dir: String,
+      schema: Option[StructType] = None): (Long, Long) = {
     val before = dataFiles(spark, dir).size.toLong
     val tmp = dir.stripSuffix("/") + ".compact.tmp"
     val old = dir.stripSuffix("/") + ".compact.old"
-    val df = spark.read.parquet(dir)
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val df = reader.parquet(dir)
     // hash-repartition on the partition column: every date lands wholly in
     // one task, so partitionBy("date") emits exactly one file per date.
     // Parallelism scales with #dates, and untouched data never moves twice.

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.llm.TextOps
+
+/** Property-based invariants (SURVEY.md §5.2 item 4), generated with
+  * ScalaCheck `Gen` and exercised over a fixed seed sweep (no
+  * scalatestplus bridge in the offline dep set).
+  */
+class PropertiesSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 10): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.oneOf("a", "b", "cc", "dd", "the", "x1")
+  private val text = Gen.listOfN(8, word).map(_.mkString(" "))
+
+  test("explode conservation: sum of |commits| = exploded row count (G1 law)") {
+    for (sizes <- samples(Gen.listOfN(5, Gen.choose(0, 7)), 5)) {
+      val lines = sizes.zipWithIndex.map { case (n, i) =>
+        val cs = (1 to n).map(j => s"""{"sha":"s$i-$j","message":"m"}""")
+          .mkString(",")
+        s"""{"type":"PushEvent","actor":{"login":"u$i"},"repo":{"name":"r"},"created_at":"2024-02-29T01:00:00Z","payload":{"commits":[$cs]}}"""
+      }
+      val raw = graft.ingest.Extract.parseRaw(lines.toDF("value"))
+      assert(graft.ingest.Extract.commits(raw).count() === sizes.sum.toLong)
+    }
+  }
+
+  test("dedup idempotence: f(f(x)) = f(x) (L1 law)") {
+    for (texts <- samples(Gen.listOfN(12, text), 5)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val once = TextOps.exactDedup(df, $"text", $"id")
+      val twice = TextOps.exactDedup(
+        once.select($"dedup_key".as("text"), $"keep_id".as("id")),
+        $"text", $"id")
+      assert(twice.count() === once.count())
+    }
+  }
+
+  test("jaccard bounds and symmetry (L2 law)") {
+    val pairs = samples(Gen.zip(text, text), 10)
+    val df = pairs.toDF("x", "y")
+      .select(split($"x", " ").as("a"), split($"y", " ").as("b"))
+    df.select(TextOps.jaccard($"a", $"b"), TextOps.jaccard($"b", $"a"))
+      .as[(Double, Double)].collect().foreach { case (j1, j2) =>
+        assert(j1 >= 0.0 && j1 <= 1.0)
+        assert(j1 === j2)
+      }
+  }
+
+  test("ceilHour monotone and within (ts, ts+1h] for non-exact inputs (F6 law)") {
+    val tsGen = Gen.choose(0L, 4102444800L).map(s => s * 1000 + 137)
+    val millis = samples(tsGen, 20)
+    val df = millis.map(m => new java.sql.Timestamp(m)).toDF("ts")
+    df.select($"ts", graft.time.Increments.ceilHour($"ts").as("c"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].collect()
+      .foreach { case (t, c) =>
+        assert(c.getTime >= t.getTime)
+        assert(c.getTime - t.getTime < 3600 * 1000)
+        assert(c.getTime % (3600 * 1000) === 0)
+      }
+  }
+
+  test("watermark monotonicity: appending newer data never lowers it (T1 law)") {
+    val dir = "/root/repo/target/tmp/wm_prop_" + System.nanoTime()
+    def write(h: Int) = Seq(s"2024-02-29 0$h:00:00").toDF("s")
+      .select(to_timestamp($"s").as("created_at"))
+      .write.mode("append").parquet(dir)
+    write(1)
+    val w1 = graft.time.Increments.watermark(spark, dir).get
+    write(5)
+    val w2 = graft.time.Increments.watermark(spark, dir).get
+    write(3) // older data arriving late must not lower the watermark
+    val w3 = graft.time.Increments.watermark(spark, dir).get
+    assert(!w2.before(w1))
+    assert(w3 === w2)
+  }
+}

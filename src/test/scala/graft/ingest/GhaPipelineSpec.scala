@@ -1,0 +1,75 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.store.TableStore
+
+/** GHA-shaped e2e (SURVEY.md §5.2 item 3): NDJSON fixtures → ingest → six
+  * parquet tables → compaction → query_data → golden rows.
+  */
+class GhaPipelineSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  /** Richer corpus: 3 repos; org/popular gets 6 watchers + a dask commit by
+    * a human and one by a bot; dask/dask is popular but excluded by prefix;
+    * org/quiet has too few watches.
+    */
+  private def corpus: Seq[String] = {
+    def watch(user: String, repo: String, h: Int) =
+      s"""{"type":"WatchEvent","actor":{"login":"$user"},"repo":{"name":"$repo"},"created_at":"2024-02-29T0$h:00:00Z","payload":{"action":"started"}}"""
+    def push(user: String, repo: String, msg: String, sha: String) =
+      s"""{"type":"PushEvent","actor":{"login":"$user"},"repo":{"name":"$repo"},"created_at":"2024-02-29T04:00:00Z","payload":{"commits":[{"sha":"$sha","message":"$msg"}]}}"""
+    def comment(user: String, repo: String, body: String) =
+      s"""{"type":"IssueCommentEvent","actor":{"login":"$user"},"repo":{"name":"$repo"},"created_at":"2024-02-29T05:00:00Z","payload":{"issue":{"number":1,"title":"t","created_at":"2024-02-29T01:00:00Z","user":{"login":"x"}},"comment":{"body":"$body","author_association":"NONE"}}}"""
+    (1 to 6).map(i => watch(s"w$i", "org/popular", i)) ++
+      (1 to 6).map(i => watch(s"w$i", "dask/dask", i)) ++
+      Seq(watch("w1", "org/quiet", 7),
+        push("alice", "org/popular", "Use Dask for the ETL", "a1"),
+        push("deploy-bot", "org/popular", "also dask here", "b1"),
+        push("carol", "org/quiet", "more dask", "q1"),
+        push("dave", "dask/dask", "fix dask scheduler", "d1"),
+        push("erin", "org/popular", "unrelated change", "e1"),
+        comment("frank", "org/popular", "have you tried dask distributed?"),
+        comment("gina", "org/quiet", "try dask"))
+  }
+
+  test("workflow: ingest → compact → query_data matches golden results") {
+    val base = Paths.get("/root/repo/target/tmp")
+    Files.createDirectories(base)
+    val dir = Files.createTempDirectory(base, "gha_e2e").toString
+    val ndjson = s"$dir/2024-02-29-1.json"
+    Files.write(Paths.get(ndjson), corpus.mkString("\n").getBytes)
+
+    GhaPipeline.workflow(spark, Seq(ndjson), s"$dir/store", keyword = " dask")
+
+    // six curated tables written, date-partitioned
+    for (t <- graft.schema.GhaSchemas.tableNames)
+      assert(Files.exists(Paths.get(s"$dir/store/$t")), s"missing table $t")
+    assert(TableStore.read(spark, s"$dir/store/watch").count() === 13)
+
+    // commits result: only alice (human, popular repo, ' dask' in message,
+    // not dask/-prefixed). deploy-bot excluded (bot), carol (unpopular),
+    // dave (dask/ prefix), erin (no keyword).
+    val commits = TableStore.read(spark, s"$dir/store/results/commits")
+    val rows = commits.select("username", "repo", "count")
+      .as[(String, String, Long)].collect().toSeq
+    assert(rows === Seq(("alice", "org/popular", 6L)))
+
+    // comments result: frank only (gina's repo is unpopular)
+    val comments = TableStore.read(spark, s"$dir/store/results/comments")
+    assert(comments.select("username").as[String].collect().toSeq
+      === Seq("frank"))
+  }
+
+  test("ingest is re-runnable: append accumulates per batch (storage union-all)") {
+    val base = Paths.get("/root/repo/target/tmp")
+    val dir = Files.createTempDirectory(base, "gha_inc").toString
+    val f = s"$dir/h1.json"
+    Files.write(Paths.get(f), corpus.mkString("\n").getBytes)
+    GhaPipeline.ingest(spark, Seq(f), s"$dir/store")
+    val n1 = TableStore.read(spark, s"$dir/store/commit").count()
+    GhaPipeline.ingest(spark, Seq(f), s"$dir/store")
+    assert(TableStore.read(spark, s"$dir/store/commit").count() === 2 * n1)
+  }
+}

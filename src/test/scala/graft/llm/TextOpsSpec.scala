@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class TextOpsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("shingles: n-grams, distinct, short-doc guard") {
+    val df = Seq("a b c d", "a b", "x x x x").toDF("text")
+    val got = df.select(TextOps.shingles($"text", 3)).as[Seq[String]]
+      .collect().toSeq
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)           // < n words -> empty, not crash
+    assert(got(2) === Seq("x x x"))        // distinct collapses repeats
+  }
+
+  test("jaccard: identity 1.0, disjoint 0.0, half overlap") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val got = df.select(TextOps.jaccard($"x", $"y")).as[Double].collect()
+    assert(got(0) === 1.0)
+    assert(got(1) === 0.0)
+    assert(got(2) === 0.5)
+  }
+
+  test("exactDedup keeps min id and counts copies; idempotent (L1)") {
+    val df = Seq((1L, "dup"), (2L, "dup"), (3L, "uniq")).toDF("id", "text")
+    val d1 = TextOps.exactDedup(df, $"text", $"id")
+    val rows = d1.orderBy("keep_id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows === Seq(("dup", 1L, 2L), ("uniq", 3L, 1L)))
+    // idempotence: dedup of the deduped set changes nothing
+    val d2 = TextOps.exactDedup(
+      d1.select($"dedup_key".as("text"), $"keep_id".as("id")),
+      $"text", $"id")
+    assert(d2.count() === d1.count())
+    assert(d2.agg(max("n_copies")).head().getLong(0) === 1L)
+  }
+
+  test("simhash: identical text -> identical hash; disjoint text differs") {
+    val df = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("id", "text")
+    val h = df.select($"id", TextOps.simhash64("text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+  }
+
+  test("simhash: near-dup text has small hamming distance") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base + " extra"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+    val h = df.select($"id", TextOps.simhash64("text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
+    assert(hamming(h(1L), h(2L)) <= 8)
+  }
+
+  test("fingerprint is order-sensitive (unlike set signatures)") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("id", "text")
+    val f = df.select($"id", TextOps.fingerprint($"text").as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(f(1L) === f(3L))
+    assert(f(1L) !== f(2L))
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair (L2 scale path)") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 48).map(i => s"tok$i").mkString(" ") + " x y"
+    val far = (200 to 250).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = VectorOps.minhashPairs(docs, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+}

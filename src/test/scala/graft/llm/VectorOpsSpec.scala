@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class VectorOpsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine: self = 1, orthogonal = 0, opposite = -1") {
+    val df = emb(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(-1f, 0f)))
+    val q = df.select($"vec_id".as("qid"),
+      VectorOps.toDouble($"embedding").as("a"))
+    val t = df.select($"vec_id".as("tid"),
+      VectorOps.toDouble($"embedding").as("b"))
+    val cos = q.crossJoin(t)
+      .select($"qid", $"tid", round(VectorOps.cosine($"a", $"b"), 9).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(cos((1L, 1L)) === 1.0)
+    assert(cos((1L, 2L)) === 0.0)
+    assert(cos((1L, 3L)) === -1.0)
+  }
+
+  test("bruteForceTopK: nearest neighbor first, self excluded, k respected (L3)") {
+    val df = emb(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f)),   // closest to 0
+      (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0.5f, 0.5f, 0f)),
+      (4L, Seq(0f, 0f, 1f)))
+    val top = VectorOps.bruteForceTopK(df, df.filter($"vec_id" === 0), 3)
+    val got = top.orderBy("rank")
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 3L, 2L))   // by descending cosine
+    assert(got.map(_._2) === Seq(1L, 2L, 3L))
+    assert(!got.map(_._1).contains(0L))          // self excluded
+  }
+
+  test("annCosine recalls the true near neighbor (L3 scale path)") {
+    // 2 clusters + noise; query belongs to cluster A
+    val a = Seq.tabulate(8)(i => (10L + i, Seq(1f, 0.01f * i, 0f, 0f)))
+    val b = Seq.tabulate(8)(i => (20L + i, Seq(0f, 0f, 1f, 0.01f * i)))
+    val df = emb((0L, Seq(1f, 0f, 0f, 0f)) +: (a ++ b): _*)
+    val got = VectorOps.annCosine(df, df.filter($"vec_id" === 0), 0.9)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf((10L to 17L).toSet)) // only cluster A, never B
+  }
+
+  test("oracle-parity: engine cosine equals explicit double-math (sf0.001)") {
+    val e = graft.query.Tables(spark, sf("sf0.001"), "embeddings")
+    val top = VectorOps.bruteForceTopK(e, e.filter($"vec_id" < 2), 3)
+    val cos = top.select("cos").as[Double].collect()
+    assert(cos.forall(c => c >= -1.0 && c <= 1.0))
+    assert(top.count() === 6)
+  }
+}

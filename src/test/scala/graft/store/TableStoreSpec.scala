@@ -1,0 +1,67 @@
+package graft.store
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class TableStoreSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, "store").toString
+  }
+
+  private def mkBatch(day: String, ids: Range) =
+    ids.map(i => (i, s"u$i", java.sql.Date.valueOf(day)))
+      .toDF("id", "user", "date")
+
+  test("append accumulates batches under date partitions (S6)") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-01-01", 0 until 10), dir)
+    TableStore.append(mkBatch("2024-01-02", 10 until 30), dir)
+    val back = TableStore.read(spark, dir)
+    assert(back.count() === 30)
+    assert(back.filter($"date" === "2024-01-02").count() === 20)
+  }
+
+  test("upsertPartitions is idempotent per partition (T4 exactly-once)") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-01-01", 0 until 10), dir)
+    // re-run of the same hour replaces, not duplicates
+    TableStore.upsertPartitions(spark, mkBatch("2024-01-01", 0 until 10), dir)
+    TableStore.upsertPartitions(spark, mkBatch("2024-01-01", 0 until 10), dir)
+    assert(TableStore.read(spark, dir).count() === 10)
+    // other partitions untouched
+    TableStore.append(mkBatch("2024-01-02", 0 until 5), dir)
+    TableStore.upsertPartitions(spark, mkBatch("2024-01-01", 0 until 10), dir)
+    assert(TableStore.read(spark, dir).count() === 15)
+  }
+
+  test("compact collapses to one file per partition and preserves rows (S8/S9)") {
+    val dir = tmpDir() + "/t"
+    // 4 small appends x 2 dates = many files
+    (1 to 4).foreach { k =>
+      TableStore.append(mkBatch("2024-01-01", k * 100 until k * 100 + 5), dir)
+      TableStore.append(mkBatch("2024-01-02", k * 100 until k * 100 + 5), dir)
+    }
+    val rowsBefore = TableStore.read(spark, dir).count()
+    val (before, after) = TableStore.compact(spark, dir)
+    assert(before >= 8)
+    assert(after === 2) // one per date partition
+    assert(TableStore.read(spark, dir).count() === rowsBefore)
+    // vacuum removed the old generation
+    assert(TableStore.dataFiles(spark, dir).size === 2)
+  }
+
+  test("overwrite replaces result tables (S7)") {
+    val dir = tmpDir() + "/r"
+    TableStore.overwrite(Seq((1, "a")).toDF("k", "v"), dir)
+    TableStore.overwrite(Seq((2, "b"), (3, "c")).toDF("k", "v"), dir)
+    val back = TableStore.read(spark, dir).orderBy("k")
+    assert(back.count() === 2)
+    assert(back.head().getInt(0) === 2)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.stream
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+case class Ev(ts: Timestamp, event_type: String, user_id: Long)
+
+/** Streaming semantics (SURVEY.md §2.9): windowed aggregation + watermark
+  * late-data handling via MemoryStream, and the AvailableNow file-ingest
+  * loop end-to-end.
+  */
+class EventStreamSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window counts with watermark: late row beyond 1h is dropped (T2/T3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = EventStream.tumblingCounts(mem.toDF())
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-02-29 01:10:00"), "a", 1),
+        Ev(ts("2024-02-29 01:20:00"), "a", 2),
+        Ev(ts("2024-02-29 03:30:00"), "a", 3)) // advances watermark to 02:30
+      q.processAllAvailable()
+      // this row's window [01:00,02:00) closed at watermark 02:30 -> dropped
+      mem.addData(Ev(ts("2024-02-29 01:15:00"), "a", 4))
+      q.processAllAvailable()
+      val out = spark.table("tumbling")
+        .select(date_format($"window.start", "HH:mm").as("w"), $"cnt")
+        .as[(String, Long)].collect().toMap
+      assert(out("01:00") === 2L) // late row NOT counted
+      assert(out("03:00") === 1L)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap (T∅)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-02-29 01:00:00"), "a", 7),
+        Ev(ts("2024-02-29 01:03:00"), "a", 7),  // same session (gap 3m < 5m)
+        Ev(ts("2024-02-29 01:20:00"), "a", 7),  // new session
+        Ev(ts("2024-02-29 01:00:00"), "a", 9))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select($"user_id", $"cnt").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(got(7L) === Seq(1L, 2L))
+      assert(got(9L) === Seq(1L))
+    } finally q.stop()
+  }
+
+  test("ingestStream AvailableNow: NDJSON landing dir -> curated parquet, incremental (T1/T4)") {
+    val base = Paths.get("/root/repo/target/tmp")
+    Files.createDirectories(base)
+    val dir = Files.createTempDirectory(base, "stream_ingest").toString
+    Files.createDirectories(Paths.get(s"$dir/landing"))
+    def watchLine(u: String, h: Int) =
+      s"""{"type":"WatchEvent","actor":{"login":"$u"},"repo":{"name":"r/x"},"created_at":"2024-02-29T0$h:00:00Z","payload":{"action":"started"}}"""
+    Files.write(Paths.get(s"$dir/landing/h1.json"),
+      Seq(watchLine("u1", 1), watchLine("u2", 2)).mkString("\n").getBytes)
+
+    val q1 = EventStream.ingestStream(spark, s"$dir/landing", s"$dir/out",
+      s"$dir/ckpt", "watch")
+    q1.awaitTermination()
+    assert(spark.read.parquet(s"$dir/out").count() === 2)
+
+    // drop one more hourly file; only the delta is processed (checkpoint)
+    Files.write(Paths.get(s"$dir/landing/h2.json"),
+      Seq(watchLine("u3", 3)).mkString("\n").getBytes)
+    val q2 = EventStream.ingestStream(spark, s"$dir/landing", s"$dir/out",
+      s"$dir/ckpt", "watch")
+    q2.awaitTermination()
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 3)
+    assert(back.select("username").as[String].collect().toSet
+      === Set("u1", "u2", "u3"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.time
+
+import java.time.Instant
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class IncrementsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("ceilHour advances mid-hour but NOT exact hours (preprocess.py:186 edge)") {
+    val df = Seq("2024-02-29 10:00:00", "2024-02-29 10:00:01",
+      "2024-02-29 10:59:59")
+      .toDF("s").select(to_timestamp($"s").as("ts"))
+    val got = df.select(date_format(Increments.ceilHour($"ts"),
+      "yyyy-MM-dd HH:mm:ss")).as[String].collect().toSeq
+    assert(got === Seq("2024-02-29 10:00:00", "2024-02-29 11:00:00",
+      "2024-02-29 11:00:00"))
+  }
+
+  test("nextRange resumes after watermark and lags stop by 1h (T1/T2)") {
+    val wm = Some(Instant.parse("2024-02-29T10:30:00Z"))
+    val now = Instant.parse("2024-03-01T05:45:00Z")
+    val (start, stop) = Increments.nextRange(wm, now,
+      Instant.parse("2024-01-01T00:00:00Z"))
+    assert(start === Instant.parse("2024-02-29T11:00:00Z"))
+    assert(stop === Instant.parse("2024-03-01T04:00:00Z"))
+  }
+
+  test("nextRange with exact-hour watermark does not skip an hour") {
+    val wm = Some(Instant.parse("2024-02-29T10:00:00Z"))
+    val (start, _) = Increments.nextRange(wm,
+      Instant.parse("2024-03-01T00:00:00Z"),
+      Instant.parse("2024-01-01T00:00:00Z"))
+    assert(start === Instant.parse("2024-02-29T10:00:00Z"))
+  }
+
+  test("first run falls back to backfill start") {
+    val bf = Instant.parse("2023-01-01T00:00:00Z")
+    val (start, _) = Increments.nextRange(None,
+      Instant.parse("2024-03-01T00:00:00Z"), bf)
+    assert(start === bf)
+  }
+
+  test("hourlyUrls: 24 urls/day, reference URL shape incl non-padded hour (S10)") {
+    val urls = Increments
+      .hourlyUrls(spark, "2024-01-01 00:00:00", "2024-01-01 23:00:00")
+      .as[String].collect().toSeq
+    assert(urls.size === 24)
+    assert(urls.contains("https://data.gharchive.org/2024-01-01-0.json.gz"))
+    assert(urls.contains("https://data.gharchive.org/2024-01-01-13.json.gz"))
+    assert(!urls.exists(_.contains("-00.json"))) // hour is not zero-padded
+  }
+
+  test("watermark reads max(created_at); None for missing table (S5)") {
+    assert(Increments.watermark(spark, "/root/repo/target/tmp/nope_missing")
+      === None)
+    val dir = "/root/repo/target/tmp/wm_" + System.nanoTime()
+    Seq("2024-02-29 01:00:00", "2024-02-29 02:30:00")
+      .toDF("s").select(to_timestamp($"s").as("created_at"))
+      .write.parquet(dir)
+    assert(Increments.watermark(spark, dir).get.toInstant
+      === Instant.parse("2024-02-29T02:30:00Z"))
+  }
+}
