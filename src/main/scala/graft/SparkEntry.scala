@@ -12,6 +12,7 @@ object SparkEntry {
   /** Every verifiable query the engine exposes (SURVEY.md §2 inventory). */
   val registry: Seq[Q] =
     graft.query.Relational.all ++
+    graft.query.Extended.all ++
     graft.query.Temporal.all ++
     graft.query.JsonQueries.all ++
     graft.query.Pipelines.all ++

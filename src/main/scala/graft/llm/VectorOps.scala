@@ -69,7 +69,12 @@ object VectorOps {
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(8).setSeed(42L)
     val model = mh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, threshold, "jaccard_dist")
+    // signatures are computed once and persisted: the self-join would
+    // otherwise re-shingle + re-hash the corpus for each side (and at 100 TB
+    // the signature table, not the corpus, is what you want shuffling).
+    val signed = model.transform(featured)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    model.approxSimilarityJoin(signed, signed, threshold, "jaccard_dist")
       .select(
         col("datasetA.doc_id").as("id_a"),
         col("datasetB.doc_id").as("id_b"),
@@ -81,25 +86,46 @@ object VectorOps {
     * unit-normalized vectors (Euclidean distance on the unit sphere is a
     * monotone transform of cosine: d^2 = 2(1 - cos)).
     */
+  private def unitFeatures(df: DataFrame): DataFrame = {
+    val v = toDouble(col("embedding"))
+    df.select(col("vec_id"),
+      array_to_vector(transform(v, x => x / l2norm(v))).as("features"))
+  }
+
+  private def brpLsh = new BucketedRandomProjectionLSH()
+    .setInputCol("features").setOutputCol("hashes")
+    .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
+
+  private def annSelect(joined: DataFrame): DataFrame = joined
+    .select(
+      col("datasetA.vec_id").as("query_id"),
+      col("datasetB.vec_id").as("neighbor_id"),
+      round(lit(1.0) - col("dist") * col("dist") / 2.0, 4).as("est_cos"))
+    .filter(col("query_id") =!= col("neighbor_id"))
+
   def annCosine(corpus: DataFrame, queries: DataFrame, cosThreshold: Double)
       : DataFrame = {
-    def unit(df: DataFrame): DataFrame = {
-      val v = toDouble(col("embedding"))
-      df.select(col("vec_id"),
-        array_to_vector(transform(v, x => x / l2norm(v))).as("features"))
-    }
-    val brp = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
-    val corpusU = unit(corpus)
-    val model = brp.fit(corpusU)
-    val distThreshold = math.sqrt(2.0 * (1.0 - cosThreshold))
-    model.approxSimilarityJoin(unit(queries), corpusU, distThreshold, "dist")
-      .select(
-        col("datasetA.vec_id").as("query_id"),
-        col("datasetB.vec_id").as("neighbor_id"),
-        round(lit(1.0) - col("dist") * col("dist") / 2.0, 4).as("est_cos"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val corpusU = unitFeatures(corpus)
+    val model = brpLsh.fit(corpusU)
+    // pre-hash + persist the corpus side once; the (small) query side is
+    // hashed on its own — don't pay the full corpus transform twice.
+    val corpusH = model.transform(corpusU)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    annSelect(model.approxSimilarityJoin(
+      model.transform(unitFeatures(queries)), corpusH,
+      math.sqrt(2.0 * (1.0 - cosThreshold)), "dist").toDF())
+  }
+
+  /** All-pairs variant: hash the corpus exactly once and self-join the
+    * persisted signature table (the shape an LSH dedup sweep has at scale).
+    */
+  def annCosineSelf(corpus: DataFrame, cosThreshold: Double): DataFrame = {
+    val corpusU = unitFeatures(corpus)
+    val model = brpLsh.fit(corpusU)
+    val signed = model.transform(corpusU)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    annSelect(model.approxSimilarityJoin(signed, signed,
+      math.sqrt(2.0 * (1.0 - cosThreshold)), "dist").toDF())
   }
 
   val all: Seq[Q] = Seq(
@@ -149,7 +175,7 @@ object VectorOps {
     Q("q_embed_neardup", None,
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        annCosine(emb, emb, 0.35)
+        annCosineSelf(emb, 0.35)
           .filter(col("query_id") < col("neighbor_id"))
           .select(col("query_id").as("id_a"),
             col("neighbor_id").as("id_b"), col("est_cos"))
