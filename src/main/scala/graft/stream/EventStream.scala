@@ -1,8 +1,8 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.schema.GhaSchemas
 import graft.ingest.Extract
 
@@ -39,6 +39,46 @@ object EventStream {
       .withWatermark(tsCol, "1 hour")
       .groupBy(col("user_id"), session_window(col(tsCol), "5 minutes"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** L1 in streaming form: exactly-once event dedup inside the watermark
+    * horizon. State is bounded — ids older than the watermark are evicted,
+    * so at 100 TB/day the state store holds one horizon of ids, not history.
+    */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+      tsCol: String = "ts", lateness: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Per-user running profile kept in the state store. */
+  case class UserState(user_id: Long, n_events: Long, last_type: String,
+      last_ts: java.sql.Timestamp)
+
+  /** T∅ custom state (`mapGroupsWithState`): a per-key accumulator the
+    * built-in windowed aggs can't express — running event count + latest
+    * event carried across micro-batches, emitted once per batch per active
+    * key. State lives in the checkpointed store (RocksDB at scale), keyed
+    * and shuffled once on user_id.
+    */
+  def userRunningStats(spark: SparkSession, events: DataFrame)
+      : Dataset[UserState] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserState](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserState]) =>
+          val sorted = rows.toSeq.sortBy(_._3.getTime)
+          val prev = state.getOption
+            .getOrElse(UserState(uid, 0L, "", new java.sql.Timestamp(0)))
+          val latest = sorted.lastOption
+          val next = UserState(uid, prev.n_events + sorted.size,
+            latest.map(_._2).getOrElse(prev.last_type),
+            latest.map(_._3).getOrElse(prev.last_ts))
+          state.update(next)
+          next
+      }
+  }
 
   /** T1/T4: the incremental ingest loop as a streaming job — NDJSON landing
     * dir in, date-partitioned Parquet out, exactly-once via checkpoint.

@@ -62,6 +62,46 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate ids within the watermark horizon (L1 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("event_id", "ts")
+    val q = EventStream.dedupStream(df)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-02-29 01:00:00")),
+        (1L, ts("2024-02-29 01:05:00")),   // dup id within horizon
+        (2L, ts("2024-02-29 01:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id")
+        .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("userRunningStats accumulates per-key state across micro-batches (mapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val stats = EventStream.userRunningStats(spark,
+      mem.toDF().select($"user_id", $"event_type", $"ts"))
+    val q = stats.toDF().writeStream.format("memory").queryName("ustats")
+      .outputMode("update").start()
+    try {
+      mem.addData(Ev(ts("2024-02-29 01:00:00"), "signup", 1),
+        Ev(ts("2024-02-29 01:05:00"), "view", 1))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-02-29 02:00:00"), "purchase", 1),
+        Ev(ts("2024-02-29 02:00:00"), "signup", 2))
+      q.processAllAvailable()
+      // latest state row per user wins (update mode emits one row per batch)
+      val last = spark.table("ustats")
+        .groupBy($"user_id").agg(max(struct($"n_events", $"last_type")).as("s"))
+        .select($"user_id", $"s.n_events", $"s.last_type")
+        .as[(Long, Long, String)].collect().toSet
+      assert(last === Set((1L, 3L, "purchase"), (2L, 1L, "signup")))
+    } finally q.stop()
+  }
+
   test("ingestStream AvailableNow: NDJSON landing dir -> curated parquet, incremental (T1/T4)") {
     val base = Paths.get("/root/repo/target/tmp")
     Files.createDirectories(base)
