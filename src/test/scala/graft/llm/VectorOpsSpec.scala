@@ -52,6 +52,34 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.subsetOf((10L to 17L).toSet)) // only cluster A, never B
   }
 
+  test("minhashPairsNative finds planted near-dups, exact jaccard, no false pairs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),                     // near-dup of 1
+      (3L, "completely different words here about spark engines and parquet files"),
+      (4L, "unrelated text with nothing shared at all in any shingle")
+    ).toDF("doc_id", "text")
+    val pairs = VectorOps.minhashPairsNative(docs, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs.head._3 > 0.8) // exact jaccard of the planted pair
+  }
+
+  test("native and MLlib minhash agree on the planted pair (cross-check)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base), (2L, base + " nu"),
+      (3L, "totally disjoint vocabulary set one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val native = VectorOps.minhashPairsNative(docs, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mllib = VectorOps.minhashPairs(docs, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(native === mllib)
+    assert(native === Set((1L, 2L)))
+  }
+
   test("oracle-parity: engine cosine equals explicit double-math (sf0.001)") {
     val e = graft.query.Tables(spark, sf("sf0.001"), "embeddings")
     val top = VectorOps.bruteForceTopK(e, e.filter($"vec_id" < 2), 3)
