@@ -56,7 +56,7 @@ object DevProfile {
         i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
     time("signatures(64) barrier+rep") { sigR.write.format("noop").mode("overwrite").save(); 0L }
 
-    val bands = sig.select(col("doc_id"),
+    val bands = sigB.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(7)),
         j => xxhash64(slice(col("sig"), j * 8 + 1, lit(8)), j))))
       .toDF("doc_id", "band_idx", "band_hash")
@@ -70,6 +70,36 @@ object DevProfile {
 
     time("full q_dedup_minhash") {
       graft.llm.VectorOps.minhashPairsNative(docs, 0.5).count()
+    }
+
+    // ---- cosine sign-LSH stages ----
+    val emb = graft.query.Tables(spark, sfDir, "embeddings")
+    println(s"embeddings: ${emb.count()}")
+    val v = graft.llm.VectorOps.toDouble(col("embedding"))
+    def plane(j: Int) = array((0 until 64).map(k =>
+      (xxhash64(lit(j), lit(k)).cast("double") / lit(Long.MaxValue))): _*)
+    val sigCols = (0 until 64).map { j =>
+      when(aggregate(zip_with(v, plane(j), (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x) >= 0, 1L).otherwise(0L)
+    }
+    val withSig = emb.repartition(32)
+      .select(col("vec_id"), v.as("v"), array(sigCols: _*).as("bits"))
+    time("cos signatures(64 bits)") {
+      withSig.write.format("noop").mode("overwrite").save(); 0L }
+    val withSigP = withSig.persist(); withSigP.count()
+    val cbands = withSigP.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        j => xxhash64(slice(col("bits"), j * 8 + 1, lit(8)), j))))
+      .toDF("vec_id", "band_idx", "band_hash")
+    val ccand = cbands.as("a").join(cbands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    time("cos candidates") { ccand.count() }
+    time("full q_embed_neardup") {
+      graft.llm.VectorOps.cosinePairsNative(emb, 0.35).count()
     }
     spark.stop()
   }

@@ -204,6 +204,64 @@ object VectorOps {
       math.sqrt(2.0 * (1.0 - cosThreshold)), "dist").toDF())
   }
 
+  /** Native signed-random-projection LSH for cosine near-dup pairs — pure
+    * column expressions, same banded candidate pattern as
+    * [[minhashPairsNative]].
+    *
+    * Hyperplanes are derived deterministically: component k of hyperplane j
+    * is `xxhash64(j, k)` scaled to [-1, 1] (no RNG state to ship; every
+    * executor computes the same planes from constants folded at planning).
+    * A vector's signature bit j = sign of its dot with plane j; two vectors
+    * at angle θ disagree on a bit with probability θ/π. Bits are grouped
+    * into bands (AND within, OR across) for candidate generation, then
+    * candidates verify with EXACT cosine — so precision is exact; LSH only
+    * bounds recall/cost.
+    *
+    * At 100 TB: per row the corpus ships (id, a few band longs) into the
+    * bucket shuffle; embeddings are touched again only for candidate pairs.
+    */
+  def cosinePairsNative(corpus: DataFrame, cosThreshold: Double,
+      nBands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    val nBits = nBands * bitsPerBand
+    val dim = 64 // embeddings fixture dim; planes beyond vector length unused
+    // plane j as an array literal column: xxhash64(j,k)/Long.Max in [-1,1]
+    def plane(j: Int) = array((0 until dim).map(k =>
+      (xxhash64(lit(j), lit(k)).cast("double") / lit(Long.MaxValue))): _*)
+    val v = toDouble(col("embedding"))
+    val sigCols = (0 until nBits).map { j =>
+      when(aggregate(zip_with(v, plane(j), (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x) >= 0, 1L).otherwise(0L)
+    }
+    // vectors are stored pre-normalized, so candidate verification is ONE
+    // dot product per pair (higher-order fns aren't codegen'd — per-pair
+    // lambda evaluations are the cost that scales with candidate count,
+    // so hoist the two norms into this once-per-vector projection).
+    val withSig = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
+        transform(v, x => x / l2norm(v)).as("v"),
+        array(sigCols: _*).as("bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = withSig.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        j => xxhash64(slice(col("bits"), j * bitsPerBand + 1,
+          lit(bitsPerBand)), j))))
+      .toDF("vec_id", "band_idx", "band_hash")
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    candidates
+      .join(withSig.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(withSig.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= cosThreshold)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- L3: exact cosine top-5 for the first 10 vectors ---------------------
@@ -243,17 +301,12 @@ object VectorOps {
           .orderBy("query_id", "neighbor_id")
       }),
 
-    // ---- L2 on embeddings: near-duplicate vectors via LSH buckets ---------------
+    // ---- L2 on embeddings: near-duplicate vectors via native sign-LSH ----------
     // (threshold tuned to the synthetic fixture's cosine range: max pairwise
-    // cosine is ~0.45, so 0.35 marks the "suspiciously close" tail)
+    // cosine is ~0.45, so 0.35 marks the "suspiciously close" tail; output
+    // cosines are EXACT — LSH only prunes the candidate set)
     Q("q_embed_neardup", None,
-      (s, d) => {
-        val emb = Tables(s, d, "embeddings")
-        annCosineSelf(emb, 0.35)
-          .filter(col("query_id") < col("neighbor_id"))
-          .select(col("query_id").as("id_a"),
-            col("neighbor_id").as("id_b"), col("est_cos"))
-          .orderBy("id_a", "id_b")
-      })
+      (s, d) => cosinePairsNative(Tables(s, d, "embeddings"), 0.35)
+        .orderBy("id_a", "id_b"))
   )
 }

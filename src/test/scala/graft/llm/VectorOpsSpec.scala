@@ -80,6 +80,17 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
     assert(native === Set((1L, 2L)))
   }
 
+  test("cosinePairsNative: near-identical vectors found with exact cosine, distant pairs absent") {
+    val close = Seq.tabulate(64)(i => if (i == 0) 1f else 0.001f * i)
+    val closeB = close.updated(1, 0.02f)             // tiny perturbation
+    val far = Seq.tabulate(64)(i => if (i == 33) 1f else 0f)
+    val df = emb((1L, close), (2L, closeB), (3L, far))
+    val got = VectorOps.cosinePairsNative(df, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(got.head._3 > 0.99) // exact cosine, not an estimate
+  }
+
   test("oracle-parity: engine cosine equals explicit double-math (sf0.001)") {
     val e = graft.query.Tables(spark, sf("sf0.001"), "embeddings")
     val top = VectorOps.bruteForceTopK(e, e.filter($"vec_id" < 2), 3)
