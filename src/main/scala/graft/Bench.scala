@@ -33,9 +33,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // untimed warmup: JIT + classloading + parquet footer caches
-    try SparkEntry.queries("q_count")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // untimed warmup: JIT + classloading + parquet footer caches for every
+    // table (otherwise the first query touching each table absorbs its
+    // footer-read + codec-init cost and the per-query numbers skew)
+    for (t <- Seq("lineitem", "orders", "customer", "supplier", "part",
+        "nation", "region", "events", "documents", "embeddings"))
+      try graft.query.Tables(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
 
     val names = SparkEntry.registry.map(_.name)
     val results = names.map(n => n -> run(n))

@@ -104,4 +104,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("HashAggregate"))
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("date-partitioned store prunes partitions on a date predicate") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+    java.nio.file.Files.createDirectories(base)
+    val dir = java.nio.file.Files.createTempDirectory(base, "prune").toString
+    val df = Seq(
+      ("a", java.sql.Date.valueOf("2024-02-28")),
+      ("b", java.sql.Date.valueOf("2024-02-29"))).toDF("v", "date")
+    graft.store.TableStore.append(df, dir)
+    val q = spark.read.parquet(dir).filter($"date" === "2024-02-29")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*isnotnull\\(date".r.findFirstIn(p).isDefined,
+      s"no partition pruning:\n$p")
+    assert(q.count() === 1)
+  }
 }
