@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
 import org.apache.spark.ml.functions.array_to_vector
 import graft.Q
+import graft.functions.GraftFunctions
 import graft.query.Tables
 import graft.query.Tables.cnt
 
@@ -29,12 +30,19 @@ object VectorOps {
     */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product via higher-order fold — stays inside codegen. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — native codegen'd Expression (tight primitive loop; the
+    * higher-order `aggregate(zip_with(...))` form is interpreted per call
+    * and allocates, which dominates LSH verify stages).
+    */
+  def dot(a: Column, b: Column): Column = GraftFunctions.dotNative(a, b)
+
+  /** Reference HOF form of [[dot]] — kept as the independent semantics
+    * oracle for the native expression in tests.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def l2norm(a: Column): Column = sqrt(GraftFunctions.dotNative(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
