@@ -13,6 +13,7 @@ object SparkEntry {
   val registry: Seq[Q] =
     graft.query.Relational.all ++
     graft.query.Extended.all ++
+    graft.query.Skew.all ++
     graft.query.Temporal.all ++
     graft.query.JsonQueries.all ++
     graft.query.Pipelines.all ++

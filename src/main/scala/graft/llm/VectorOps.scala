@@ -212,6 +212,51 @@ object VectorOps {
       math.sqrt(2.0 * (1.0 - cosThreshold)), "dist").toDF())
   }
 
+  /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells around
+    * seed centroids, probe the `nProbe` nearest cells per query, rank
+    * exactly within the probed cells.
+    *
+    * Centroids are the lowest-id vectors (deterministic; a k-means refine
+    * would drop in here without changing the dataflow) and are collected to
+    * the driver — K centroids are always driver-resident in IVF, that IS
+    * the design: assignment is then a per-row argmax over K literal dot
+    * products, a narrow codegen'd map with NO shuffle and NO join for the
+    * corpus side. The only shuffle is the (cell ⋈ probed-cell) candidate
+    * join + the per-query top-k window.
+    *
+    * At 100 TB: cells play the role of LSH bands with controllable fan-out
+    * — recall is tuned by nProbe, cost by nCells, both independent of
+    * corpus size.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val cents: Array[(Int, Seq[Double])] = corpus
+      .orderBy("vec_id").limit(nCells)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().zipWithIndex
+      .map { case (r: Row, i) => (i, r.getSeq[Double](0)) }
+    def cellDots(v: Column): Column = array(cents.map { case (i, c) =>
+      struct(dot(v, typedLit(c)).as("d"), lit(i).as("cell"))
+    }: _*)
+    val v = toDouble(col("embedding"))
+    // corpus: argmax cell via array_max on (dot, cell) structs
+    val assigned = corpus.select(col("vec_id").as("neighbor_id"), v.as("tv"),
+      array_max(cellDots(v)).getField("cell").as("cell"))
+    // queries: nProbe nearest cells each
+    val probed = queries.select(col("vec_id").as("query_id"), v.as("qv"),
+      explode(transform(
+        slice(reverse(array_sort(cellDots(v))), 1, nProbe),
+        s => s.getField("cell"))).as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Native signed-random-projection LSH for cosine near-dup pairs — pure
     * column expressions, same banded candidate pattern as
     * [[minhashPairsNative]].
@@ -300,6 +345,16 @@ object VectorOps {
     Q("q_dedup_minhash", None,
       (s, d) => minhashPairsNative(Tables(s, d, "documents"), 0.5)
         .orderBy("id_a", "id_b")),
+
+    // ---- L3: IVF-bucketed ANN (approx: rows-only check) ------------------------
+    Q("q_ann_ivf", None,
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .withColumn("cosine", round(col("cos"), 3))
+          .select("query_id", "neighbor_id", "rank", "cosine")
+          .orderBy("query_id", "rank")
+      }),
 
     // ---- L3: LSH-bucketed ANN (approx: rows-only check) ------------------------
     Q("q_ann_lsh", None,

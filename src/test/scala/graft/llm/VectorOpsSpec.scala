@@ -91,6 +91,20 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.head._3 > 0.99) // exact cosine, not an estimate
   }
 
+  test("ivfTopK: recall within probed cells matches brute force on clustered data") {
+    // 3 tight clusters; centroids = lowest-id vecs, one per cluster
+    def cluster(idBase: Long, axis: Int) = Seq.tabulate(6)(i =>
+      (idBase + i, Seq.tabulate(8)(d => if (d == axis) 1f else 0.01f * i)))
+    val df = emb(cluster(0, 0) ++ cluster(10, 3) ++ cluster(20, 6): _*)
+    val q = df.filter($"vec_id" === 11)
+    val ivf = VectorOps.ivfTopK(df, q, 3, nCells = 3, nProbe = 1)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    val brute = VectorOps.bruteForceTopK(df, q, 3)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(ivf === brute)   // true neighbors live in the probed cell
+    assert(ivf.map(_._1).forall(id => id >= 10 && id < 20))
+  }
+
   test("oracle-parity: engine cosine equals explicit double-math (sf0.001)") {
     val e = graft.query.Tables(spark, sf("sf0.001"), "embeddings")
     val top = VectorOps.bruteForceTopK(e, e.filter($"vec_id" < 2), 3)
