@@ -22,8 +22,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
+      // queries that persist() intermediates would otherwise hand their
+      // cache to the second run and min-of-two would report warm-cache time
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -31,6 +34,17 @@ object Bench {
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // best-of-2: the box is shared with the driver harness and ambient load
+    // spikes swing single runs 2-3x; min-of-two reports the query's cost,
+    // not the neighbor's. (Plan construction re-runs too — cached plans are
+    // not reused because each call rebuilds the DataFrame.)
+    def run(name: String): Double = {
+      val a = runOnce(name)
+      if (a < 0) return a
+      val b = runOnce(name)
+      if (b < 0) a else math.min(a, b)
     }
 
     // untimed warmup: JIT + classloading + parquet footer caches for every

@@ -74,6 +74,77 @@ object TextOps {
 
   private val STOPWORDS = Seq("the", "a")
 
+  /** U∅ custom aggregate (SURVEY.md §2.10): per-group MinHash-union
+    * signature as a typed `Aggregator` — the elementwise min of member
+    * signatures IS the minhash signature of the union of the members'
+    * shingle sets, so group-level signatures compose from row-level ones
+    * with a fixed-size buffer (nPerm longs, associative + commutative:
+    * partial-aggregates map-side like any sum).
+    *
+    * Use case: cross-source contamination — estimate shingle-set Jaccard
+    * BETWEEN whole sources without ever materializing per-source shingle
+    * sets (at 100 TB a source's union set is unbounded; its signature is
+    * 64 longs).
+    */
+  class MinHashUnionAgg(nPerm: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Seq[Long]), Array[Long], Array[Long]] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    override def zero: Array[Long] = Array.fill(nPerm)(Long.MaxValue)
+    override def reduce(b: Array[Long], row: (String, Seq[Long])): Array[Long] = {
+      val sig = row._2
+      var i = 0
+      while (i < nPerm && i < sig.size) {
+        if (sig(i) < b(i)) b(i) = sig(i)
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < nPerm) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder()
+  }
+
+  /** Cross-source contamination: estimated Jaccard between each pair of
+    * sources' full shingle-union sets, from composed group signatures.
+    * Signature construction mirrors `VectorOps.minhashPairsNative` including
+    * the load-bearing persist barrier (without it the string-hash pass
+    * inlines into the permutation lambda and runs once per permutation).
+    */
+  def sourceContamination(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, nPerm: Int = 64): DataFrame = {
+    import spark.implicits._
+    val hsDf = docs
+      .select(col("source"),
+        transform(shingles(col("text"), 3), s => xxhash64(s)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = hsDf
+      .select(col("source"),
+        transform(sequence(lit(0), lit(nPerm - 1)),
+          i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
+      .as[(String, Seq[Long])]
+    val perSource = perDoc.groupByKey(_._1)
+      .agg(new MinHashUnionAgg(nPerm).toColumn.name("sig"))
+      .toDF("source", "sig")
+    val a = perSource.select(col("source").as("src_a"), col("sig").as("sig_a"))
+    val b = perSource.select(col("source").as("src_b"), col("sig").as("sig_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / nPerm, 4)
+          .as("est_jaccard"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- L1: exact dedup ---------------------------------------------------
@@ -128,6 +199,13 @@ object TextOps {
           .select("id_a", "id_b", "hamming")
           .orderBy("id_a", "id_b")
       }),
+
+    // ---- U∅/L2: cross-source contamination via composed minhash signatures ------
+    // (engine-defined hash: rows-only check; the Aggregator is the §2.10
+    // custom-aggregate surface)
+    Q("q_source_contamination", None,
+      (s, d) => sourceContamination(s, Tables(s, d, "documents"))
+        .orderBy("src_a", "src_b")),
 
     // ---- L5: document fingerprint (engine-defined hash: rows-only check) -------
     Q("q_fingerprint", None,

@@ -71,6 +71,21 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(f(1L) !== f(2L))
   }
 
+  test("MinHashUnionAgg: group signature = elementwise min; contamination ranks overlap") {
+    val sharedA = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      ("s1", sharedA), ("s1", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("s2", sharedA),                          // s2 shares a whole doc with s1
+      ("s3", "totally different content nothing shared here at all everywhere")
+    ).toDF("source", "text")
+    val got = TextOps.sourceContamination(spark, docs)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("s1", "s2")) > got(("s1", "s3")))
+    assert(got(("s1", "s2")) > 0.3)   // shared doc drives union overlap
+    assert(got(("s2", "s3")) < 0.2)
+  }
+
   test("minhash LSH finds the planted near-duplicate pair (L2 scale path)") {
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")
     val near = (1 to 48).map(i => s"tok$i").mkString(" ") + " x y"
