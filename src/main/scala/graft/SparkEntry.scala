@@ -14,6 +14,7 @@ object SparkEntry {
     graft.query.Relational.all ++
     graft.query.Extended.all ++
     graft.query.Skew.all ++
+    graft.query.Functions.all ++
     graft.query.Temporal.all ++
     graft.query.JsonQueries.all ++
     graft.query.Pipelines.all ++

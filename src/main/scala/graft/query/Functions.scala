@@ -1,0 +1,102 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import Tables.cnt
+
+/** Scalar-function battery (SURVEY.md §2.8 beyond F1-F12): string, date,
+  * array, and null-handling functions plus approximate quantiles — each
+  * DuckDB-twinned so cross-engine semantics (not just types) are pinned.
+  * All are single-scan, codegen'd, shuffle-free except the final ORDER BY.
+  */
+object Functions {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- strings: substring/upper/trim/replace/concat/lpad/length ------------
+    Q("q_string_funcs", Some(
+      """SELECT doc_id,
+        |  upper(substring(source, 1, 3)) AS src3,
+        |  replace(lang, 'en', 'EN') AS lang_r,
+        |  concat(lang, ':', source) AS tag,
+        |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded,
+        |  length(trim(source)) AS src_len
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => Tables(s, d, "documents").select(
+        col("doc_id"),
+        upper(substring(col("source"), 1, 3)).as("src3"),
+        regexp_replace(col("lang"), "en", "EN").as("lang_r"),
+        concat(col("lang"), lit(":"), col("source")).as("tag"),
+        lpad(col("doc_id").cast("string"), 6, "0").as("padded"),
+        length(trim(col("source"))).cast("long").as("src_len"))
+        .orderBy("doc_id")),
+
+    // ---- dates: add/diff/extract/truncate -------------------------------------
+    Q("q_date_funcs", Some(
+      """SELECT event_id,
+        |  strftime(ts + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7,
+        |  CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS days_since,
+        |  CAST(year(ts) AS BIGINT) AS y,
+        |  CAST(month(ts) AS BIGINT) AS m,
+        |  CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS h
+        |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => Tables(s, d, "events").select(
+        col("event_id"),
+        date_format(col("ts") + expr("INTERVAL 7 DAY"), "yyyy-MM-dd").as("plus7"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        // DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("h"))
+        .orderBy("event_id")),
+
+    // ---- arrays: sort/contains/position/slice/distinct-count ------------------
+    Q("q_array_funcs", Some(
+      """SELECT doc_id,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  list_sort(list_distinct(string_split(text, ' ')))[1] AS first_word,
+        |  list_contains(string_split(text, ' '), 'the') AS has_the,
+        |  string_split(text, ' ')[2] AS second_token
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val w = split(col("text"), " ")
+        Tables(s, d, "documents").filter(col("doc_id") < 200).select(
+          col("doc_id"),
+          size(array_distinct(w)).cast("long").as("n_distinct"),
+          array_sort(array_distinct(w)).getItem(0).as("first_word"),
+          array_contains(w, "the").as("has_the"),
+          w.getItem(1).as("second_token"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- null handling: coalesce / nullif / null-aware count ------------------
+    Q("q_null_funcs", Some(
+      """SELECT
+        |  count(*) AS n,
+        |  count(nullif(event_type, 'error')) AS n_non_error,
+        |  count(*) FILTER (WHERE nullif(event_type, 'error') IS NULL) AS n_error,
+        |  min(coalesce(nullif(event_type, 'error'), 'zzz')) AS min_type
+        |FROM events""".stripMargin),
+      (s, d) => {
+        val nn = nullif(col("event_type"), lit("error"))
+        Tables(s, d, "events").agg(
+          cnt.as("n"),
+          count(nn).as("n_non_error"),
+          count(when(nn.isNull, 1)).as("n_error"),
+          min(coalesce(nn, lit("zzz"))).as("min_type"))
+      }),
+
+    // ---- A∅: approximate quantiles (sketch-based; rows-only — DuckDB's
+    // approx_quantile uses a different sketch, exact values are
+    // engine-defined; bounds are asserted in the unit spec) ---------------------
+    Q("q_approx_quantile", None,
+      (s, d) => Tables(s, d, "events")
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+        .orderBy("event_type"))
+  )
+}
