@@ -55,6 +55,50 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
   }
 
+  /** Resize metadata (STUB kernel: real build calls the codec here; the
+    * deterministic fake keeps aspect-ratio math and byte accounting real).
+    */
+  case class ResizedMeta(doc_id: Long, orig_bytes: Long, width: Int,
+      height: Int, target_w: Int, target_h: Int, scaled_bytes: Long)
+
+  /** Per-frame sample of a (fake) video payload: one output row per sampled
+    * frame — the 1→N generator shape every frame-level pipeline needs.
+    */
+  case class FrameMeta(doc_id: Long, frame_idx: Int, byte_offset: Long)
+
+  /** Resize pass: narrow, partition-preserving, composes after decode. */
+  def resizeFeatures(spark: SparkSession, withMedia: DataFrame,
+      targetW: Int): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    withMedia.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val f = decodeStub(id, bytes)
+        // ??? <- real scaler goes here; fake preserves aspect ratio exactly
+        val targetH = math.max(1, (f.height.toLong * targetW / f.width).toInt)
+        ResizedMeta(id, bytes.length.toLong, f.width, f.height,
+          targetW, targetH,
+          bytes.length.toLong * targetW * targetH / (f.width.toLong * f.height))
+      })
+  }
+
+  /** Frame sampling: every `stride`-th "frame" (here: 256-byte windows of
+    * the payload stand in for frames). Iterator-to-iterator flatMap — no
+    * partition materialization, 1 input row → N output rows.
+    */
+  def sampleFrames(spark: SparkSession, withMedia: DataFrame,
+      stride: Int): Dataset[FrameMeta] = {
+    import spark.implicits._
+    withMedia.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        // ??? <- real demuxer goes here (frame boundaries from container)
+        val nFrames = math.max(1, bytes.length / 256)
+        (0 until nFrames by stride).iterator
+          .map(i => FrameMeta(id, i, i.toLong * 256))
+      })
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- L4: columnar metadata over binary payloads (no decode needed) --------
@@ -67,6 +111,22 @@ object Multimodal {
           length(col("media")).cast("long").as("n_bytes"),
           sha2(col("media"), 256).as("sha"))
         .orderBy("doc_id")),
+
+    // ---- L4: resize + frame-sample kernels (rows-only checks) ------------------
+    Q("q_multimodal_resize", None,
+      (s, d) => resizeFeatures(s,
+        withBinaryPayload(Tables(s, d, "documents")), targetW = 224)
+        .toDF()
+        .select("doc_id", "width", "height", "target_w", "target_h",
+          "scaled_bytes")
+        .orderBy("doc_id")),
+
+    Q("q_multimodal_frames", None,
+      (s, d) => sampleFrames(s,
+        withBinaryPayload(Tables(s, d, "documents").filter(col("doc_id") < 100)),
+        stride = 2)
+        .toDF()
+        .orderBy("doc_id", "frame_idx")),
 
     // ---- L4: stubbed decode + feature aggregation (rows-only check) ------------
     Q("q_multimodal_decode", None,

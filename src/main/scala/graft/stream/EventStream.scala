@@ -80,6 +80,44 @@ object EventStream {
       }
   }
 
+  case class OpenSession(user_id: Long, start_ts: Long, last_ts: Long,
+      n_events: Long)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** T∅ custom state II (`flatMapGroupsWithState`): explicit sessionization
+    * emitting 0..N closed sessions per key per batch — the shape
+    * `session_window` can't express when the output needs custom
+    * open/close semantics (here: a session closes when a later event
+    * arrives more than `gapMs` after it; the still-open tail stays in the
+    * state store across micro-batches).
+    */
+  def closedSessions(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 5 * 60 * 1000L): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[OpenSession]) =>
+          val times = rows.map(_._2.getTime).toSeq.sorted
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          for (t <- times) open match {
+            case None => open = Some(OpenSession(uid, t, t, 1L))
+            case Some(o) if t - o.last_ts < gapMs =>
+              open = Some(o.copy(last_ts = t, n_events = o.n_events + 1))
+            case Some(o) =>
+              closed += ClosedSession(uid, new java.sql.Timestamp(o.start_ts),
+                new java.sql.Timestamp(o.last_ts), o.n_events)
+              open = Some(OpenSession(uid, t, t, 1L))
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** T1/T4: the incremental ingest loop as a streaming job — NDJSON landing
     * dir in, date-partitioned Parquet out, exactly-once via checkpoint.
     * `AvailableNow` processes the backlog then stops: identical cadence

@@ -102,6 +102,28 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("closedSessions emits a session only when a later event closes it (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.closedSessions(spark,
+      mem.toDF().select($"user_id", $"ts"))
+      .toDF().writeStream.format("memory").queryName("closed")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts("2024-02-29 01:00:00"), "a", 1),
+        Ev(ts("2024-02-29 01:02:00"), "a", 1))
+      q.processAllAvailable()
+      assert(spark.table("closed").count() === 0) // session still open
+      // next batch: event 30 min later closes the first session
+      mem.addData(Ev(ts("2024-02-29 01:32:00"), "a", 1))
+      q.processAllAvailable()
+      val rows = spark.table("closed")
+        .select($"user_id", date_format($"session_start", "HH:mm").as("s"),
+          $"n_events").as[(Long, String, Long)].collect().toSeq
+      assert(rows === Seq((1L, "01:00", 2L)))
+    } finally q.stop()
+  }
+
   test("ingestStream AvailableNow: NDJSON landing dir -> curated parquet, incremental (T1/T4)") {
     val base = Paths.get("/root/repo/target/tmp")
     Files.createDirectories(base)
