@@ -3,6 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.store.TableStore
+import graft.time.Increments
 
 /** The production flow, end to end (SURVEY.md §3.1): NDJSON hourly files →
   * six curated date-partitioned tables → compaction → the two analytics
@@ -80,5 +81,34 @@ object GhaPipeline {
     val (commits, comments) = queryData(spark, storeDir, keyword)
     TableStore.overwrite(commits, s"$storeDir/results/commits")
     TableStore.overwrite(comments, s"$storeDir/results/comments")
+  }
+
+  /** The self-driving hourly run (`workflow(start=None, stop=None)` parity,
+    * `preprocess.py:178-196, 247-266`): derive the range from the store's
+    * own watermark, ingest only the landing files inside it, then compact +
+    * query. Returns the ingested paths (empty when already caught up).
+    *
+    * Watermark source is the `comment` table, matching the reference's
+    * `parse_start_stop` reading the comment tx log (`preprocess.py:181`).
+    * File naming follows GH Archive: `YYYY-MM-DD-H.json` (hour unpadded).
+    */
+  def incrementalRun(spark: SparkSession, landingDir: String,
+      storeDir: String, now: java.time.Instant,
+      backfillStart: java.time.Instant,
+      keyword: String = " dask"): Seq[String] = {
+    val wm = Increments.watermark(spark, s"$storeDir/comment")
+      .map(_.toInstant)
+    val (start, stop) = Increments.nextRange(wm, now, backfillStart)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd-").withZone(java.time.ZoneOffset.UTC)
+    val hours = Iterator.iterate(start)(_.plusSeconds(3600))
+      .takeWhile(!_.isAfter(stop))
+    val paths = hours.map { h =>
+      val hh = h.atZone(java.time.ZoneOffset.UTC).getHour
+      s"$landingDir/${fmt.format(h)}$hh.json"
+    }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .toSeq
+    if (paths.nonEmpty) workflow(spark, paths, storeDir, keyword)
+    paths
   }
 }

@@ -62,6 +62,39 @@ class GhaPipelineSpec extends AnyFunSuite with SparkFixture {
       === Seq("frank"))
   }
 
+  test("incrementalRun: watermark-driven resume ingests only new hours (§3.1 parity)") {
+    import java.time.Instant
+    val base = Paths.get("/root/repo/target/tmp")
+    val dir = Files.createTempDirectory(base, "gha_wm").toString
+    Files.createDirectories(Paths.get(s"$dir/landing"))
+    def commentLine(user: String, h: Int) =
+      s"""{"type":"IssueCommentEvent","actor":{"login":"$user"},"repo":{"name":"r/x"},"created_at":"2024-02-29T0$h:30:00Z","payload":{"issue":{"number":1,"title":"t","created_at":"2024-02-29T01:00:00Z","user":{"login":"x"}},"comment":{"body":"b","author_association":"NONE"}}}"""
+    Files.write(Paths.get(s"$dir/landing/2024-02-29-1.json"),
+      commentLine("u1", 1).getBytes)
+    Files.write(Paths.get(s"$dir/landing/2024-02-29-2.json"),
+      commentLine("u2", 2).getBytes)
+
+    val backfill = Instant.parse("2024-02-29T01:00:00Z")
+    // now = 04:10 -> stop = 03:00 floor minus 1h lag = hours 1..3 eligible
+    val run1 = GhaPipeline.incrementalRun(spark, s"$dir/landing",
+      s"$dir/store", Instant.parse("2024-02-29T04:10:00Z"), backfill)
+    assert(run1.map(_.split('/').last).sorted ===
+      Seq("2024-02-29-1.json", "2024-02-29-2.json"))
+
+    // caught up: watermark 02:30 -> start 03:00; no 03:00 file yet
+    val run2 = GhaPipeline.incrementalRun(spark, s"$dir/landing",
+      s"$dir/store", Instant.parse("2024-02-29T04:10:00Z"), backfill)
+    assert(run2.isEmpty)
+
+    // hour 3 lands + clock advances -> ONLY hour 3 is ingested
+    Files.write(Paths.get(s"$dir/landing/2024-02-29-3.json"),
+      commentLine("u3", 3).getBytes)
+    val run3 = GhaPipeline.incrementalRun(spark, s"$dir/landing",
+      s"$dir/store", Instant.parse("2024-02-29T05:10:00Z"), backfill)
+    assert(run3.map(_.split('/').last) === Seq("2024-02-29-3.json"))
+    assert(TableStore.read(spark, s"$dir/store/comment").count() === 3)
+  }
+
   test("ingest is re-runnable: append accumulates per batch (storage union-all)") {
     val base = Paths.get("/root/repo/target/tmp")
     val dir = Files.createTempDirectory(base, "gha_inc").toString
