@@ -89,6 +89,17 @@ object Functions {
           min(coalesce(nn, lit("zzz"))).as("min_type"))
       }),
 
+    // ---- edit distance (fuzzy matching primitive for dedup pipelines) ----------
+    Q("q_levenshtein", Some(
+      """SELECT doc_id,
+        |  CAST(levenshtein(substring(text, 1, 20), 'the quick brown fox') AS BIGINT) AS dist
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+      (s, d) => Tables(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 20),
+            lit("the quick brown fox")).cast("long").as("dist"))
+        .orderBy("doc_id")),
+
     // ---- A∅: approximate quantiles (sketch-based; rows-only — DuckDB's
     // approx_quantile uses a different sketch, exact values are
     // engine-defined; bounds are asserted in the unit spec) ---------------------

@@ -131,6 +131,27 @@ object Temporal {
           .orderBy("event_type", "day")
       }),
 
+    // ---- W: rank-family battery — dense_rank / ntile / percent_rank / cume_dist --
+    Q("q_window_ranks", Some(
+      s"""WITH daily AS ($dailySql)
+        |SELECT event_type, day, cnt,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY cnt DESC, day)
+        |ORDER BY event_type, drnk, day""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(desc("cnt"), asc("day"))
+        daily(s, d)
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("prnk", round(percent_rank().over(w), 6))
+          .withColumn("cdist", round(cume_dist().over(w), 6))
+          .orderBy("event_type", "drnk", "day")
+      }),
+
     // ---- T3: tumbling hourly window (the reference's micro-batch grain) ---------
     Q("q_window_tumbling", Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
