@@ -37,6 +37,24 @@ class IngestSpec extends AnyFunSuite with SparkFixture {
     assert(Extract.commits(raw).filter($"username" === "alice").count() === 4)
   }
 
+  test("uncompressed NDJSON splits by block size (S2: blocksize='50 MiB' analog)") {
+    val base = Paths.get("/root/repo/target/tmp")
+    val dir = Files.createTempDirectory(base, "block_split").toString
+    // ~1 MiB plain-text file
+    val line = Fixture.good.head
+    val lines = Seq.fill((1 << 20) / (line.length + 1))(line)
+    Files.write(Paths.get(s"$dir/big.json"), lines.mkString("\n").getBytes)
+
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (128 * 1024).toString)
+      val df = Ingest.readLines(spark, Seq(s"$dir/big.json"))
+      assert(df.rdd.getNumPartitions > 1,
+        "uncompressed text must split into multiple tasks")
+      assert(df.count() === lines.size)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
   test("repartitionAfterRead re-spreads an unsplittable read (gzip skew)") {
     val df = Seq("a", "b", "c", "d").toDF("value").coalesce(1)
     assert(Ingest.repartitionAfterRead(df, 4).rdd.getNumPartitions === 4)
