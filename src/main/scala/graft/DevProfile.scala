@@ -69,21 +69,23 @@ object DevProfile {
     time("bands+candidates") { cand.count() }
 
     time("full q_dedup_minhash") {
+      spark.catalog.clearCache() // cold per run: internal persists otherwise carry over
       graft.llm.VectorOps.minhashPairsNative(docs, 0.5).count()
     }
 
     // ---- cosine sign-LSH stages ----
     val emb = graft.query.Tables(spark, sfDir, "embeddings")
     println(s"embeddings: ${emb.count()}")
-    val v = graft.llm.VectorOps.toDouble(col("embedding"))
     def plane(j: Int) = array((0 until 64).map(k =>
       (xxhash64(lit(j), lit(k)).cast("double") / lit(Long.MaxValue))): _*)
+    val vDf = emb.repartition(32)
+      .select(col("vec_id"),
+        graft.llm.VectorOps.toDouble(col("embedding")).as("v")).persist()
     val sigCols = (0 until 64).map { j =>
-      when(aggregate(zip_with(v, plane(j), (x, p) => x * p),
-        lit(0.0), (acc, x) => acc + x) >= 0, 1L).otherwise(0L)
+      when(graft.functions.GraftFunctions.dotNative(col("v"), plane(j)) >= 0,
+        1L).otherwise(0L)
     }
-    val withSig = emb.repartition(32)
-      .select(col("vec_id"), v.as("v"), array(sigCols: _*).as("bits"))
+    val withSig = vDf.select(col("vec_id"), col("v"), array(sigCols: _*).as("bits"))
     time("cos signatures(64 bits)") {
       withSig.write.format("noop").mode("overwrite").save(); 0L }
     val withSigP = withSig.persist(); withSigP.count()
@@ -99,6 +101,7 @@ object DevProfile {
       .distinct()
     time("cos candidates") { ccand.count() }
     time("full q_embed_neardup") {
+      spark.catalog.clearCache()
       graft.llm.VectorOps.cosinePairsNative(emb, 0.35).count()
     }
     spark.stop()

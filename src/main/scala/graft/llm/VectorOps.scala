@@ -83,21 +83,37 @@ object VectorOps {
       nBands: Int = 8, rowsPerBand: Int = 8,
       exactVerify: Boolean = false): DataFrame = {
     val nPerm = nBands * rowsPerBand
-    val sh = docs.select(col("doc_id"),
-      TextOps.shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // Each shingle string is hashed ONCE; the nPerm permutations re-hash the
-    // resulting 8-byte long, not the string. The persist here is
-    // load-bearing, not a cache nicety: without a materialization barrier,
-    // CollapseProject inlines the `hs` alias into the permutation lambda and
-    // the string-shingling pass re-executes once per permutation — measured
-    // ~60x slower at 5k docs. The repartition spreads the CPU-bound hash
-    // stage across all cores regardless of input file layout.
-    val hsDf = sh
-      .repartition(sh.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("sh"),
-        transform(col("sh"), s => xxhash64(s)).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = 3
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // `hs` = per-doc distinct 64-bit shingle hashes. The nPerm permutations
+    // re-hash these 8-byte longs, never the text. Persists are load-bearing,
+    // not cache niceties: without a materialization barrier, CollapseProject
+    // inlines the aliased array into the consuming lambda and the producing
+    // pass re-executes once per element — measured ~60x slower at 5k docs.
+    // The repartition spreads the CPU-bound hash stage across all cores
+    // regardless of input file layout.
+    val hsDf = (if (exactVerify) {
+      // exact-Jaccard verify needs the shingle *strings*, so build + hash them
+      val sh = docs.select(col("doc_id"),
+        TextOps.shingles(col("text"), n).as("sh"))
+        .filter(size(col("sh")) > 0)
+      sh.repartition(par)
+        .select(col("doc_id"), col("sh"),
+          transform(col("sh"), s => xxhash64(s)).as("hs"))
+    } else {
+      // estimate path never materializes shingle strings at all: hash each
+      // word once (barrier), then a shingle hash is xxhash64 of an n-long
+      // slice of word hashes — no concat_ws/string alloc, no string distinct
+      val wh = docs.select(col("doc_id"),
+          transform(TextOps.words(col("text")), w => xxhash64(w)).as("wh"))
+        .filter(size(col("wh")) >= n)
+        .repartition(par)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wh.select(col("doc_id"),
+        lit(null).cast("array<string>").as("sh"),
+        array_distinct(transform(sequence(lit(1), size(col("wh")) - (n - 1)),
+          i => xxhash64(slice(col("wh"), i, lit(n))))).as("hs"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = hsDf.select(col("doc_id"), col("sh"),
       transform(sequence(lit(0), lit(nPerm - 1)),
         i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
@@ -280,20 +296,21 @@ object VectorOps {
     // plane j as an array literal column: xxhash64(j,k)/Long.Max in [-1,1]
     def plane(j: Int) = array((0 until dim).map(k =>
       (xxhash64(lit(j), lit(k)).cast("double") / lit(Long.MaxValue))): _*)
-    val v = toDouble(col("embedding"))
-    val sigCols = (0 until nBits).map { j =>
-      when(aggregate(zip_with(v, plane(j), (x, p) => x * p),
-        lit(0.0), (acc, x) => acc + x) >= 0, 1L).otherwise(0L)
-    }
-    // vectors are stored pre-normalized, so candidate verification is ONE
-    // dot product per pair (higher-order fns aren't codegen'd — per-pair
-    // lambda evaluations are the cost that scales with candidate count,
-    // so hoist the two norms into this once-per-vector projection).
-    val withSig = corpus
+    // barrier: float→double cast runs once per vector; the 64 sign-bit
+    // projections below then read a cached attribute instead of re-running
+    // the cast transform per bit (CollapseProject would inline it).
+    val vDf = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id"),
-        transform(v, x => x / l2norm(v)).as("v"),
-        array(sigCols: _*).as("bits"))
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each bit is a codegen'd native dot against a constant-folded plane —
+    // the interpreted `aggregate(zip_with(...))` form allocates a zipped
+    // array per (row, plane) and dominated this stage.
+    val sigCols = (0 until nBits).map { j =>
+      when(dot(col("v"), plane(j)) >= 0, 1L).otherwise(0L)
+    }
+    val withSig = vDf
+      .select(col("vec_id"), col("v"), array(sigCols: _*).as("bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = withSig.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
@@ -307,11 +324,13 @@ object VectorOps {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+    // exact-cosine verify: three codegen'd dots per candidate pair (dot +
+    // two norms) — cost scales with candidate count only, never corpus size
     candidates
       .join(withSig.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
       .join(withSig.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")), 4).as("cos"))
+        round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= cosThreshold)
   }
 
