@@ -35,6 +35,27 @@ object TextOps {
         i => concat_ws(" ", slice(w, i, lit(n))))))
   }
 
+  /** Per-row distinct 64-bit shingle hashes WITHOUT materializing shingle
+    * strings: each word is hashed once (the persist is a load-bearing
+    * CollapseProject barrier — inlined, the word-hash pass would re-run per
+    * shingle position), then a shingle hash is `xxhash64` of an n-long slice
+    * of word hashes. Skipping the `concat_ws` string build + string distinct
+    * is ~3x on the shingling stage; use [[shingles]] only where the strings
+    * themselves are needed (exact-Jaccard verify, q_ngram_jaccard).
+    * Output: `keep` columns + `hs: array<bigint>`; rows with < n words drop.
+    */
+  def shingleHashes(df: DataFrame, keep: Seq[String], n: Int): DataFrame = {
+    val whDf = df
+      .select(keep.map(col) :+
+        transform(words(col("text")), w => xxhash64(w)).as("wh"): _*)
+      .filter(size(col("wh")) >= n)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    whDf.select(keep.map(col) :+
+      array_distinct(transform(sequence(lit(1), size(col("wh")) - (n - 1)),
+        i => xxhash64(slice(col("wh"), i, lit(n))))).as("hs"): _*)
+  }
+
   /** Jaccard similarity of two pre-distinct string arrays — exact, for
     * verification and small candidate sets. The 100 TB path is MinHash LSH
     * (`VectorOps.minhashPairs`) which only ever compares within-bucket
@@ -114,18 +135,14 @@ object TextOps {
 
   /** Cross-source contamination: estimated Jaccard between each pair of
     * sources' full shingle-union sets, from composed group signatures.
-    * Signature construction mirrors `VectorOps.minhashPairsNative` including
-    * the load-bearing persist barrier (without it the string-hash pass
-    * inlines into the permutation lambda and runs once per permutation).
+    * Signature construction mirrors `VectorOps.minhashPairsNative` (shared
+    * [[shingleHashes]] stage; the second persist below is the barrier that
+    * keeps the shingle-hash pass out of the 64-permutation lambda).
     */
   def sourceContamination(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, nPerm: Int = 64): DataFrame = {
     import spark.implicits._
-    val hsDf = docs
-      .select(col("source"),
-        transform(shingles(col("text"), 3), s => xxhash64(s)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val hsDf = shingleHashes(docs, Seq("source"), 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perDoc = hsDf
       .select(col("source"),

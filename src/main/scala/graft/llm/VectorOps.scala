@@ -101,18 +101,9 @@ object VectorOps {
         .select(col("doc_id"), col("sh"),
           transform(col("sh"), s => xxhash64(s)).as("hs"))
     } else {
-      // estimate path never materializes shingle strings at all: hash each
-      // word once (barrier), then a shingle hash is xxhash64 of an n-long
-      // slice of word hashes — no concat_ws/string alloc, no string distinct
-      val wh = docs.select(col("doc_id"),
-          transform(TextOps.words(col("text")), w => xxhash64(w)).as("wh"))
-        .filter(size(col("wh")) >= n)
-        .repartition(par)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      wh.select(col("doc_id"),
-        lit(null).cast("array<string>").as("sh"),
-        array_distinct(transform(sequence(lit(1), size(col("wh")) - (n - 1)),
-          i => xxhash64(slice(col("wh"), i, lit(n))))).as("hs"))
+      // estimate path never materializes shingle strings (TextOps.shingleHashes)
+      TextOps.shingleHashes(docs, Seq("doc_id"), n)
+        .select(col("doc_id"), lit(null).cast("array<string>").as("sh"), col("hs"))
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = hsDf.select(col("doc_id"), col("sh"),
       transform(sequence(lit(0), lit(nPerm - 1)),
