@@ -16,6 +16,21 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(2) === Seq("x x x"))        // distinct collapses repeats
   }
 
+  test("shingleHashes: cardinality matches string shingles; short docs drop") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x x x x"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val hs = TextOps.shingleHashes(df, Seq("doc_id"), 3)
+      .select($"doc_id", size($"hs").as("n"), $"hs")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 2 (< n words) dropped entirely
+    assert(hs.keySet === Set(1L, 3L, 4L))
+    // per-doc distinct hash count == distinct string-shingle count
+    assert(hs(1L).getInt(1) === 2)  // "a b c", "b c d"
+    assert(hs(3L).getInt(1) === 1)  // "x x x" repeated -> distinct
+    // same text -> same hash set (deterministic, content-only)
+    assert(hs(1L).getSeq[Long](2) === hs(4L).getSeq[Long](2))
+  }
+
   test("jaccard: identity 1.0, disjoint 0.0, half overlap") {
     val df = Seq(
       (Seq("a", "b"), Seq("a", "b")),
