@@ -100,6 +100,15 @@ object DevProfile {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
     time("cos candidates") { ccand.count() }
+    val withSigP2 = withSig.persist(); withSigP2.count()
+    val ccandP = ccand.persist(); ccandP.count()
+    val verified = ccandP
+      .join(withSigP2.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(withSigP2.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.llm.VectorOps.cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= 0.35)
+    time("cos verify (persisted in)") { verified.count() }
     time("full q_embed_neardup") {
       spark.catalog.clearCache()
       graft.llm.VectorOps.cosinePairsNative(emb, 0.35).count()

@@ -162,6 +162,56 @@ object TextOps {
           .as("est_jaccard"))
   }
 
+  /** L2 closing stage: resolve near-dup candidate PAIRS into connected
+    * components and a keep/drop decision per document — the step that turns
+    * "these pairs look alike" into an actual deduplicated corpus (near-dup
+    * similarity is not transitive, but dedup policy treats components as
+    * duplicate groups: a~b and b~c drops both b and c even if a!~c).
+    *
+    * Iterative min-label propagation: every node starts labeled with its own
+    * id; each round every node takes the min of its label and its neighbors'
+    * labels. Converges in O(component diameter) rounds — near-dup clusters
+    * are dense and shallow, so 2-3 rounds in practice; `maxIter` caps
+    * pathological chains. Cost per round: ONE shuffle (groupBy node of the
+    * edge-carried labels); edges and current labels are persisted so each
+    * round reads cached state, not the whole lineage. At 100 TB replace the
+    * per-round persist with `localCheckpoint` to also truncate lineage, and
+    * switch to large-star/small-star for O(log n) rounds on long chains.
+    *
+    * Output: (doc_id, cluster_id = min doc_id in component, keep) for every
+    * doc that appears in some pair; docs with no pair are implicitly kept.
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(lvl)
+    // seed with the min over the closed neighborhood — folds the first
+    // propagation round into initialization (one shuffle, no join/count)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("label")).persist(lvl)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .persist(lvl)
+      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("keep"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- L1: exact dedup ---------------------------------------------------

@@ -356,6 +356,14 @@ object VectorOps {
       (s, d) => minhashPairsNative(Tables(s, d, "documents"), 0.5)
         .orderBy("id_a", "id_b")),
 
+    // ---- L2: pairs -> connected components -> keep/drop decision ---------------
+    // (the stage that actually dedups the corpus; approx pair source ->
+    // rows-only check, transitivity proven in TextOpsSpec)
+    Q("q_dedup_resolve", None,
+      (s, d) => TextOps.dedupClusters(
+        minhashPairsNative(Tables(s, d, "documents"), 0.5))
+        .orderBy("doc_id")),
+
     // ---- L3: IVF-bucketed ANN (approx: rows-only check) ------------------------
     Q("q_ann_ivf", None,
       (s, d) => {

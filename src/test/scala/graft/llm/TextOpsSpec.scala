@@ -31,6 +31,17 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(hs(1L).getSeq[Long](2) === hs(4L).getSeq[Long](2))
   }
 
+  test("dedupClusters: transitive closure over pair chains; keep = min id") {
+    // chain 1-2-3 (1 and 3 never paired directly), isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = TextOps.dedupClusters(pairs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got === Array(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
   test("jaccard: identity 1.0, disjoint 0.0, half overlap") {
     val df = Seq(
       (Seq("a", "b"), Seq("a", "b")),
