@@ -183,8 +183,11 @@ object TextOps {
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the (possibly expensive) pair source once — the union
+    // below references it twice and Spark re-executes shared subtrees
+    val p = pairs.select(col("id_a"), col("id_b")).persist(lvl)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(lvl)
     // seed with the min over the closed neighborhood — folds the first
     // propagation round into initialization (one shuffle, no join/count)
@@ -208,6 +211,7 @@ object TextOps {
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("keep"))
   }
