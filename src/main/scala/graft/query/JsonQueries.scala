@@ -22,7 +22,8 @@ object JsonQueries {
       """SELECT count(*) AS n,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |       AS BIGINT) AS sum_k
         |FROM events""".stripMargin),
       (s, d) => Tables(s, d, "events")
         .select(from_json(col("props"), propsSchema).as("p"))
@@ -32,7 +33,8 @@ object JsonQueries {
     // ---- F11: JSON field extraction + group -----------------------------------
     Q("q_json_parse", Some(
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |       AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => Tables(s, d, "events")
         .select(col("event_type"),

@@ -120,8 +120,9 @@ object Temporal {
     Q("q_window_rolling", Some(
       s"""WITH daily AS ($dailySql)
         |SELECT event_type, day, cnt,
-        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY day
-        |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS trailing7
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) AS trailing7
         |FROM daily ORDER BY event_type, day""".stripMargin),
       (s, d) => {
         val w = Window.partitionBy("event_type").orderBy("day")

@@ -50,7 +50,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL  {name}: rows {len(g)} != {len(w)}")
             n_fail += 1; continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False,
+            # dtype-strict: the driver hashes typed values, so a DuckDB
+            # HUGEINT vs Spark int64 mismatch must fail here too.
+            pd.testing.assert_frame_equal(g, w, check_dtype=True,
                                           check_exact=True)
             print(f"PASS  {name}: rows={len(g)}")
             n_pass += 1
