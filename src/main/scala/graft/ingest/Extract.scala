@@ -39,9 +39,13 @@ object Extract {
   // shared projections (preprocess.py:44-46 equivalents)
   private val username = col("actor.login").as("username")
   private val repo     = col("repo.name").as("repo")
-  private val createdAt = to_timestamp(col("created_at")).as("created_at")
+  // try_to_timestamp, not to_timestamp: under ANSI mode a malformed
+  // timestamp string in an otherwise-valid JSON line would throw and fail
+  // the whole batch; try_* yields null so the nullGuard drops just that row
+  // (the reference's per-record skip-and-log, preprocess.py:131-136).
+  private val createdAt = try_to_timestamp(col("created_at")).as("created_at")
   /** `date` partition column (`preprocess.py:161`). */
-  private val dateCol  = to_date(to_timestamp(col("created_at"))).as("date")
+  private val dateCol  = to_date(try_to_timestamp(col("created_at"))).as("date")
 
   private def ofType(df: DataFrame, t: String): DataFrame =
     df.filter(col("type") === t)
@@ -84,7 +88,8 @@ object Extract {
       col("payload.pull_request.title").as("title"),
       col("payload.pull_request.user.login").as("author"),
       col("payload.pull_request.body").as("body"),
-      to_timestamp(col("payload.pull_request.created_at")).as("pr_created_at"),
+      try_to_timestamp(col("payload.pull_request.created_at"))
+        .as("pr_created_at"),
       createdAt, dateCol),
     "username", "repo", "action", "number", "created_at")
 
@@ -95,7 +100,7 @@ object Extract {
       col("payload.issue.number").as("number"),
       col("payload.issue.title").as("title"),
       col("payload.issue.user.login").as("author"),
-      to_timestamp(col("payload.issue.created_at")).as("issue_created_at"),
+      try_to_timestamp(col("payload.issue.created_at")).as("issue_created_at"),
       col("payload.comment.body").as("comment"),
       col("payload.comment.author_association").as("association"),
       createdAt, dateCol),

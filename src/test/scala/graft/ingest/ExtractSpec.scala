@@ -21,12 +21,16 @@ object Fixture {
   val unknown = """{"type":"GollumEvent","actor":{"login":"g"},"repo":{"name":"r"},"created_at":"2024-02-29T01:08:00Z","payload":{}}"""
   val pushNoCommits = """{"type":"PushEvent","actor":{"login":"z"},"repo":{"name":"r"},"created_at":"2024-02-29T01:09:00Z","payload":{}}"""
   val botSubstring = """{"type":"PushEvent","actor":{"login":"robotics-dev"},"repo":{"name":"org/bots"},"created_at":"2024-02-29T02:00:00Z","payload":{"commits":[{"sha":"c9","message":"dask mention"}]}}"""
+  // valid JSON, garbage timestamp: must drop THIS row only, not the batch
+  // (ANSI mode makes to_timestamp throw; the engine uses try_to_timestamp)
+  val badTimestamp = """{"type":"PushEvent","actor":{"login":"tsbad"},"repo":{"name":"org/proj"},"created_at":"not-a-timestamp","payload":{"commits":[{"sha":"cx","message":"m"}]}}"""
   def bigPush(n: Int): String = {
     val cs = (1 to n).map(i => s"""{"sha":"s$i","message":"m$i"}""").mkString(",")
     s"""{"type":"PushEvent","actor":{"login":"bulk"},"repo":{"name":"org/big"},"created_at":"2024-02-29T03:00:00Z","payload":{"commits":[$cs]}}"""
   }
   def all: Seq[String] =
-    good ++ Seq(corrupt, unknown, pushNoCommits, botSubstring, bigPush(1000))
+    good ++ Seq(corrupt, unknown, pushNoCommits, botSubstring, badTimestamp,
+      bigPush(1000))
 }
 
 class ExtractSpec extends AnyFunSuite with SparkFixture {
@@ -92,6 +96,13 @@ class ExtractSpec extends AnyFunSuite with SparkFixture {
   test("watch and fork handlers") {
     assert(Extract.watches(raw).head().getAs[String]("action") === "started")
     assert(Extract.forks(raw).count() === 1)
+  }
+
+  test("garbage timestamp drops the row, not the batch (P4 under ANSI mode)") {
+    val c = Extract.commits(raw)
+    // the batch survived (other rows intact) and only tsbad is gone
+    assert(c.filter($"username" === "tsbad").count() === 0)
+    assert(c.filter($"username" === "alice").count() === 2)
   }
 
   test("'bot' matches as substring, not word (P5 semantics)") {
