@@ -14,33 +14,103 @@ import org.apache.spark.sql.types.StructType
   *
   *  - append/overwrite writers partitioned by `date` — partition pruning on
   *    any date-bounded query is free (`PartitioningAwareFileIndex`);
-  *  - compaction = read → `repartition(n)` → write-to-temp → atomic directory
-  *    swap (the Spark-native analog of Delta OPTIMIZE);
-  *  - vacuum = removal of the swapped-out generation.
+  *  - compaction = read → `repartition(n)` → write into a NEW generation
+  *    directory (the Spark-native analog of Delta OPTIMIZE);
+  *  - vacuum = removal of generations older than the previous one.
   *
-  * Single-writer assumption: the reference serves exactly one flow instance
-  * (`preprocess.py:277-280`), so a tx log is not needed for correctness; the
-  * swap is a rename, which is atomic on HDFS/local FS. At 100 TB the
-  * interesting property is that compaction is per-partition parallel and
-  * never rewrites partitions that aren't listed.
+  * Generations replace the Delta tx log's snapshot isolation for the one
+  * race the single-writer model still has — a reader listing the table while
+  * compaction swaps it. Data lives under `dir/g<N>/date=.../part-*.parquet`;
+  * the current generation is the highest `g<N>` containing `_SUCCESS` (which
+  * the Spark committer writes LAST, so a new generation becomes visible
+  * atomically at commit). Readers resolve the generation once per read plan;
+  * compaction keeps the previous generation alive until the NEXT compaction,
+  * so an in-flight reader's file list stays valid across one full swap —
+  * stronger than the reference's `vacuum(retention_hours=0)`
+  * (`preprocess.py:205`), which deletes the files a concurrent reader may
+  * still be scanning.
+  *
+  * Single-WRITER assumption stays (the reference serves exactly one flow,
+  * `preprocess.py:277-280`); generations make concurrent READERS safe.
+  * Pre-generation flat layouts (`dir/date=...`) remain readable and
+  * appendable; their first compaction migrates them to `g0`.
   */
 object TableStore {
 
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private val GenName = "^g(\\d+)$".r
+
+  /** Current (generation number, data dir): the highest `g<N>` subdir with a
+    * committed `_SUCCESS`. None for legacy flat layouts and missing tables.
+    */
+  def currentGeneration(spark: SparkSession, dir: String): Option[(Int, String)] = {
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    if (!f.exists(root)) None
+    else f.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case GenName(n) if f.exists(new Path(s.getPath, "_SUCCESS")) =>
+          Some((n.toInt, s.getPath.toString))
+        case _ => None
+      })
+      .maxByOption(_._1)
+  }
+
+  /** Directory actually holding the table's data (current generation, or the
+    * table dir itself for legacy flat layouts).
+    */
+  def resolveDataDir(spark: SparkSession, dir: String): String =
+    currentGeneration(spark, dir).map(_._2).getOrElse(dir)
+
+  /** Where writers put new data: the current generation; a legacy flat dir
+    * if one already holds partitions; else a fresh `g0`.
+    */
+  private def writeDir(spark: SparkSession, dir: String): String =
+    currentGeneration(spark, dir) match {
+      case Some((_, p)) => p
+      case None =>
+        val f = fs(spark, dir)
+        val root = new Path(dir)
+        val legacyFlat = f.exists(root) && f.listStatus(root)
+          .exists(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+        if (legacyFlat) dir else s"$dir/g0"
+    }
+
   /** S6: append one batch, partitioned by `date` (`preprocess.py:165-175`). */
   def append(df: DataFrame, dir: String): Unit =
-    df.write.mode("append").partitionBy("date").parquet(dir)
+    df.write.mode("append").partitionBy("date")
+      .parquet(writeDir(df.sparkSession, dir))
 
-  /** Idempotent per-partition overwrite — the engine's exactly-once story
-    * for hourly re-runs (replaces Delta ACID append + retries=10,
-    * `preprocess.py:261`): re-writing the same hour's partitions replaces
-    * rather than duplicates them.
+  /** Idempotent per-partition overwrite — re-writing the same dates replaces
+    * rather than duplicates them (dynamic partition overwrite; the building
+    * block of the pipeline's crash recovery, `GhaPipeline.recoverInflight`).
     */
   def upsertPartitions(spark: SparkSession, df: DataFrame, dir: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy("date").parquet(dir)
+    val tgt = writeDir(spark, dir)
+    // writer-scoped dynamic mode: must not leak into the session conf, where
+    // it would silently change every later partitioned overwrite (and drop
+    // the top-level _SUCCESS that generation resolution keys on).
+    df.write.mode("overwrite").partitionBy("date")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(tgt)
+    // dynamic-overwrite commits move partition dirs but write no top-level
+    // _SUCCESS; if this was the table's FIRST write (fresh g0), commit the
+    // generation marker ourselves, after the data — visibility stays atomic.
+    val f = fs(spark, dir)
+    val marker = new Path(tgt, "_SUCCESS")
+    if (!f.exists(marker)) f.create(marker).close()
+  }
+
+  /** Remove one `date=` partition entirely (recovery path for a partition
+    * whose every row came from a rolled-back batch).
+    */
+  def dropPartition(spark: SparkSession, dir: String, date: String): Unit = {
+    val f = fs(spark, dir)
+    val p = new Path(resolveDataDir(spark, dir), s"date=$date")
+    if (f.exists(p)) f.delete(p, true)
   }
 
   /** S7: full-table overwrite for derived result tables
@@ -51,7 +121,7 @@ object TableStore {
     df.write.mode("overwrite").parquet(dir)
 
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    spark.read.parquet(resolveDataDir(spark, dir))
 
   /** Schema-declared read: required for tables that may hold zero rows (an
     * ingested batch with no events of some type writes only `_SUCCESS`, so
@@ -59,10 +129,13 @@ object TableStore {
     * the curated schemas of `GhaSchemas` are the contract, not the files.
     */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).parquet(dir)
+    spark.read.schema(schema).parquet(resolveDataDir(spark, dir))
 
-  /** Parquet data files under a table dir (recursive, excludes _SUCCESS). */
-  def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
+  /** Parquet data files of the CURRENT generation (recursive). */
+  def dataFiles(spark: SparkSession, dir: String): Seq[String] =
+    listParquet(spark, resolveDataDir(spark, dir))
+
+  private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
     val f = fs(spark, dir)
     val p = new Path(dir)
     if (!f.exists(p)) Seq.empty
@@ -78,26 +151,49 @@ object TableStore {
     }
   }
 
-  /** S8+S9: compact a date-partitioned table to one file per partition, then
-    * vacuum the superseded generation (`preprocess.py:199-206`). Returns
-    * (filesBefore, filesAfter).
+  /** S8+S9: compact to one file per date partition in a NEW generation, then
+    * vacuum everything older than the generation being superseded
+    * (`preprocess.py:199-206`). Returns (filesBefore, filesAfter).
+    *
+    * The swap is committed by the `_SUCCESS` of the new generation (written
+    * last); the source generation survives until the next compaction so
+    * concurrent readers never lose files mid-scan.
     */
   def compact(spark: SparkSession, dir: String,
       schema: Option[StructType] = None): (Long, Long) = {
-    val before = dataFiles(spark, dir).size.toLong
-    val tmp = dir.stripSuffix("/") + ".compact.tmp"
-    val old = dir.stripSuffix("/") + ".compact.old"
+    val cur = currentGeneration(spark, dir)
+    val srcDir = cur.map(_._2).getOrElse(dir)
+    val nextN = cur.map(_._1 + 1).getOrElse(0)
+    val before = listParquet(spark, srcDir).size.toLong
+    val tgt = s"$dir/g$nextN"
     val reader = schema.fold(spark.read)(s => spark.read.schema(s))
-    val df = reader.parquet(dir)
+    val df = reader.parquet(srcDir)
     // hash-repartition on the partition column: every date lands wholly in
     // one task, so partitionBy("date") emits exactly one file per date.
     // Parallelism scales with #dates, and untouched data never moves twice.
+    // static mode regardless of session conf: the fresh generation dir must
+    // get its committer-written _SUCCESS, which is what makes it visible.
     df.repartition(df.col("date"))
-      .write.mode("overwrite").partitionBy("date").parquet(tmp)
+      .write.mode("overwrite").partitionBy("date")
+      .option("partitionOverwriteMode", "static").parquet(tgt)
+    vacuum(spark, dir, keepFrom = nextN - 1)
+    (before, listParquet(spark, tgt).size.toLong)
+  }
+
+  /** Delete generations below `keepFrom` plus, once generations exist,
+    * leftover legacy flat partition dirs (they are two swaps old by then).
+    */
+  private def vacuum(spark: SparkSession, dir: String, keepFrom: Int): Unit = {
     val f = fs(spark, dir)
-    f.rename(new Path(dir), new Path(old))          // swap out
-    f.rename(new Path(tmp), new Path(dir))          // swap in (atomic visible)
-    f.delete(new Path(old), true)                   // vacuum, retention=0
-    (before, dataFiles(spark, dir).size.toLong)
+    val root = new Path(dir)
+    if (!f.exists(root)) return
+    f.listStatus(root).foreach { s =>
+      if (s.isDirectory) s.getPath.getName match {
+        case GenName(n) if n.toInt < keepFrom => f.delete(s.getPath, true)
+        case name if name.startsWith("date=") && keepFrom >= 0 =>
+          f.delete(s.getPath, true)
+        case _ => ()
+      }
+    }
   }
 }

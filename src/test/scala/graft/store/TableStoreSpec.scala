@@ -56,6 +56,27 @@ class TableStoreSpec extends AnyFunSuite with SparkFixture {
     assert(TableStore.dataFiles(spark, dir).size === 2)
   }
 
+  test("compaction swap keeps the superseded generation alive for in-flight readers") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-01-01", 0 until 10), dir)
+    // a reader resolves its file list BEFORE the swap...
+    val preSwapFiles = TableStore.dataFiles(spark, dir)
+    assert(preSwapFiles.nonEmpty)
+    TableStore.compact(spark, dir)
+    // ...and every one of those files still exists after it (the old
+    // generation is vacuumed only by the NEXT compaction)
+    preSwapFiles.foreach(f =>
+      assert(Files.exists(java.nio.file.Paths.get(
+        f.stripPrefix("file:"))), s"reader lost $f mid-scan"))
+    // new readers resolve to the compacted generation
+    assert(TableStore.dataFiles(spark, dir).size === 1)
+    assert(TableStore.read(spark, dir).count() === 10)
+    // second compaction vacuums the generation the old reader was using
+    TableStore.compact(spark, dir)
+    assert(preSwapFiles.forall(f =>
+      !Files.exists(java.nio.file.Paths.get(f.stripPrefix("file:")))))
+  }
+
   test("overwrite replaces result tables (S7)") {
     val dir = tmpDir() + "/r"
     TableStore.overwrite(Seq((1, "a")).toDF("k", "v"), dir)
