@@ -29,23 +29,62 @@ object Increments {
 
   /** T1/S5: ingestion high-watermark = max event time already stored.
     * Replaces the reference's Delta tx-log stats scan
-    * (`preprocess.py:181-186`) with `agg(max(...))` over Parquet footers.
-    * None when the table doesn't exist yet (first run).
+    * (`preprocess.py:181-186`). None when the table doesn't exist yet.
+    *
+    * NOT a full-table scan: `date` derives from `created_at`, so the global
+    * max lives in the lexically-last `date=` partition — [[watermarkScan]]
+    * reads exactly that one partition (directory listing is metadata-only;
+    * the reference's tx-log stats read is O(1) the same way). Hourly cost is
+    * therefore O(one day's data) regardless of table size; non-partitioned
+    * tables fall back to a full scan of Parquet footer-backed pages.
     */
   def watermark(spark: SparkSession, tableDir: String,
       tsCol: String = "created_at"): Option[java.sql.Timestamp] =
-    try {
-      val r = spark.read.parquet(tableDir).agg(max(col(tsCol))).head()
+    watermarkScan(spark, tableDir).flatMap { df =>
+      val r = df.agg(max(col(tsCol))).head()
       if (r.isNullAt(0)) None else Some(r.getTimestamp(0))
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
 
-  /** T2: incremental range [start, stop] — start is the hour after the
-    * watermark, stop lags `now` by one full hour (incomplete-hour guard,
-    * `preprocess.py:188-189`).
+  /** The frame [[watermark]] aggregates over: just the latest `date=`
+    * partition of the table's current generation (the whole table when not
+    * date-partitioned). Exposed so tests can assert the scan's `inputFiles`
+    * never leave the latest partition. None if the table is missing/empty.
+    */
+  def watermarkScan(spark: SparkSession, tableDir: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val dataDir = graft.store.TableStore.resolveDataDir(spark, tableDir)
+    val p = new Path(dataDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return None
+    val dates = f.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("date="))
+    try {
+      if (dates.nonEmpty)
+        // read ONLY the latest partition dir; basePath keeps `date` a column
+        Some(spark.read.option("basePath", dataDir)
+          .parquet(s"$dataDir/${dates.max}"))
+      else Some(spark.read.parquet(dataDir))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+  }
+
+  /** T2: incremental range [start, stop] — start is the hour STRICTLY after
+    * the watermark's hour, stop lags `now` by one full hour
+    * (incomplete-hour guard, `preprocess.py:188-189`).
+    *
+    * Strictly-after, not `ceil`: an hourly file H holds events with
+    * `created_at` in [H, H+1), so ANY watermark inside hour H — including
+    * exactly H, where ceil would stay put and re-ingest — means file H is
+    * already stored and the next unread file is H+1. (The reference's
+    * `ceil("1h")` re-ingests the exact-hour case and duplicates rows.)
     */
   def nextRange(wm: Option[Instant], now: Instant,
       backfillStart: Instant): (Instant, Instant) = {
-    val start = wm.map(ceilHourI).getOrElse(backfillStart)
+    val start = wm.map(w => floorHourI(w).plusSeconds(3600))
+      .getOrElse(backfillStart)
     val stop = floorHourI(now).minusSeconds(3600)
     (start, stop)
   }
@@ -72,4 +111,11 @@ object Increments {
         date_format(col("h"), "yyyy-MM-dd-"),
         hour(col("h")).cast("string"),
         lit(".json.gz")).as("url"))
+
+  /** [[hourlyUrls]] gathered to the driver in hour order — the work list for
+    * the distributed fetch stage (`Fetch.download`). One string per hour:
+    * bounded by the range, never by data size.
+    */
+  def urlList(spark: SparkSession, start: String, stop: String): Seq[String] =
+    hourlyUrls(spark, start, stop).collect().map(_.getString(0)).toSeq
 }

@@ -27,12 +27,15 @@ class IncrementsSpec extends AnyFunSuite with SparkFixture {
     assert(stop === Instant.parse("2024-03-01T04:00:00Z"))
   }
 
-  test("nextRange with exact-hour watermark does not skip an hour") {
+  test("nextRange with exact-hour watermark advances past the ingested hour") {
+    // hourly file H covers [H, H+1): a watermark anywhere inside hour H —
+    // including exactly H — means file H is already stored, so the next
+    // unread file is H+1. (ceil-style resume would re-ingest file H here.)
     val wm = Some(Instant.parse("2024-02-29T10:00:00Z"))
     val (start, _) = Increments.nextRange(wm,
       Instant.parse("2024-03-01T00:00:00Z"),
       Instant.parse("2024-01-01T00:00:00Z"))
-    assert(start === Instant.parse("2024-02-29T10:00:00Z"))
+    assert(start === Instant.parse("2024-02-29T11:00:00Z"))
   }
 
   test("first run falls back to backfill start") {
@@ -50,6 +53,23 @@ class IncrementsSpec extends AnyFunSuite with SparkFixture {
     assert(urls.contains("https://data.gharchive.org/2024-01-01-0.json.gz"))
     assert(urls.contains("https://data.gharchive.org/2024-01-01-13.json.gz"))
     assert(!urls.exists(_.contains("-00.json"))) // hour is not zero-padded
+  }
+
+  test("watermark scans ONLY the latest date partition (metadata-cheap at scale)") {
+    val dir = "/root/repo/target/tmp/wm_part_" + System.nanoTime()
+    val df = Seq(
+      ("2024-02-28 23:59:00", "2024-02-28"),
+      ("2024-02-29 01:00:00", "2024-02-29"),
+      ("2024-02-29 02:30:00", "2024-02-29"))
+      .toDF("s", "d")
+      .select(to_timestamp($"s").as("created_at"), to_date($"d").as("date"))
+    graft.store.TableStore.append(df, dir)
+    val scan = Increments.watermarkScan(spark, dir).get
+    val files = scan.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("date=2024-02-29")),
+      s"watermark scan escaped the latest partition: ${files.toSeq}")
+    assert(Increments.watermark(spark, dir).get.toInstant
+      === Instant.parse("2024-02-29T02:30:00Z"))
   }
 
   test("watermark reads max(created_at); None for missing table (S5)") {
