@@ -48,13 +48,17 @@ object GhaPipeline {
       TableStore.read(spark, s"$storeDir/comment", curated("comment"))
 
     // repos = watches.repo.value_counts(); repos[repos > 5]  (215-216)
+    // No broadcast() hint: distinct repos grow with data, so the forced
+    // broadcast the reference hand-rolls (repartition(npartitions=1),
+    // preprocess.py:216) OOMs at 100x scale. AQE broadcasts when the
+    // aggregate is actually small and shuffles when it isn't.
     val repos = watch.groupBy("repo").agg(count(lit(1)).as("count"))
       .filter(col("count") > minWatches)
 
     // commits mentioning the keyword in popular non-self repos (218-230)
     val commitsOut = commit
       .filter(!col("username").contains("bot"))
-      .join(broadcast(repos), Seq("repo"))
+      .join(repos, Seq("repo"))
       .filter(lower(col("message")).contains(keyword))
       .select("username", "repo", "message", "count")
       .filter(!col("repo").startsWith(keyword.trim + "/"))
@@ -62,7 +66,7 @@ object GhaPipeline {
 
     // comments mentioning the keyword (233-244)
     val commentsOut = comment
-      .join(broadcast(repos), Seq("repo"))
+      .join(repos, Seq("repo"))
       .filter(lower(col("comment")).contains(keyword))
       .select("username", "repo", "comment", "count")
       .filter(!col("repo").startsWith(keyword.trim + "/"))
@@ -83,32 +87,158 @@ object GhaPipeline {
     TableStore.overwrite(comments, s"$storeDir/results/comments")
   }
 
+  // ---- exactly-once bookkeeping -------------------------------------------
+  // Two tiny marker files play the role of the Delta tx log the reference
+  // leans on (`preprocess.py:169-186`):
+  //  - `_ingest_hwm`     : start instant of the last fully ingested hour —
+  //                        the O(1) resume point (no table scan at all);
+  //  - `_ingest_inflight`: "<start>|<stop>" written BEFORE a batch's appends
+  //                        and cleared AFTER `_ingest_hwm` advances. Its
+  //                        presence on startup means a previous run died
+  //                        mid-append, and the covered hours must be rolled
+  //                        back before re-ingesting (appends alone would
+  //                        duplicate them — Delta gets this from ACID).
+
+  private def markerFs(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMarker(spark: SparkSession, path: String, v: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = markerFs(spark, path)
+    val tmp = new Path(path + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(path)
+    if (f.exists(dst)) f.delete(dst, false)
+    f.rename(tmp, dst)
+  }
+
+  private def readMarker(spark: SparkSession, path: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val f = markerFs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private def deleteMarker(spark: SparkSession, path: String): Unit = {
+    val f = markerFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (f.exists(p)) f.delete(p, false)
+  }
+
+  /** Start of the last fully ingested hour, if any run completed here. */
+  def readHwm(spark: SparkSession, storeDir: String): Option[java.time.Instant] =
+    readMarker(spark, s"$storeDir/_ingest_hwm")
+      .map(java.time.Instant.parse)
+
+  /** Roll back the half-written batch a dead run left behind: for every
+    * curated table, rewrite the date partitions the batch touched WITHOUT
+    * its rows (dynamic partition overwrite — `TableStore.upsertPartitions`),
+    * and drop partitions whose every row came from the batch. Hour-grained
+    * events inside date-grained partitions are why plain dynamic overwrite
+    * can't be the ingest path itself: overwriting date D with only hour H
+    * would erase D's other hours.
+    */
+  def recoverInflight(spark: SparkSession, storeDir: String): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val marker = s"$storeDir/_ingest_inflight"
+    readMarker(spark, marker) match {
+      case None => false
+      case Some(v) =>
+        val Array(s, e) = v.split('|')
+        val start = java.time.Instant.parse(s)
+        val stopEx = java.time.Instant.parse(e).plusSeconds(3600)
+        val hwmOk = readHwm(spark, storeDir)
+          .exists(h => !h.isBefore(java.time.Instant.parse(e)))
+        if (!hwmOk) {
+          val affectedDates: Seq[String] = Iterator
+            .iterate(start)(_.plusSeconds(3600))
+            .takeWhile(_.isBefore(stopEx))
+            .map(_.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+            .distinct.toSeq
+          val lo = java.sql.Timestamp.from(start)
+          val hi = java.sql.Timestamp.from(stopEx)
+          graft.schema.GhaSchemas.tableNames.foreach { t =>
+            val dir = s"$storeDir/$t"
+            val df = try {
+              Some(TableStore.read(spark, dir, graft.schema.GhaSchemas.curated(t)))
+            } catch { case _: org.apache.spark.sql.AnalysisException => None }
+            df.foreach { d =>
+              // materialize the survivors BEFORE overwriting: the rewrite
+              // targets the very path the filter reads (localCheckpoint
+              // breaks the read-own-write-path conflict; the survivor set is
+              // bounded by the batch's few date partitions)
+              val keep = d
+                .filter(col("date").cast("string").isin(affectedDates: _*))
+                .filter(!(col("created_at") >= lit(lo) &&
+                  col("created_at") < lit(hi)))
+                .localCheckpoint()
+              val present = keep.select(col("date").cast("string"))
+                .distinct().collect().map(_.getString(0)).toSet
+              if (present.nonEmpty)
+                TableStore.upsertPartitions(spark, keep, dir)
+              affectedDates.filterNot(present).foreach(dd =>
+                TableStore.dropPartition(spark, dir, dd))
+            }
+          }
+        }
+        deleteMarker(spark, marker)
+        !hwmOk
+    }
+  }
+
   /** The self-driving hourly run (`workflow(start=None, stop=None)` parity,
-    * `preprocess.py:178-196, 247-266`): derive the range from the store's
-    * own watermark, ingest only the landing files inside it, then compact +
-    * query. Returns the ingested paths (empty when already caught up).
+    * `preprocess.py:178-196, 247-266`): recover any half-written batch,
+    * derive the range from the store's own high-watermark, ingest only the
+    * landing files inside it, then compact + query. Returns the ingested
+    * paths (empty when already caught up). Re-running the same tick is a
+    * no-op; dying mid-tick and re-running replaces rather than duplicates.
     *
-    * Watermark source is the `comment` table, matching the reference's
-    * `parse_start_stop` reading the comment tx log (`preprocess.py:181`).
-    * File naming follows GH Archive: `YYYY-MM-DD-H.json` (hour unpadded).
+    * Resume point: the `_ingest_hwm` marker (O(1)); stores predating the
+    * marker fall back to the max data watermark across ALL six tables (the
+    * reference reads only the comment tx log, `preprocess.py:181` — an hour
+    * whose file has commits but no comments would then be re-ingested and
+    * duplicated). File naming follows GH Archive: `YYYY-MM-DD-H.json`
+    * (hour unpadded).
     */
   def incrementalRun(spark: SparkSession, landingDir: String,
       storeDir: String, now: java.time.Instant,
       backfillStart: java.time.Instant,
       keyword: String = " dask"): Seq[String] = {
-    val wm = Increments.watermark(spark, s"$storeDir/comment")
-      .map(_.toInstant)
+    recoverInflight(spark, storeDir)
+    val wm = readHwm(spark, storeDir).orElse {
+      graft.schema.GhaSchemas.tableNames
+        .flatMap(t => Increments.watermark(spark, s"$storeDir/$t"))
+        .map(_.toInstant)
+        .maxOption(Ordering.fromLessThan[java.time.Instant](_ isBefore _))
+    }
     val (start, stop) = Increments.nextRange(wm, now, backfillStart)
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd-").withZone(java.time.ZoneOffset.UTC)
-    val hours = Iterator.iterate(start)(_.plusSeconds(3600))
+    val hourly = Iterator.iterate(start)(_.plusSeconds(3600))
       .takeWhile(!_.isAfter(stop))
-    val paths = hours.map { h =>
-      val hh = h.atZone(java.time.ZoneOffset.UTC).getHour
-      s"$landingDir/${fmt.format(h)}$hh.json"
-    }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .map { h =>
+        val hh = h.atZone(java.time.ZoneOffset.UTC).getHour
+        (h, s"$landingDir/${fmt.format(h)}$hh.json")
+      }
+      .filter { case (_, p) =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p)) }
       .toSeq
-    if (paths.nonEmpty) workflow(spark, paths, storeDir, keyword)
-    paths
+    if (hourly.nonEmpty) {
+      val lastHour = hourly.last._1
+      writeMarker(spark, s"$storeDir/_ingest_inflight",
+        s"${hourly.head._1}|$lastHour")
+      workflow(spark, hourly.map(_._2), storeDir, keyword)
+      writeMarker(spark, s"$storeDir/_ingest_hwm", lastHour.toString)
+      deleteMarker(spark, s"$storeDir/_ingest_inflight")
+    }
+    hourly.map(_._2)
   }
 }

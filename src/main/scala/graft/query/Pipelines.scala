@@ -19,7 +19,11 @@ object Pipelines {
     // Operator-for-operator the commits pipeline (preprocess.py:214-230):
     //   watch.value_counts -> lineitem.groupBy(partkey).count
     //   repos[repos>5]     -> cnt > 25
-    //   repartition(1)+merge -> broadcast hash join (bounded dim side)
+    //   repartition(1)+merge -> equi-join; AQE broadcasts when the agg side
+    //     is small. No explicit broadcast() hint: distinct partkeys grow
+    //     with data, and a forced broadcast of an unbounded aggregate OOMs
+    //     at 100x scale (the reference's repartition(npartitions=1) has the
+    //     same flaw; AQE's runtime size check is the fix, not parity).
     //   ~contains(username,'bot')    -> !contains(p_name,'small')
     //   lower(message).contains(' dask') -> lower(p_type).contains('promo')
     //   ~startswith(repo,'dask/')   -> !startswith(p_brand,'Brand#1')
@@ -41,7 +45,7 @@ object Pipelines {
           .filter(col("cnt") > 25)
         part
           .filter(!col("p_name").contains("small"))
-          .join(broadcast(popular), col("p_partkey") === col("l_partkey"))
+          .join(popular, col("p_partkey") === col("l_partkey"))
           .filter(lower(col("p_type")).contains("promo"))
           .select("p_partkey", "p_name", "p_brand", "p_type", "cnt")
           .filter(!col("p_brand").startsWith("Brand#1"))
@@ -65,7 +69,7 @@ object Pipelines {
           .filter(col("cnt") > 20)
         docs
           .filter(!col("lang").contains("zh"))
-          .join(broadcast(popular), Seq("source"))
+          .join(popular, Seq("source"))
           .filter(lower(col("text")).contains(" spark"))
           .select("doc_id", "source", "lang", "cnt")
           .filter(!col("source").startsWith("src1"))
@@ -81,18 +85,24 @@ object Pipelines {
         import s.implicits._
         val base = java.nio.file.Paths.get("/root/repo/target/tmp")
         Files.createDirectories(base)
-        val tmp = Files.createTempDirectory(base, "graft_compact")
-          .toString + "/events_t"
-        val ev = Tables(s, d, "events")
-          .withColumn("date", to_date(col("ts")))
-          .repartition(4) // simulate 4 small per-batch appends per partition
-        TableStore.append(ev, tmp)
-        val nParts = TableStore.read(s, tmp).select("date").distinct().count()
-        val (before, after) = TableStore.compact(s, tmp)
-        val rows = TableStore.read(s, tmp).count()
-        Seq((nParts, before, after, rows, after == nParts))
-          .toDF("n_partitions", "files_before", "files_after", "rows",
-            "one_file_per_partition")
+        val tmpRoot = Files.createTempDirectory(base, "graft_compact")
+        val tmp = tmpRoot.toString + "/events_t"
+        try {
+          val ev = Tables(s, d, "events")
+            .withColumn("date", to_date(col("ts")))
+            .repartition(4) // simulate 4 small per-batch appends per partition
+          TableStore.append(ev, tmp)
+          val nParts = TableStore.read(s, tmp).select("date").distinct().count()
+          val (before, after) = TableStore.compact(s, tmp)
+          val rows = TableStore.read(s, tmp).count()
+          Seq((nParts, before, after, rows, after == nParts))
+            .toDF("n_partitions", "files_before", "files_after", "rows",
+              "one_file_per_partition")
+        } finally {
+          // every action above already ran — the temp store is disposable
+          org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
+          ()
+        }
       })
   )
 }

@@ -95,6 +95,60 @@ class GhaPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(TableStore.read(spark, s"$dir/store/comment").count() === 3)
   }
 
+  test("crash mid-batch: inflight marker rolls back half-written hours (T4)") {
+    import java.time.Instant
+    val base = Paths.get("/root/repo/target/tmp")
+    val dir = Files.createTempDirectory(base, "gha_crash").toString
+    Files.createDirectories(Paths.get(s"$dir/landing"))
+    def commentLine(user: String, h: Int) =
+      s"""{"type":"IssueCommentEvent","actor":{"login":"$user"},"repo":{"name":"r/x"},"created_at":"2024-02-29T0$h:30:00Z","payload":{"issue":{"number":1,"title":"t","created_at":"2024-02-29T01:00:00Z","user":{"login":"x"}},"comment":{"body":"b","author_association":"NONE"}}}"""
+    Files.write(Paths.get(s"$dir/landing/2024-02-29-1.json"),
+      commentLine("u1", 1).getBytes)
+    val backfill = Instant.parse("2024-02-29T01:00:00Z")
+
+    // clean run through hour 1 (stop = floor(02:10) - 1h = hour 1 only)
+    GhaPipeline.incrementalRun(spark, s"$dir/landing", s"$dir/store",
+      Instant.parse("2024-02-29T02:10:00Z"), backfill)
+    assert(TableStore.read(spark, s"$dir/store/comment").count() === 1)
+
+    // simulate a run that appended hour 2 but DIED before advancing the hwm:
+    // data is in, inflight marker is still there
+    Files.write(Paths.get(s"$dir/landing/2024-02-29-2.json"),
+      commentLine("u2", 2).getBytes)
+    GhaPipeline.ingest(spark, Seq(s"$dir/landing/2024-02-29-2.json"),
+      s"$dir/store")
+    Files.write(Paths.get(s"$dir/store/_ingest_inflight"),
+      "2024-02-29T02:00:00Z|2024-02-29T02:00:00Z".getBytes)
+    assert(TableStore.read(spark, s"$dir/store/comment").count() === 2)
+
+    // next tick: recovery rolls hour 2 back, then re-ingests it exactly once
+    GhaPipeline.incrementalRun(spark, s"$dir/landing", s"$dir/store",
+      Instant.parse("2024-02-29T04:10:00Z"), backfill)
+    val users = TableStore.read(spark, s"$dir/store/comment")
+      .select("username").as[String].collect().toSeq.sorted
+    assert(users === Seq("u1", "u2")) // no duplicate u2
+  }
+
+  test("crash after commit, before marker cleanup: no rollback, no re-ingest") {
+    import java.time.Instant
+    val base = Paths.get("/root/repo/target/tmp")
+    val dir = Files.createTempDirectory(base, "gha_crash2").toString
+    Files.createDirectories(Paths.get(s"$dir/landing"))
+    def commentLine(user: String, h: Int) =
+      s"""{"type":"IssueCommentEvent","actor":{"login":"$user"},"repo":{"name":"r/x"},"created_at":"2024-02-29T0$h:30:00Z","payload":{"issue":{"number":1,"title":"t","created_at":"2024-02-29T01:00:00Z","user":{"login":"x"}},"comment":{"body":"b","author_association":"NONE"}}}"""
+    Files.write(Paths.get(s"$dir/landing/2024-02-29-1.json"),
+      commentLine("u1", 1).getBytes)
+    val backfill = Instant.parse("2024-02-29T01:00:00Z")
+    GhaPipeline.incrementalRun(spark, s"$dir/landing", s"$dir/store",
+      Instant.parse("2024-02-29T03:10:00Z"), backfill)
+    // hwm says hour 1 is committed; a stale marker for hour 1 must be a no-op
+    Files.write(Paths.get(s"$dir/store/_ingest_inflight"),
+      "2024-02-29T01:00:00Z|2024-02-29T01:00:00Z".getBytes)
+    assert(!GhaPipeline.recoverInflight(spark, s"$dir/store")) // no rollback
+    assert(TableStore.read(spark, s"$dir/store/comment").count() === 1)
+    assert(!Files.exists(Paths.get(s"$dir/store/_ingest_inflight")))
+  }
+
   test("ingest is re-runnable: append accumulates per batch (storage union-all)") {
     val base = Paths.get("/root/repo/target/tmp")
     val dir = Files.createTempDirectory(base, "gha_inc").toString
