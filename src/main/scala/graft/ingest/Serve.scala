@@ -1,0 +1,82 @@
+package graft.ingest
+
+import java.time.Instant
+import org.apache.spark.sql.SparkSession
+
+/** The hourly serve loop — parity with Prefect's
+  * `workflow.serve(interval=timedelta(hours=1))`
+  * (`/root/reference/preprocess.py:277-280`): run `incrementalRun` once per
+  * hour, forever, resuming from the store's own watermark so restarts and
+  * crashes pick up exactly where the last completed tick stopped.
+  *
+  * `loop` is the testable core: clock and sleeper are injected, tick count
+  * is bounded, failures back off exponentially (a dead upstream shouldn't
+  * hot-spin the driver) and never kill the daemon — the reference gets the
+  * same durability from Prefect's flow-run isolation.
+  */
+object Serve {
+
+  /** Milliseconds until the next tick: the next hour boundary plus a small
+    * publish lag, pushed back exponentially after consecutive failures
+    * (2^f minutes, capped at 1h).
+    */
+  def delayMs(now: Instant, consecutiveFailures: Int): Long = {
+    val nextHour = (now.getEpochSecond / 3600 + 1) * 3600
+    val publishLagSec = 60L
+    val base = (nextHour - now.getEpochSecond + publishLagSec) * 1000L
+    val backoff =
+      if (consecutiveFailures <= 0) 0L
+      else math.min(60000L << math.min(consecutiveFailures - 1, 6),
+        3600000L)
+    base + backoff
+  }
+
+  /** Run up to `ticks` incremental ticks (`ticks < 0` = forever). Returns
+    * the total number of ingested files across all ticks.
+    */
+  def loop(spark: SparkSession, landingDir: String, storeDir: String,
+      backfillStart: Instant, keyword: String = " dask", ticks: Int = -1,
+      now: () => Instant = () => Instant.now(),
+      sleeper: Long => Unit = Thread.sleep): Long = {
+    var ingested = 0L
+    var failures = 0
+    var i = 0
+    while (ticks < 0 || i < ticks) {
+      try {
+        ingested += GhaPipeline
+          .incrementalRun(spark, landingDir, storeDir, now(), backfillStart,
+            keyword)
+          .size
+        failures = 0
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          failures += 1
+          System.err.println(
+            s"[serve] tick failed ($failures consecutive): ${e.getMessage}")
+      }
+      i += 1
+      if (ticks < 0 || i < ticks) sleeper(delayMs(now(), failures))
+    }
+    ingested
+  }
+
+  /** `Serve <landingDir> <storeDir> <backfillStartIso> [keyword]` — the
+    * production daemon entry point.
+    */
+  def main(args: Array[String]): Unit = {
+    val landingDir = args(0)
+    val storeDir = args(1)
+    val backfillStart = Instant.parse(args(2))
+    val keyword = if (args.length > 3) args(3) else " dask"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    loop(spark, landingDir, storeDir, backfillStart, keyword)
+  }
+}

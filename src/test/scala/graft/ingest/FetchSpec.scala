@@ -1,0 +1,124 @@
+package graft.ingest
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.zip.GZIPOutputStream
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.store.TableStore
+
+/** S1 e2e: the remote HTTP(S) gzip source (`preprocess.py:144-147` parity).
+  * A fixture-served local HTTP server stands in for data.gharchive.org —
+  * no egress in this environment, same wire contract (gzip body, one URL
+  * per hour, flaky 5xx + retry budget).
+  */
+class FetchSpec extends AnyFunSuite with SparkFixture {
+
+  private def gzip(s: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(s.getBytes("UTF-8"))
+    gz.close()
+    bos.toByteArray
+  }
+
+  private def tmpDir(): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, "fetch").toString
+  }
+
+  /** Serve `routes` (path -> gzipped body); `flakyFailures` first hits of a
+    * path listed in `flaky` return 503 before succeeding.
+    */
+  private def withServer(routes: Map[String, Array[Byte]],
+      flaky: Set[String] = Set.empty, flakyFailures: Int = 2)
+      (body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+    server.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val n = hits.computeIfAbsent(path, _ => new AtomicInteger).incrementAndGet()
+      routes.get(path) match {
+        case Some(bytes) if !(flaky(path) && n <= flakyFailures) =>
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+        case Some(_) =>
+          ex.sendResponseHeaders(503, -1)
+        case None =>
+          ex.sendResponseHeaders(404, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("download → landing dir → six curated tables (S1 e2e)") {
+    val corpus = Fixture.good.mkString("\n")
+    withServer(Map(
+      "/2024-02-29-1.json.gz" -> gzip(corpus),
+      "/2024-02-29-2.json.gz" -> gzip(Fixture.good.head))) { base =>
+      val dir = tmpDir()
+      val st = Fetch.download(spark,
+        Seq(s"$base/2024-02-29-1.json.gz", s"$base/2024-02-29-2.json.gz"),
+        s"$dir/landing")
+      val rows = st.collect()
+      assert(rows.length === 2 && rows.forall(_.getAs[Boolean]("ok")))
+      // landed files are valid gzip NDJSON for the unchanged ingest path
+      GhaPipeline.workflow(spark,
+        rows.map(_.getAs[String]("path")).toSeq, s"$dir/store")
+      for (t <- graft.schema.GhaSchemas.tableNames)
+        assert(TableStore.read(spark, s"$dir/store/$t",
+          graft.schema.GhaSchemas.curated(t)).count() >= 0)
+      // hour 1 has one commit-bearing push (2 commits), hour 2 repeats it
+      assert(TableStore.read(spark, s"$dir/store/commit",
+        graft.schema.GhaSchemas.curated("commit")).count() === 4)
+      assert(TableStore.read(spark, s"$dir/store/watch",
+        graft.schema.GhaSchemas.curated("watch")).count() === 1)
+    }
+  }
+
+  test("transient 5xx is retried to success; attempts recorded") {
+    withServer(Map("/2024-02-29-3.json.gz" -> gzip(Fixture.good.head)),
+      flaky = Set("/2024-02-29-3.json.gz"), flakyFailures = 2) { base =>
+      val dir = tmpDir()
+      val st = Fetch.download(spark, Seq(s"$base/2024-02-29-3.json.gz"),
+        s"$dir/landing", retries = 5, backoffMs = 10L).collect().head
+      assert(st.getAs[Boolean]("ok"))
+      assert(st.getAs[Int]("attempts") === 3) // 2 failures + 1 success
+      assert(Ingest.readLines(spark, Seq(st.getAs[String]("path")))
+        .count() === 1)
+    }
+  }
+
+  test("retry exhaustion is recorded, not thrown; no half file left behind") {
+    withServer(Map.empty) { base =>
+      val dir = tmpDir()
+      val st = Fetch.download(spark, Seq(s"$base/2024-02-29-4.json.gz"),
+        s"$dir/landing", retries = 3, backoffMs = 1L).collect().head
+      assert(!st.getAs[Boolean]("ok"))
+      assert(st.getAs[Int]("attempts") === 3)
+      assert(st.getAs[String]("error").contains("404"))
+      // atomic temp+rename: a failed URL leaves nothing for the scan to trip on
+      val landing = new java.io.File(s"$dir/landing")
+      assert(!landing.exists() ||
+        landing.listFiles().forall(!_.getName.endsWith(".json.gz")))
+    }
+  }
+
+  test("re-download overwrites idempotently (re-run safety)") {
+    withServer(Map("/2024-02-29-5.json.gz" -> gzip(Fixture.good.head))) { base =>
+      val dir = tmpDir()
+      val url = s"$base/2024-02-29-5.json.gz"
+      Fetch.download(spark, Seq(url), s"$dir/landing").collect()
+      val st = Fetch.download(spark, Seq(url), s"$dir/landing").collect().head
+      assert(st.getAs[Boolean]("ok"))
+      assert(Ingest.readLines(spark, Seq(st.getAs[String]("path")))
+        .count() === 1)
+    }
+  }
+}
