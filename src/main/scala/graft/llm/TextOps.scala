@@ -44,16 +44,24 @@ object TextOps {
     * themselves are needed (exact-Jaccard verify, q_ngram_jaccard).
     * Output: `keep` columns + `hs: array<bigint>`; rows with < n words drop.
     */
-  def shingleHashes(df: DataFrame, keep: Seq[String], n: Int): DataFrame = {
+  def shingleHashes(df: DataFrame, keep: Seq[String], n: Int): DataFrame =
+    shingleHashesBarrier(df, keep, n)._2
+
+  /** [[shingleHashes]] plus the persisted barrier frame, so callers that
+    * materialize their final result can `unpersist()` the intermediate
+    * instead of leaking a MEMORY_AND_DISK block per invocation.
+    */
+  def shingleHashesBarrier(df: DataFrame, keep: Seq[String], n: Int)
+      : (DataFrame, DataFrame) = {
     val whDf = df
       .select(keep.map(col) :+
         transform(words(col("text")), w => xxhash64(w)).as("wh"): _*)
       .filter(size(col("wh")) >= n)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    whDf.select(keep.map(col) :+
+    (whDf, whDf.select(keep.map(col) :+
       array_distinct(transform(sequence(lit(1), size(col("wh")) - (n - 1)),
-        i => xxhash64(slice(col("wh"), i, lit(n))))).as("hs"): _*)
+        i => xxhash64(slice(col("wh"), i, lit(n))))).as("hs"): _*))
   }
 
   /** Jaccard similarity of two pre-distinct string arrays — exact, for
@@ -91,7 +99,7 @@ object TextOps {
     * (MinHash/SimHash) collapse.
     */
   def fingerprint(text: Column): Column =
-    expr("aggregate(split(text, ' '), 0L, (acc, w) -> xxhash64(acc, w))")
+    aggregate(split(text, " "), lit(0L), (acc, w) => xxhash64(acc, w))
 
   private val STOPWORDS = Seq("the", "a")
 
@@ -142,8 +150,8 @@ object TextOps {
   def sourceContamination(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, nPerm: Int = 64): DataFrame = {
     import spark.implicits._
-    val hsDf = shingleHashes(docs, Seq("source"), 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (whBarrier, hs) = shingleHashesBarrier(docs, Seq("source"), 3)
+    val hsDf = hs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perDoc = hsDf
       .select(col("source"),
         transform(sequence(lit(0), lit(nPerm - 1)),
@@ -154,12 +162,18 @@ object TextOps {
       .toDF("source", "sig")
     val a = perSource.select(col("source").as("src_a"), col("sig").as("sig_a"))
     val b = perSource.select(col("source").as("src_b"), col("sig").as("sig_b"))
-    a.join(b, col("src_a") < col("src_b"))
+    // output is a source-pair matrix (tiny) — materialize it, then drop the
+    // per-invocation caches so long-lived sessions don't accumulate blocks
+    val out = a.join(b, col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
         round(aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / nPerm, 4)
           .as("est_jaccard"))
+      .localCheckpoint()
+    hsDf.unpersist()
+    whBarrier.unpersist()
+    out
   }
 
   /** L2 closing stage: resolve near-dup candidate PAIRS into connected
@@ -197,23 +211,34 @@ object TextOps {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val nbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
+      val nbr = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
+      // quiescence detection rides along as a `chg` flag computed in the
+      // same propagation pass — one scalar count over the cached frame,
+      // instead of the old extra labels-vs-previous self-join (one fewer
+      // shuffle per round)
       val next = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
         .persist(lvl)
-      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
+      changed = next.filter(col("chg")).count()
       labels.unpersist()
       labels = next
       i += 1
     }
+    // materialize the (bounded: one row per paired doc) result, then drop
+    // every per-invocation cache — nothing leaks into a long-lived session
+    val out = labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("keep"))
+      .localCheckpoint()
+    labels.unpersist()
     edges.unpersist()
     p.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
-      (col("id") === col("label")).as("keep"))
+    out
   }
 
   val all: Seq[Q] = Seq(
@@ -245,8 +270,13 @@ object TextOps {
         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin),
       (s, d) => {
+        // intersect 64-bit shingle HASHES, not shingle strings: Jaccard is
+        // identical (collisions at 2^-64 are negligible) and the per-pair
+        // array_intersect/array_union compares longs instead of strings —
+        // measured several-fold cheaper on the 4,950-pair verify set
         val docs = Tables(s, d, "documents").filter(col("doc_id") < 100)
-          .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+          .select(col("doc_id"),
+            transform(shingles(col("text"), 3), x => xxhash64(x)).as("sh"))
         val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
         a.join(b, col("id_a") < col("id_b"))

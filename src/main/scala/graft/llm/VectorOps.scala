@@ -92,19 +92,22 @@ object VectorOps {
     // pass re-executes once per element — measured ~60x slower at 5k docs.
     // The repartition spreads the CPU-bound hash stage across all cores
     // regardless of input file layout.
-    val hsDf = (if (exactVerify) {
+    val (whBarrier, hsSrc) = if (exactVerify) {
       // exact-Jaccard verify needs the shingle *strings*, so build + hash them
       val sh = docs.select(col("doc_id"),
         TextOps.shingles(col("text"), n).as("sh"))
         .filter(size(col("sh")) > 0)
-      sh.repartition(par)
+      (None: Option[DataFrame], sh.repartition(par)
         .select(col("doc_id"), col("sh"),
-          transform(col("sh"), s => xxhash64(s)).as("hs"))
+          transform(col("sh"), s => xxhash64(s)).as("hs")))
     } else {
       // estimate path never materializes shingle strings (TextOps.shingleHashes)
-      TextOps.shingleHashes(docs, Seq("doc_id"), n)
-        .select(col("doc_id"), lit(null).cast("array<string>").as("sh"), col("hs"))
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (b, hs) = TextOps.shingleHashesBarrier(docs, Seq("doc_id"), n)
+      (Some(b), hs.select(col("doc_id"),
+        lit(null).cast("array<string>").as("sh"), col("hs")))
+    }
+    val hsDf = hsSrc
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = hsDf.select(col("doc_id"), col("sh"),
       transform(sequence(lit(0), lit(nPerm - 1)),
         i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
@@ -127,23 +130,31 @@ object VectorOps {
     // clusters are large (all-pairs-within-bucket is quadratic in cluster
     // size; the per-pair constant must be tiny). exactVerify joins back to
     // the shingle sets for true Jaccard — the high-precision last pass.
-    if (exactVerify)
-      candidates
-        .join(sig.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sig.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-    else
-      candidates
-        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          round(aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, x) => acc + x).cast("double") / nPerm, 4)
-            .as("jaccard"))
-        .filter(col("jaccard") >= threshold)
+    val verified =
+      if (exactVerify)
+        candidates
+          .join(sig.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(sig.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+      else
+        candidates
+          .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+          .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, x) => acc + x).cast("double") / nPerm, 4)
+              .as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+    // the pair set is bounded by true-neighbor density — materialize it and
+    // release the per-invocation caches (no block leak across calls)
+    val out = verified.localCheckpoint()
+    sig.unpersist()
+    hsDf.unpersist()
+    whBarrier.foreach(_.unpersist())
+    out
   }
 
   /** MLlib cross-check variant of [[minhashPairsNative]] (HashingTF +
@@ -165,12 +176,16 @@ object VectorOps {
     // the signature table, not the corpus, is what you want shuffling).
     val signed = model.transform(featured)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    model.approxSimilarityJoin(signed, signed, threshold, "jaccard_dist")
+    val out = model
+      .approxSimilarityJoin(signed, signed, threshold, "jaccard_dist")
       .select(
         col("datasetA.doc_id").as("id_a"),
         col("datasetB.doc_id").as("id_b"),
         round(lit(1.0) - col("jaccard_dist"), 4).as("est_jaccard"))
       .filter(col("id_a") < col("id_b"))
+      .localCheckpoint()
+    signed.unpersist()
+    out
   }
 
   /** L3 scale path: approximate cosine ANN via random-projection LSH on
@@ -202,9 +217,12 @@ object VectorOps {
     // hashed on its own — don't pay the full corpus transform twice.
     val corpusH = model.transform(corpusU)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    annSelect(model.approxSimilarityJoin(
+    val out = annSelect(model.approxSimilarityJoin(
       model.transform(unitFeatures(queries)), corpusH,
       math.sqrt(2.0 * (1.0 - cosThreshold)), "dist").toDF())
+      .localCheckpoint()
+    corpusH.unpersist()
+    out
   }
 
   /** All-pairs variant: hash the corpus exactly once and self-join the
@@ -215,8 +233,11 @@ object VectorOps {
     val model = brpLsh.fit(corpusU)
     val signed = model.transform(corpusU)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    annSelect(model.approxSimilarityJoin(signed, signed,
+    val out = annSelect(model.approxSimilarityJoin(signed, signed,
       math.sqrt(2.0 * (1.0 - cosThreshold)), "dist").toDF())
+      .localCheckpoint()
+    signed.unpersist()
+    out
   }
 
   /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells around
@@ -281,11 +302,20 @@ object VectorOps {
     * bucket shuffle; embeddings are touched again only for candidate pairs.
     */
   def cosinePairsNative(corpus: DataFrame, cosThreshold: Double,
-      nBands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+      nBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 0): DataFrame = {
     val nBits = nBands * bitsPerBand
-    val dim = 64 // embeddings fixture dim; planes beyond vector length unused
+    // hyperplanes must span the full embedding width: hashing only a prefix
+    // silently degrades recall (the exact-cosine verify would hide it), so
+    // when the caller doesn't pass `dim`, probe one row for the true width
+    val d = if (dim > 0) dim else {
+      val first = corpus.select(size(col("embedding")).as("d")).limit(1).collect()
+      if (first.isEmpty)
+        return corpus.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
+          lit(0.0).as("cos")).where(lit(false))
+      first(0).getInt(0)
+    }
     // plane j as an array literal column: xxhash64(j,k)/Long.Max in [-1,1]
-    def plane(j: Int) = array((0 until dim).map(k =>
+    def plane(j: Int) = array((0 until d).map(k =>
       (xxhash64(lit(j), lit(k)).cast("double") / lit(Long.MaxValue))): _*)
     // barrier: float→double cast runs once per vector; the 64 sign-bit
     // projections below then read a cached attribute instead of re-running
@@ -317,12 +347,17 @@ object VectorOps {
       .distinct()
     // exact-cosine verify: three codegen'd dots per candidate pair (dot +
     // two norms) — cost scales with candidate count only, never corpus size
-    candidates
+    val verified = candidates
       .join(withSig.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
       .join(withSig.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= cosThreshold)
+    // bounded pair output — materialize, then release per-invocation caches
+    val out = verified.localCheckpoint()
+    withSig.unpersist()
+    vDf.unpersist()
+    out
   }
 
   val all: Seq[Q] = Seq(

@@ -91,6 +91,24 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.head._3 > 0.99) // exact cosine, not an estimate
   }
 
+  test("cosinePairsNative infers dim from data: recall intact at dim != 64") {
+    // 128-wide vectors: the first 64 components are small OPPOSITE noise,
+    // the last 64 hold a large shared spike. True cosine(1,2) ~ 0.9998 via
+    // the tail; planes hashing only a 64-wide prefix would see n vs -n —
+    // every sign bit flips, zero matching bands, pair silently lost. Full
+    // 128-wide planes are dominated by the shared tail and recover it.
+    val n = Seq.tabulate(64)(i => 0.1f * ((i % 7) - 3))
+    val t = Seq.tabulate(64)(i => if (i == 5) 100f else 0f)
+    val a = n ++ t
+    val b = n.map(-_) ++ t
+    val c = Seq.fill(64)(0f) ++ Seq.tabulate(64)(i => if (i == 40) 100f else 0f)
+    val df = emb((1L, a), (2L, b), (3L, c))
+    val got = VectorOps.cosinePairsNative(df, 0.97)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(got.head._3 > 0.99)
+  }
+
   test("ivfTopK: recall within probed cells matches brute force on clustered data") {
     // 3 tight clusters; centroids = lowest-id vecs, one per cluster
     def cluster(idBase: Long, axis: Int) = Seq.tabulate(6)(i =>
