@@ -240,30 +240,73 @@ object VectorOps {
     out
   }
 
-  /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells around
-    * seed centroids, probe the `nProbe` nearest cells per query, rank
-    * exactly within the probed cells.
+  private def normalize(c: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0.0) c else c.map(_ / n)
+  }
+
+  /** Spherical-k-means training for the IVF coarse quantizer: Lloyd
+    * iterations where assignment is a shuffle-free per-row argmax over K
+    * broadcast unit centroids and the recompute is one tiny shuffle of at
+    * most `nCells * dim` partial sums (posexplode → map-side partial
+    * aggregation → groupBy(cell, pos)). Cost per iteration is one corpus
+    * scan; the collected state is K×dim doubles — driver-resident by
+    * design, exactly the FAISS/IVF training shape.
     *
-    * Centroids are the lowest-id vectors (deterministic; a k-means refine
-    * would drop in here without changing the dataflow) and are collected to
-    * the driver — K centroids are always driver-resident in IVF, that IS
-    * the design: assignment is then a per-row argmax over K literal dot
-    * products, a narrow codegen'd map with NO shuffle and NO join for the
-    * corpus side. The only shuffle is the (cell ⋈ probed-cell) candidate
-    * join + the per-query top-k window.
-    *
-    * At 100 TB: cells play the role of LSH bands with controllable fan-out
-    * — recall is tuned by nProbe, cost by nCells, both independent of
-    * corpus size.
+    * Deterministic: seeds are the lowest-id vectors, sums are rounded to
+    * 1e-9 before the next assignment so float summation order can never
+    * flip a borderline argmax between runs. Empty cells keep their
+    * previous centroid.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+  def ivfCentroids(corpus: DataFrame, nCells: Int, iters: Int)
+      : Array[(Int, Seq[Double])] = {
     import org.apache.spark.sql.Row
-    val cents: Array[(Int, Seq[Double])] = corpus
+    var cents: Array[(Int, Seq[Double])] = corpus
       .orderBy("vec_id").limit(nCells)
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
       .collect().zipWithIndex
-      .map { case (r: Row, i) => (i, r.getSeq[Double](0)) }
+      .map { case (r: Row, i) => (i, normalize(r.getSeq[Double](0))) }
+    for (_ <- 1 to iters) {
+      val dots = array(cents.map { case (i, c) =>
+        struct(dot(toDouble(col("embedding")), typedLit(c)).as("d"),
+          lit(i).as("cell"))
+      }: _*)
+      val sums = corpus
+        .select(array_max(dots).getField("cell").as("cell"),
+          posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(sum("x").as("sx"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        .toMap
+      cents = cents.map { case (i, old) =>
+        (i, sums.get(i).fold(old)(s =>
+          normalize(s.map(x => math.rint(x * 1e9) / 1e9))))
+      }
+    }
+    cents
+  }
+
+  /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells around
+    * k-means-trained centroids, probe the `nProbe` nearest cells per query,
+    * rank exactly within the probed cells.
+    *
+    * Centroids seed from the lowest-id vectors (deterministic) and refine
+    * with `kmeansIters` spherical-Lloyd passes ([[ivfCentroids]]), then are
+    * collected to the driver — K centroids are always driver-resident in
+    * IVF, that IS the design: assignment is then a per-row argmax over K
+    * literal dot products, a narrow codegen'd map with NO shuffle and NO
+    * join for the corpus side. The only shuffle is the (cell ⋈ probed-cell)
+    * candidate join + the per-query top-k window.
+    *
+    * At 100 TB: cells play the role of LSH bands with controllable fan-out
+    * — recall is tuned by nProbe, cost by nCells, both independent of
+    * corpus size; training cost is `kmeansIters` extra corpus scans, or
+    * train on a sample for very large corpora.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2, kmeansIters: Int = 2): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells, kmeansIters)
     def cellDots(v: Column): Column = array(cents.map { case (i, c) =>
       struct(dot(v, typedLit(c)).as("d"), lit(i).as("cell"))
     }: _*)

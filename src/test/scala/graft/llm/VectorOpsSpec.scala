@@ -109,6 +109,29 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.head._3 > 0.99)
   }
 
+  test("ivfCentroids: k-means refinement improves the quantizer objective from bad seeds") {
+    // 3 well-separated clusters, but all 3 lowest-id seeds sit in cluster A
+    // — the worst case for seed-only centroids (B and C start unquantized)
+    def cluster(idBase: Long, axis: Int) = Seq.tabulate(6)(i =>
+      (idBase + i, Seq.tabulate(8)(d => if (d == axis) 1f else 0.01f * i)))
+    val df = emb(cluster(0, 0) ++ cluster(10, 3) ++ cluster(20, 6): _*)
+    def objective(cents: Array[(Int, Seq[Double])]): Double = {
+      val arr = df.select($"vec_id",
+        VectorOps.toDouble($"embedding").as("v")).collect()
+        .map(_.getSeq[Double](1))
+      arr.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        cents.map { case (_, c) =>
+          v.zip(c).map { case (a, b) => a * b }.sum / n }.max
+      }.sum / arr.length
+    }
+    val seedOnly = objective(VectorOps.ivfCentroids(df, 3, 0))
+    val refined = objective(VectorOps.ivfCentroids(df, 3, 2))
+    assert(refined > seedOnly + 0.2,
+      s"k-means did not improve quantization: $seedOnly -> $refined")
+    assert(refined > 0.75) // B and C are now represented by near-mean centroids
+  }
+
   test("ivfTopK: recall within probed cells matches brute force on clustered data") {
     // 3 tight clusters; centroids = lowest-id vecs, one per cluster
     def cluster(idBase: Long, axis: Int) = Seq.tabulate(6)(i =>
