@@ -182,15 +182,22 @@ object TextOps {
     * similarity is not transitive, but dedup policy treats components as
     * duplicate groups: a~b and b~c drops both b and c even if a!~c).
     *
-    * Iterative min-label propagation: every node starts labeled with its own
-    * id; each round every node takes the min of its label and its neighbors'
-    * labels. Converges in O(component diameter) rounds — near-dup clusters
-    * are dense and shallow, so 2-3 rounds in practice; `maxIter` caps
-    * pathological chains. Cost per round: ONE shuffle (groupBy node of the
-    * edge-carried labels); edges and current labels are persisted so each
-    * round reads cached state, not the whole lineage. At 100 TB replace the
-    * per-round persist with `localCheckpoint` to also truncate lineage, and
-    * switch to large-star/small-star for O(log n) rounds on long chains.
+    * Iterative min-label propagation WITH pointer doubling: every node
+    * starts labeled with its own id; each round a node takes the min of its
+    * label, its neighbors' labels, and its label's label (the shortcut —
+    * label values are node ids, so they can be dereferenced). Neighbor
+    * propagation alone needs O(component diameter) rounds; the shortcut
+    * composes pointers so reach doubles per round — O(log diameter), the
+    * same asymptotic as large-star/small-star, with two shuffles per round
+    * (edge-carried group-min + the label-as-key self-join). Near-dup
+    * clusters are dense and shallow (2-3 rounds); a 64-node chain resolves
+    * in ~7 (unit-tested) where plain propagation needs 62 and would be
+    * CUT OFF WRONG by maxIter. Each round `localCheckpoint`s its labels:
+    * the round's plan references the previous labels three times, so
+    * without lineage truncation the logical plan grows 3^rounds and
+    * analysis itself becomes the bottleneck (the materialization is the
+    * same count the quiescence check needs anyway; superseded round states
+    * are reclaimed by the ContextCleaner as they drop out of scope).
     *
     * Output: (doc_id, cluster_id = min doc_id in component, keep) for every
     * doc that appears in some pair; docs with no pair are implicitly kept.
@@ -207,35 +214,40 @@ object TextOps {
     // propagation round into initialization (one shuffle, no join/count)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min("dst").as("m"))
-      .select(col("id"), least(col("id"), col("m")).as("label")).persist(lvl)
+      .select(col("id"), least(col("id"), col("m")).as("label"))
+      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbr = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
+      // pointer doubling: dereference the current label (labels are node
+      // ids) to jump straight to the grandparent's label
+      val short = labels.select(col("id").as("pid"), col("label").as("plabel"))
       // quiescence detection rides along as a `chg` flag computed in the
       // same propagation pass — one scalar count over the cached frame,
-      // instead of the old extra labels-vs-previous self-join (one fewer
-      // shuffle per round)
+      // no extra labels-vs-previous self-join
       val next = labels.join(nbr, Seq("id"), "left")
+        .join(short, col("label") === col("pid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
-        .persist(lvl)
+          least(col("label"),
+            least(coalesce(col("nbr_label"), col("label")),
+              coalesce(col("plabel"), col("label")))).as("new_label"),
+          col("label"))
+        .select(col("id"), col("new_label").as("label"),
+          (col("new_label") < col("label")).as("chg"))
+        .localCheckpoint()
       changed = next.filter(col("chg")).count()
-      labels.unpersist()
       labels = next
       i += 1
     }
-    // materialize the (bounded: one row per paired doc) result, then drop
-    // every per-invocation cache — nothing leaks into a long-lived session
+    // bounded result: one row per paired doc; per-invocation caches drop
+    // here, round states are reclaimed by the ContextCleaner
     val out = labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("keep"))
       .localCheckpoint()
-    labels.unpersist()
     edges.unpersist()
     p.unpersist()
     out

@@ -245,46 +245,53 @@ object VectorOps {
     if (n == 0.0) c else c.map(_ / n)
   }
 
-  /** Spherical-k-means training for the IVF coarse quantizer: Lloyd
-    * iterations where assignment is a shuffle-free per-row argmax over K
-    * broadcast unit centroids and the recompute is one tiny shuffle of at
-    * most `nCells * dim` partial sums (posexplode → map-side partial
-    * aggregation → groupBy(cell, pos)). Cost per iteration is one corpus
-    * scan; the collected state is K×dim doubles — driver-resident by
-    * design, exactly the FAISS/IVF training shape.
+  /** Spherical-k-means training for the IVF coarse quantizer, the FAISS
+    * shape: pull a bounded deterministic sample (lowest `trainSample` ids —
+    * a TakeOrdered, never a full sort), run Lloyd iterations ON THE DRIVER
+    * over that sample, return K unit centroids to broadcast. One Spark job
+    * total regardless of `iters`; the corpus is scanned in full only by the
+    * actual assignment/query, never by training. K×dim doubles of state.
     *
-    * Deterministic: seeds are the lowest-id vectors, sums are rounded to
-    * 1e-9 before the next assignment so float summation order can never
-    * flip a borderline argmax between runs. Empty cells keep their
-    * previous centroid.
+    * Deterministic: fixed sample, fixed iteration order, ties broken toward
+    * the lowest cell index. Empty cells keep their previous centroid.
     */
-  def ivfCentroids(corpus: DataFrame, nCells: Int, iters: Int)
-      : Array[(Int, Seq[Double])] = {
-    import org.apache.spark.sql.Row
-    var cents: Array[(Int, Seq[Double])] = corpus
-      .orderBy("vec_id").limit(nCells)
+  def ivfCentroids(corpus: DataFrame, nCells: Int, iters: Int,
+      trainSample: Int = 4096): Array[(Int, Seq[Double])] = {
+    val train: Array[Array[Double]] = corpus
+      .orderBy("vec_id").limit(math.max(trainSample, nCells))
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
-      .collect().zipWithIndex
-      .map { case (r: Row, i) => (i, normalize(r.getSeq[Double](0))) }
-    for (_ <- 1 to iters) {
-      val dots = array(cents.map { case (i, c) =>
-        struct(dot(toDouble(col("embedding")), typedLit(c)).as("d"),
-          lit(i).as("cell"))
-      }: _*)
-      val sums = corpus
-        .select(array_max(dots).getField("cell").as("cell"),
-          posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(sum("x").as("sx"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .view.mapValues(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-        .toMap
-      cents = cents.map { case (i, old) =>
-        (i, sums.get(i).fold(old)(s =>
-          normalize(s.map(x => math.rint(x * 1e9) / 1e9))))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var cents: Array[Array[Double]] =
+      train.take(nCells).map(v => normalize(v.toSeq).toArray)
+    val k = cents.length
+    def argmax(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        var d = 0.0; var j = 0
+        val c = cents(i)
+        val m = math.min(v.length, c.length)
+        while (j < m) { d += v(j) * c(j); j += 1 }
+        if (d > bestD) { bestD = d; best = i }
+        i += 1
       }
+      best
     }
-    cents
+    for (_ <- 1 to iters) {
+      val dim = train.headOption.map(_.length).getOrElse(0)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      train.foreach { v =>
+        val c = argmax(v)
+        counts(c) += 1
+        var j = 0
+        val m = math.min(v.length, dim)
+        while (j < m) { sums(c)(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(k)(i =>
+        if (counts(i) == 0) cents(i) else normalize(sums(i).toSeq).toArray)
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
   }
 
   /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells around
@@ -301,8 +308,8 @@ object VectorOps {
     *
     * At 100 TB: cells play the role of LSH bands with controllable fan-out
     * — recall is tuned by nProbe, cost by nCells, both independent of
-    * corpus size; training cost is `kmeansIters` extra corpus scans, or
-    * train on a sample for very large corpora.
+    * corpus size; training touches only the bounded sample (one TakeOrdered
+    * job), so the full corpus is scanned exactly once, by the assignment.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 2, kmeansIters: Int = 2): DataFrame = {

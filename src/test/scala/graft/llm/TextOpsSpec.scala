@@ -42,6 +42,16 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("dedupClusters: 64-node chain resolves within the round budget (pointer doubling)") {
+    // path graph 0-1-...-63: plain neighbor propagation needs 62 rounds and
+    // maxIter=10 would cut it off mid-converge with WRONG labels; pointer
+    // doubling reaches 2^r nodes per round, so 10 rounds are plenty
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = TextOps.dedupClusters(chain, maxIter = 10)
+      .select("cluster_id").distinct().as[Long].collect().toSeq
+    assert(got === Seq(0L)) // one component, labeled by its min id
+  }
+
   test("jaccard: identity 1.0, disjoint 0.0, half overlap") {
     val df = Seq(
       (Seq("a", "b"), Seq("a", "b")),
