@@ -103,6 +103,19 @@ object TextOps {
 
   private val STOPWORDS = Seq("the", "a")
 
+  // PII/boilerplate patterns valid in BOTH Java regex (Spark) and RE2
+  // (DuckDB oracle) — no backrefs, no lookaround
+  private[llm] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[llm] val UrlRe = "https?://\\S+"
+
+  /** L5: PII/boilerplate redaction — emails and URLs become placeholder
+    * tokens, the standard scrub before LLM training text leaves a pipeline.
+    * Pure codegen'd `regexp_replace`; one scan, no shuffle.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(UrlRe), lit("<URL>"))
+
   /** U∅ custom aggregate (SURVEY.md §2.10): per-group MinHash-union
     * signature as a typed `Aggregator` — the elementwise min of member
     * signatures IS the minhash signature of the union of the members'
@@ -408,6 +421,22 @@ object TextOps {
         size(words(col("text"))).cast("long").as("ws_tokens"),
         regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
           .cast("long").as("re_tokens"))
+        .orderBy("doc_id")),
+
+    // ---- L5: PII/boilerplate redaction (emails/URLs -> placeholders) -----------------
+    Q("q_redact", Some(
+      s"""SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '$EmailRe', '<EMAIL>', 'g'),
+        |    '$UrlRe', '<URL>', 'g') AS clean,
+        |  (regexp_replace(regexp_replace(text,
+        |    '$EmailRe', '<EMAIL>', 'g'),
+        |    '$UrlRe', '<URL>', 'g') <> text) AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => Tables(s, d, "documents").select(
+        col("doc_id"),
+        redact(col("text")).as("clean"),
+        (redact(col("text")) =!= col("text")).as("changed"))
         .orderBy("doc_id"))
   )
 }

@@ -63,6 +63,18 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(2) === 0.5)
   }
 
+  test("redact scrubs emails and URLs, leaves clean text untouched (L5)") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@corp-mail.co.uk for details"),
+      (2L, "see https://example.com/a?b=1 and http://t.co/xyz now"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.redact($"text").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "contact <EMAIL> for details")
+    assert(got(2L) === "see <URL> and <URL> now")
+    assert(got(3L) === "nothing sensitive here")
+  }
+
   test("exactDedup keeps min id and counts copies; idempotent (L1)") {
     val df = Seq((1L, "dup"), (2L, "dup"), (3L, "uniq")).toDF("id", "text")
     val d1 = TextOps.exactDedup(df, $"text", $"id")

@@ -1,0 +1,32 @@
+package graft.store
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+class CloudStorageSpec extends AnyFunSuite with SparkFixture {
+
+  test("env credentials land on the session's fs.s3a.* keys (reference creds-push parity)") {
+    val applied = CloudStorage.applyS3FromEnv(spark, Map(
+      "AWS_ACCESS_KEY_ID" -> "AKTEST",
+      "AWS_SECRET_ACCESS_KEY" -> "sekret",
+      "AWS_SESSION_TOKEN" -> "tok",
+      "UNRELATED" -> "x"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(applied === Seq("fs.s3a.access.key", "fs.s3a.secret.key",
+      "fs.s3a.session.token"))
+    assert(conf.get("fs.s3a.access.key") === "AKTEST")
+    assert(conf.get("fs.s3a.secret.key") === "sekret")
+    // session token implies the temporary-credentials provider
+    assert(conf.get("fs.s3a.aws.credentials.provider")
+      .contains("TemporaryAWSCredentialsProvider"))
+  }
+
+  test("scale defaults apply only where unset; operator overrides win") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.connection.maximum", "500") // operator already tuned this
+    CloudStorage.applyS3ScaleDefaults(spark)
+    assert(conf.get("fs.s3a.connection.maximum") === "500") // untouched
+    assert(conf.get("fs.s3a.committer.name") === "magic")   // filled in
+    assert(conf.get("fs.s3a.multipart.size") === "128M")
+  }
+}
