@@ -20,6 +20,7 @@ object SparkEntry {
     graft.query.Pipelines.all ++
     graft.llm.TextOps.all ++
     graft.llm.VectorOps.all ++
+    graft.llm.Sampling.all ++
     graft.llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

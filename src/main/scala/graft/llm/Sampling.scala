@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.query.Tables
+
+/** Training-pipeline sampling operators — the assignment/selection layer a
+  * large-scale corpus pipeline needs between dedup and training: stable
+  * train/val/test splits and per-stratum subsampling. The reference has no
+  * analog (its scope ends at analytics tables); these are north-star ops
+  * like L1-L5.
+  *
+  * Everything here is DETERMINISTIC: splits must survive re-runs, backfills,
+  * and replication across clusters, so no RNG state is ever involved —
+  * bucket membership is a pure function of the row's key. At 100 TB both
+  * ops are embarrassingly parallel: the split is a per-row codegen'd
+  * expression (no shuffle at all); the stratified sample shuffles only on
+  * the stratum key with map-side-partial-friendly window rank.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, nBuckets) from a key column + salt — the
+    * production split function (train/val/test = bucket ranges). xxhash64
+    * keeps buckets uniform for ANY key distribution, including clustered
+    * ids; changing `salt` re-deals every assignment independently of
+    * earlier splits.
+    */
+  def splitBucket(key: Column, nBuckets: Int, salt: Long = 0L): Column =
+    pmod(xxhash64(key, lit(salt)), lit(nBuckets))
+
+  /** Deterministic per-stratum sample: the `perStratum` lowest-ranked rows
+    * of each stratum under an explicit stable ordering. With `orderKey` =
+    * a hash of the id this is a uniform stratified sample; with a quality
+    * score it is top-k-per-stratum curation — same operator, same plan
+    * (one shuffle on the stratum key).
+    */
+  def stratifiedTake(df: org.apache.spark.sql.DataFrame, stratum: String,
+      orderKey: Column, perStratum: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(orderKey)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= perStratum)
+      .drop("_rk")
+  }
+
+  // Oracle-twinned arithmetic bucket: DuckDB has no xxhash64, so the
+  // SQL-verified query pins the split SEMANTICS (deterministic, disjoint,
+  // covering, re-run stable) through a multiplicative hash both engines
+  // compute identically in 64-bit-safe range. Production callers use
+  // splitBucket above; the laws are the same.
+  private def arithBucket(id: Column): Column =
+    (id % 1000003L) * 31L % 100L
+
+  val all: Seq[Q] = Seq(
+
+    // ---- deterministic train/test split assignment -----------------------------
+    Q("q_train_test_split", Some(
+      """SELECT split, count(*) AS n, min(doc_id) AS min_id
+        |FROM (SELECT doc_id,
+        |        CASE WHEN (doc_id % 1000003) * 31 % 100 < 90
+        |             THEN 'train' ELSE 'test' END AS split
+        |      FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin),
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          when(arithBucket(col("doc_id")) < 90, "train").otherwise("test")
+            .as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+        .orderBy("split")),
+
+    // ---- stratified sample: k docs per language, stable under re-runs ----------
+    Q("q_sample_stratified", Some(
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY (doc_id * 31) % 1000003, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 20
+        |ORDER BY lang, doc_id""".stripMargin),
+      (s, d) => stratifiedTake(
+        Tables(s, d, "documents"),
+        "lang",
+        // scrambled-but-deterministic order stands in for the hash order
+        // the oracle can't reproduce; tie-break on doc_id for totality
+        struct((col("doc_id") * 31L) % 1000003L, col("doc_id")),
+        20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id"))
+  )
+}

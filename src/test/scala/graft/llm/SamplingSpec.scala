@@ -1,0 +1,39 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class SamplingSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("splitBucket: deterministic, disjoint-covering, roughly uniform") {
+    val df = spark.range(10000).toDF("id")
+    val b1 = df.select(Sampling.splitBucket($"id", 10).as("b"))
+    val b2 = df.select(Sampling.splitBucket($"id", 10).as("b"))
+    // re-run stability: identical assignment both times
+    assert(b1.collect().map(_.getLong(0)).toSeq
+      === b2.collect().map(_.getLong(0)).toSeq)
+    val counts = b1.groupBy("b").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet === (0L until 10L).toSet) // covering
+    // uniformity: every bucket within 20% of the expected 1000
+    assert(counts.values.forall(n => n > 800 && n < 1200), counts.toString)
+    // a different salt re-deals the assignment
+    val b3 = df.select(Sampling.splitBucket($"id", 10, salt = 7L).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(b3 !== b1.collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("stratifiedTake: exactly k per stratum, stable, honors the order key") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "parity")
+    val got = Sampling.stratifiedTake(df, "parity", col("id"), 3)
+      .select("parity", "id").as[(String, Long)].collect().toSet
+    // order by id -> the 3 lowest ids of each stratum
+    assert(got === Set(("odd", 1L), ("odd", 3L), ("odd", 5L),
+      ("even", 2L), ("even", 4L), ("even", 6L)))
+    // strata smaller than k return all their rows, no padding
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("id", "parity")
+    assert(Sampling.stratifiedTake(tiny, "parity", col("id"), 5).count() === 2)
+  }
+}
