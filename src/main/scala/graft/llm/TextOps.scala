@@ -93,13 +93,15 @@ object TextOps {
     expr(assembled)
   }
 
-  /** Document fingerprint: order-sensitive 64-bit rolling hash over the
-    * token stream (per-step rehash of (acc, token) — overflow-free under
-    * ANSI mode). Distinguishes reorderings that set-based signatures
-    * (MinHash/SimHash) collapse.
+  /** Document fingerprint: order-sensitive 64-bit hash of the token
+    * stream. Distinguishes reorderings that set-based signatures
+    * (MinHash/SimHash) collapse. `xxhash64` folds array elements in
+    * sequence order natively — codegen'd, vs the interpreted
+    * per-token HOF `aggregate` chain it replaces (same contract:
+    * equal token sequences ⟺ equal fingerprints, order-sensitive).
     */
   def fingerprint(text: Column): Column =
-    aggregate(split(text, " "), lit(0L), (acc, w) => xxhash64(acc, w))
+    xxhash64(split(text, " "))
 
   private val STOPWORDS = Seq("the", "a")
 
