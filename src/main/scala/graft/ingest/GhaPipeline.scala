@@ -213,23 +213,10 @@ object GhaPipeline {
       backfillStart: java.time.Instant,
       keyword: String = " dask"): Seq[String] = {
     recoverInflight(spark, storeDir)
-    val wm = readHwm(spark, storeDir).orElse {
-      graft.schema.GhaSchemas.tableNames
-        .flatMap(t => Increments.watermark(spark, s"$storeDir/$t"))
-        .map(_.toInstant)
-        .maxOption(Ordering.fromLessThan[java.time.Instant](_ isBefore _))
-    }
-    val (start, stop) = Increments.nextRange(wm, now, backfillStart)
-    val fmt = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd-").withZone(java.time.ZoneOffset.UTC)
+    val (start, stop) = resumeRange(spark, storeDir, now, backfillStart)
     val hourly = Iterator.iterate(start)(_.plusSeconds(3600))
       .takeWhile(!_.isAfter(stop))
-      .map { h =>
-        val hh = h.atZone(java.time.ZoneOffset.UTC).getHour
-        (h, s"$landingDir/${fmt.format(h)}$hh.json")
-      }
-      .filter { case (_, p) =>
-        java.nio.file.Files.exists(java.nio.file.Paths.get(p)) }
+      .flatMap(h => landedFile(landingDir, h).map((h, _)))
       .toSeq
     if (hourly.nonEmpty) {
       val lastHour = hourly.last._1
@@ -240,5 +227,76 @@ object GhaPipeline {
       deleteMarker(spark, s"$storeDir/_ingest_inflight")
     }
     hourly.map(_._2)
+  }
+
+  /** [start, stop] of the next tick: O(1) hwm marker, data-watermark
+    * fallback, incomplete-hour guard (shared by local and fetching runs).
+    */
+  def resumeRange(spark: SparkSession, storeDir: String,
+      now: java.time.Instant, backfillStart: java.time.Instant)
+      : (java.time.Instant, java.time.Instant) = {
+    val wm = readHwm(spark, storeDir).orElse {
+      graft.schema.GhaSchemas.tableNames
+        .flatMap(t => Increments.watermark(spark, s"$storeDir/$t"))
+        .map(_.toInstant)
+        .maxOption(Ordering.fromLessThan[java.time.Instant](_ isBefore _))
+    }
+    Increments.nextRange(wm, now, backfillStart)
+  }
+
+  private val hourFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd-").withZone(java.time.ZoneOffset.UTC)
+
+  /** GH-Archive file name for hour `h` (unpadded hour), without extension. */
+  def hourStem(h: java.time.Instant): String =
+    s"${hourFmt.format(h)}${h.atZone(java.time.ZoneOffset.UTC).getHour}"
+
+  /** The landed file for hour `h` if present: plain `.json` (local drops)
+    * or `.json.gz` (what `Fetch.download` lands — Spark's text source
+    * decompresses either transparently).
+    */
+  private def landedFile(landingDir: String, h: java.time.Instant)
+      : Option[String] =
+    Seq(".json", ".json.gz")
+      .map(ext => s"$landingDir/${hourStem(h)}$ext")
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+
+  /** Full remote-source parity with `workflow(start=None, stop=None)` +
+    * `process_file`'s HTTP fetch (`preprocess.py:144-147, 247-266`): derive
+    * the resume range, DOWNLOAD the missing hourly `.json.gz` files from
+    * `baseUrl` (distributed, retried — `Fetch.download`), then run the
+    * normal incremental tick over the landing dir. Hours whose download
+    * fails after retry exhaustion are skipped THIS tick and retried next
+    * tick (the hwm only advances through ingested hours, and an ingested
+    * batch never spans a gap: the batch stops at the first missing hour so
+    * a late-published file can never be skipped forever).
+    */
+  def fetchAndRun(spark: SparkSession, baseUrl: String, landingDir: String,
+      storeDir: String, now: java.time.Instant,
+      backfillStart: java.time.Instant, keyword: String = " dask",
+      retries: Int = 10): Seq[String] = {
+    recoverInflight(spark, storeDir)
+    val (start, stop) = resumeRange(spark, storeDir, now, backfillStart)
+    val missing = Iterator.iterate(start)(_.plusSeconds(3600))
+      .takeWhile(!_.isAfter(stop))
+      .filter(h => landedFile(landingDir, h).isEmpty)
+      .map(h => s"${baseUrl.stripSuffix("/")}/${hourStem(h)}.json.gz")
+      .toSeq
+    if (missing.nonEmpty)
+      Fetch.download(spark, missing, landingDir, retries).collect()
+    // ingest a contiguous prefix only: stop the batch at the first hour
+    // still missing so the watermark never jumps over a failed download
+    val contiguous = Iterator.iterate(start)(_.plusSeconds(3600))
+      .takeWhile(!_.isAfter(stop))
+      .map(h => landedFile(landingDir, h))
+      .takeWhile(_.isDefined)
+      .size
+    if (contiguous == 0) Seq.empty
+    else incrementalRun(spark, landingDir, storeDir,
+      // clamp `now` so the tick's stop bound lands exactly on the end of
+      // the contiguous prefix: nextRange's stop = floor(now) - 1h, so
+      // now = start + contiguous hours gives stop = start + (contiguous-1)
+      now = start.plusSeconds(3600L * contiguous),
+      backfillStart = backfillStart, keyword = keyword)
   }
 }

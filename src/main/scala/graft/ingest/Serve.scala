@@ -32,21 +32,27 @@ object Serve {
   }
 
   /** Run up to `ticks` incremental ticks (`ticks < 0` = forever). Returns
-    * the total number of ingested files across all ticks.
+    * the total number of ingested files across all ticks. With `baseUrl`
+    * set, each tick first downloads its missing hours from that remote
+    * (full `process_file` fetch parity via `GhaPipeline.fetchAndRun`);
+    * without it, ticks consume pre-landed files only.
     */
   def loop(spark: SparkSession, landingDir: String, storeDir: String,
       backfillStart: Instant, keyword: String = " dask", ticks: Int = -1,
       now: () => Instant = () => Instant.now(),
-      sleeper: Long => Unit = Thread.sleep): Long = {
+      sleeper: Long => Unit = Thread.sleep,
+      baseUrl: Option[String] = None): Long = {
     var ingested = 0L
     var failures = 0
     var i = 0
     while (ticks < 0 || i < ticks) {
       try {
-        ingested += GhaPipeline
-          .incrementalRun(spark, landingDir, storeDir, now(), backfillStart,
-            keyword)
-          .size
+        ingested += (baseUrl match {
+          case Some(b) => GhaPipeline.fetchAndRun(spark, b, landingDir,
+            storeDir, now(), backfillStart, keyword).size
+          case None => GhaPipeline.incrementalRun(spark, landingDir,
+            storeDir, now(), backfillStart, keyword).size
+        })
         failures = 0
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -60,14 +66,16 @@ object Serve {
     ingested
   }
 
-  /** `Serve <landingDir> <storeDir> <backfillStartIso> [keyword]` — the
-    * production daemon entry point.
+  /** `Serve <landingDir> <storeDir> <backfillStartIso> [keyword] [baseUrl]`
+    * — the production daemon entry point. With a baseUrl (e.g. the
+    * GH-Archive origin) each tick fetches its own hours.
     */
   def main(args: Array[String]): Unit = {
     val landingDir = args(0)
     val storeDir = args(1)
     val backfillStart = Instant.parse(args(2))
     val keyword = if (args.length > 3) args(3) else " dask"
+    val baseUrl = if (args.length > 4) Some(args(4)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -77,6 +85,7 @@ object Serve {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    loop(spark, landingDir, storeDir, backfillStart, keyword)
+    loop(spark, landingDir, storeDir, backfillStart, keyword,
+      baseUrl = baseUrl)
   }
 }

@@ -110,6 +110,41 @@ class FetchSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("fetchAndRun: tick downloads its own hours, resumes, never skips a failed hour") {
+    import java.time.Instant
+    def commentLine(user: String, h: Int) =
+      s"""{"type":"IssueCommentEvent","actor":{"login":"$user"},"repo":{"name":"r/x"},"created_at":"2024-02-29T0$h:30:00Z","payload":{"issue":{"number":1,"title":"t","created_at":"2024-02-29T01:00:00Z","user":{"login":"x"}},"comment":{"body":"b","author_association":"NONE"}}}"""
+    val backfill = Instant.parse("2024-02-29T01:00:00Z")
+    // hour 1 serves, hour 2 is missing from the remote (404), hour 3 serves:
+    // the tick must ingest ONLY hour 1 (contiguous prefix) so hour 2 can
+    // still be picked up when it publishes late
+    withServer(Map(
+      "/2024-02-29-1.json.gz" -> gzip(commentLine("u1", 1)),
+      "/2024-02-29-3.json.gz" -> gzip(commentLine("u3", 3)))) { base =>
+      val dir = tmpDir()
+      val run1 = GhaPipeline.fetchAndRun(spark, base, s"$dir/landing",
+        s"$dir/store", Instant.parse("2024-02-29T05:10:00Z"), backfill,
+        retries = 1)
+      assert(run1.map(_.split('/').last) === Seq("2024-02-29-1.json.gz"))
+      assert(TableStore.read(spark, s"$dir/store/comment").count() === 1)
+      // hour 2 publishes late; next tick fetches it AND already-landed hour
+      // 3 is ingested in the same contiguous batch
+      val run2Server = Map("/2024-02-29-2.json.gz" -> gzip(commentLine("u2", 2)))
+      withServer(run2Server) { base2 =>
+        val run2 = GhaPipeline.fetchAndRun(spark, base2, s"$dir/landing",
+          s"$dir/store", Instant.parse("2024-02-29T05:10:00Z"), backfill,
+          retries = 1)
+        assert(run2.map(_.split('/').last) ===
+          Seq("2024-02-29-2.json.gz", "2024-02-29-3.json.gz"))
+      }
+      val spark2 = spark
+      import spark2.implicits._
+      assert(TableStore.read(spark, s"$dir/store/comment")
+        .select("username").as[String].collect().sorted.toSeq
+        === Seq("u1", "u2", "u3"))
+    }
+  }
+
   test("re-download overwrites idempotently (re-run safety)") {
     withServer(Map("/2024-02-29-5.json.gz" -> gzip(Fixture.good.head))) { base =>
       val dir = tmpDir()
