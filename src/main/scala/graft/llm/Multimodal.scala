@@ -1,5 +1,9 @@
 package graft.llm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -8,12 +12,15 @@ import graft.query.Tables
 /** Multimodal-column plumbing (SURVEY.md §2.11 L4): media payloads as opaque
   * `binary` columns with typed metadata alongside.
   *
-  * The container ships no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB — but everything Spark-side is real:
-  * the binary column representation, the typed metadata schema, the
-  * partition-preserving `mapPartitions` batch shape (the Scala analog of
-  * `mapInPandas`), and the columnar metadata ops (byte length, content
-  * hash) that run without ever decoding.
+  * Image decode/resize are REAL (`javax.imageio` ships with the JDK: PNG /
+  * JPEG / BMP — no external codec needed, headless-safe), and audio decode
+  * is REAL for RIFF/WAV PCM (pure header + sample parsing). Only video
+  * demuxing stays a clearly-marked STUB (no container parser in the JDK).
+  * Everything Spark-side is the production shape either way: binary column
+  * representation, typed feature schemas, and partition-preserving
+  * iterator-to-iterator `mapPartitions` kernels (the Scala analog of
+  * `mapInPandas`), plus columnar metadata ops (byte length, content hash)
+  * that never decode at all.
   *
   * At 100 TB: media bytes never shuffle — decode/feature-extract is a
   * narrow per-partition map; only the (small) extracted features flow into
@@ -21,28 +28,62 @@ import graft.query.Tables
   */
 object Multimodal {
 
-  /** Extracted per-media features. */
+  System.setProperty("java.awt.headless", "true")
+
+  /** Extracted per-image features (all REAL decode outputs). */
   case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
-      height: Int, channels: Int)
+      height: Int, channels: Int, mean_luma: Double, decode_ok: Boolean)
 
-  /** Attach a binary media payload column (here: the utf-8 bytes of `text`
-    * stand in for an image payload — the engine only ever sees `binary`).
+  /** Attach a binary media payload column: a real PNG rendered per doc
+    * (deterministic pixels from doc_id), so the decode path exercises an
+    * actual codec. `mapPartitions` because encoding is a per-row kernel,
+    * not a column expression.
     */
-  def withBinaryPayload(docs: DataFrame): DataFrame =
-    docs.withColumn("media", col("text").cast("binary"))
-
-  /** STUB decode kernel — a real build would call an image codec here.
-    * Deterministic fake dimensions derived from the payload bytes so tests
-    * are stable. Signature + batch shape (iterator-to-iterator per
-    * partition, no materialization of the whole partition) are the real
-    * contract.
-    */
-  private def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    // ??? <- real codec call goes here (e.g. ImageIO/libjpeg binding)
-    val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-    MediaFeatures(id, bytes.length.toLong,
-      width = 64 + (bytes.length % 512), height = 64 + (b0 * 4), channels = 3)
+  def withImagePayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val enc = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, pngBytes(id))))
+      .toDF("doc_id", "media")
+    docs.join(enc, "doc_id")
   }
+
+  /** Deterministic 16x16 RGB PNG for doc `id` — real image bytes. */
+  def pngBytes(id: Long): Array[Byte] = {
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val h = (id * 1315423911L + x * 2654435761L + y * 97531L) & 0xffffff
+      img.setRGB(x, y, h.toInt)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via the JDK codec (PNG/JPEG/BMP). Undecodable
+    * payloads yield a row with `decode_ok = false` instead of failing the
+    * batch — the P4 skip-and-record contract applied to media.
+    */
+  def decodeImage(id: Long, bytes: Array[Byte]): MediaFeatures =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null)
+        MediaFeatures(id, bytes.length.toLong, 0, 0, 0, 0.0, decode_ok = false)
+      else {
+        var luma = 0.0
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val p = img.getRGB(x, y)
+          luma += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+            0.114 * (p & 0xff)
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        MediaFeatures(id, bytes.length.toLong, img.getWidth, img.getHeight,
+          img.getRaster.getNumBands,
+          math.rint(luma / n * 1000) / 1000, decode_ok = true)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        MediaFeatures(id, bytes.length.toLong, 0, 0, 0, 0.0, decode_ok = false)
+    }
 
   /** Decode/feature-extract pass: narrow, partition-preserving, streaming
     * per partition (the Spark-idiomatic shape for any media kernel).
@@ -52,40 +93,119 @@ object Multimodal {
     import spark.implicits._
     withMedia.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decodeImage(id, bytes) })
   }
 
-  /** Resize metadata (STUB kernel: real build calls the codec here; the
-    * deterministic fake keeps aspect-ratio math and byte accounting real).
-    */
   case class ResizedMeta(doc_id: Long, orig_bytes: Long, width: Int,
       height: Int, target_w: Int, target_h: Int, scaled_bytes: Long)
 
-  /** Per-frame sample of a (fake) video payload: one output row per sampled
-    * frame — the 1→N generator shape every frame-level pipeline needs.
+  /** REAL resize: decode → aspect-preserving bilinear scale on a
+    * `Graphics2D` raster → re-encode; `scaled_bytes` is the actual
+    * re-encoded size. Narrow, partition-preserving, composes after decode.
     */
-  case class FrameMeta(doc_id: Long, frame_idx: Int, byte_offset: Long)
-
-  /** Resize pass: narrow, partition-preserving, composes after decode. */
   def resizeFeatures(spark: SparkSession, withMedia: DataFrame,
       targetW: Int): Dataset[ResizedMeta] = {
     import spark.implicits._
     withMedia.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val f = decodeStub(id, bytes)
-        // ??? <- real scaler goes here; fake preserves aspect ratio exactly
-        val targetH = math.max(1, (f.height.toLong * targetW / f.width).toInt)
-        ResizedMeta(id, bytes.length.toLong, f.width, f.height,
-          targetW, targetH,
-          bytes.length.toLong * targetW * targetH / (f.width.toLong * f.height))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+          val targetH = math.max(1,
+            (img.getHeight.toLong * targetW / img.getWidth).toInt)
+          val scaled = new BufferedImage(targetW, targetH,
+            BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+          g.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(scaled, "png", bos)
+          ResizedMeta(id, bytes.length.toLong, img.getWidth, img.getHeight,
+            targetW, targetH, bos.size.toLong)
+        }
       })
   }
 
-  /** Frame sampling: every `stride`-th "frame" (here: 256-byte windows of
-    * the payload stand in for frames). Iterator-to-iterator flatMap — no
-    * partition materialization, 1 input row → N output rows.
+  // ---- audio: RIFF/WAV PCM, real header + sample parse ----------------------
+
+  /** Extracted per-audio features (REAL parse of RIFF/WAV PCM). */
+  case class AudioFeatures(doc_id: Long, n_bytes: Long, sample_rate: Int,
+      n_channels: Int, n_samples: Long, duration_ms: Long, rms: Double,
+      decode_ok: Boolean)
+
+  /** Deterministic 16-bit mono PCM WAV for doc `id`: 200ms of a sine whose
+    * frequency derives from the id — real, spec-conformant audio bytes.
     */
+  def wavBytes(id: Long, sampleRate: Int = 8000): Array[Byte] = {
+    val n = sampleRate / 5 // 200 ms
+    val freq = 200.0 + (id % 17) * 60.0
+    val data = new Array[Short](n)
+    for (i <- 0 until n)
+      data(i) = (math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toShort
+    val buf = ByteBuffer.allocate(44 + n * 2).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(n * 2)
+    data.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** REAL WAV decode: walk the RIFF chunks, read fmt, compute duration and
+    * RMS over the PCM samples. Malformed payloads record `decode_ok=false`.
+    */
+  def decodeWav(id: Long, bytes: Array[Byte]): AudioFeatures = {
+    def bad = AudioFeatures(id, bytes.length.toLong, 0, 0, 0L, 0L, 0.0,
+      decode_ok = false)
+    try {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val riff = new Array[Byte](4); buf.get(riff); buf.getInt
+      val wave = new Array[Byte](4); buf.get(wave)
+      if (new String(riff) != "RIFF" || new String(wave) != "WAVE") return bad
+      var rate = 0; var channels = 0; var bits = 0
+      var rms = 0.0; var nSamples = 0L
+      while (buf.remaining() >= 8) {
+        val tag = new Array[Byte](4); buf.get(tag)
+        val len = buf.getInt
+        new String(tag) match {
+          case "fmt " =>
+            val fmt = buf.getShort; channels = buf.getShort
+            rate = buf.getInt; buf.getInt; buf.getShort; bits = buf.getShort
+            if (fmt != 1 || bits != 16) return bad // PCM16 only
+            buf.position(buf.position() + len - 16)
+          case "data" =>
+            val n = len / 2
+            var acc = 0.0
+            for (_ <- 0 until n) { val s = buf.getShort.toDouble; acc += s * s }
+            rms = math.rint(math.sqrt(acc / math.max(n, 1)) * 100) / 100
+            nSamples = n.toLong / math.max(channels, 1)
+          case _ => buf.position(buf.position() + len)
+        }
+      }
+      if (rate == 0) bad
+      else AudioFeatures(id, bytes.length.toLong, rate, channels, nSamples,
+        nSamples * 1000L / rate, rms, decode_ok = true)
+    } catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  /** Audio feature pass over a WAV `binary` column — same narrow shape. */
+  def audioFeatures(spark: SparkSession, withAudio: DataFrame)
+      : Dataset[AudioFeatures] = {
+    import spark.implicits._
+    withAudio.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
+  }
+
+  /** Per-frame sample of a video payload: one output row per sampled frame
+    * — the 1→N generator shape every frame-level pipeline needs. The
+    * demuxer is a STUB (no video container parser ships with the JDK):
+    * 256-byte windows stand in for frames; the iterator-to-iterator
+    * flatMap contract is the real part.
+    */
+  case class FrameMeta(doc_id: Long, frame_idx: Int, byte_offset: Long)
+
   def sampleFrames(spark: SparkSession, withMedia: DataFrame,
       stride: Int): Dataset[FrameMeta] = {
     import spark.implicits._
@@ -98,6 +218,10 @@ object Multimodal {
           .map(i => FrameMeta(id, i, i.toLong * 256))
       })
   }
+
+  /** Text bytes as an opaque payload — for the decode-free metadata ops. */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("media", col("text").cast("binary"))
 
   val all: Seq[Q] = Seq(
 
@@ -112,31 +236,45 @@ object Multimodal {
           sha2(col("media"), 256).as("sha"))
         .orderBy("doc_id")),
 
-    // ---- L4: resize + frame-sample kernels (rows-only checks) ------------------
+    // ---- L4: REAL image decode + resize (JDK codec; rows-only checks) ----------
     Q("q_multimodal_resize", None,
       (s, d) => resizeFeatures(s,
-        withBinaryPayload(Tables(s, d, "documents")), targetW = 224)
+        withImagePayload(s, Tables(s, d, "documents")), targetW = 224)
         .toDF()
         .select("doc_id", "width", "height", "target_w", "target_h",
           "scaled_bytes")
         .orderBy("doc_id")),
 
+    Q("q_multimodal_decode", None,
+      (s, d) => {
+        val feats = decodeFeatures(s,
+          withImagePayload(s, Tables(s, d, "documents")))
+        feats.toDF()
+          .groupBy("channels", "decode_ok")
+          .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
+            max("width").as("max_width"), max("height").as("max_height"))
+          .orderBy("channels")
+      }),
+
+    // ---- L4: REAL audio decode (WAV PCM; rows-only check) ----------------------
+    Q("q_multimodal_audio", None,
+      (s, d) => {
+        import s.implicits._
+        val audio = Tables(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, wavBytes(id))))
+          .toDF("doc_id", "media")
+        audioFeatures(s, audio).toDF()
+          .filter(col("decode_ok"))
+          .select("doc_id", "sample_rate", "n_samples", "duration_ms", "rms")
+          .orderBy("doc_id")
+      }),
+
+    // ---- L4: frame sampling (demux stubbed; 1->N generator shape real) ---------
     Q("q_multimodal_frames", None,
       (s, d) => sampleFrames(s,
         withBinaryPayload(Tables(s, d, "documents").filter(col("doc_id") < 100)),
         stride = 2)
         .toDF()
-        .orderBy("doc_id", "frame_idx")),
-
-    // ---- L4: stubbed decode + feature aggregation (rows-only check) ------------
-    Q("q_multimodal_decode", None,
-      (s, d) => {
-        val feats = decodeFeatures(s, withBinaryPayload(Tables(s, d, "documents")))
-        feats.toDF()
-          .groupBy("channels")
-          .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
-            max("width").as("max_width"), max("height").as("max_height"))
-          .orderBy("channels")
-      })
+        .orderBy("doc_id", "frame_idx"))
   )
 }

@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("image decode is real: PNG round-trip recovers exact dimensions and pixels") {
+    // encode a known 16x16 image, decode through the engine kernel
+    val f = Multimodal.decodeImage(7L, Multimodal.pngBytes(7L))
+    assert(f.decode_ok)
+    assert((f.width, f.height, f.channels) === (16, 16, 3))
+    // PNG is lossless: the luma must equal the luma of the generator's
+    // pixels, computed independently here
+    var expected = 0.0
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val p = ((7L * 1315423911L + x * 2654435761L + y * 97531L) & 0xffffff).toInt
+      expected += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+        0.114 * (p & 0xff)
+    }
+    assert(f.mean_luma === math.rint(expected / 256 * 1000) / 1000)
+  }
+
+  test("undecodable payload records decode_ok=false, never throws (media P4)") {
+    val f = Multimodal.decodeImage(1L, "this is not an image".getBytes)
+    assert(!f.decode_ok && f.n_bytes === 20L)
+    val a = Multimodal.decodeWav(1L, "nor audio".getBytes)
+    assert(!a.decode_ok)
+  }
+
+  test("resize kernel scales for real: dims honored, output is a decodable PNG") {
+    val df = Seq(1L).toDF("doc_id")
+      .withColumn("media", lit(Multimodal.pngBytes(1L)))
+    val r = Multimodal.resizeFeatures(spark, df, targetW = 8).collect().head
+    assert((r.width, r.height, r.target_w, r.target_h) === (16, 16, 8, 8))
+    assert(r.scaled_bytes > 0 && r.scaled_bytes < r.orig_bytes)
+  }
+
+  test("wav decode is real: sample rate, duration, and RMS from the PCM stream") {
+    val a = Multimodal.decodeWav(3L, Multimodal.wavBytes(3L))
+    assert(a.decode_ok)
+    assert(a.sample_rate === 8000 && a.n_channels === 1)
+    assert(a.n_samples === 1600 && a.duration_ms === 200)
+    // a full-scale-12000 sine has RMS ~ 12000/sqrt(2) ~ 8485
+    assert(a.rms > 8000 && a.rms < 9000, a.rms.toString)
+  }
+
+  test("decode pass over a frame: one feature row per doc, all decodable") {
+    val docs = (1L to 20L).toDF("doc_id").withColumn("text", lit("x"))
+    val feats = Multimodal.decodeFeatures(spark,
+      Multimodal.withImagePayload(spark, docs)).collect()
+    assert(feats.length === 20)
+    assert(feats.forall(_.decode_ok))
+    assert(feats.map(_.doc_id).toSet === (1L to 20L).toSet)
+  }
+}
