@@ -88,6 +88,20 @@ object DevProfile {
     val withSig = vDf.select(col("vec_id"), col("v"), array(sigCols: _*).as("bits"))
     time("cos signatures(64 bits)") {
       withSig.write.format("noop").mode("overwrite").save(); 0L }
+
+    // variant: ONE typedLit 2-D plane array + HOF zip_with dot — tiny plan
+    // (1 literal vs 4096), interpreted arithmetic
+    val planeVals: Seq[Seq[Double]] = spark.range(1)
+      .select(array((0 until 64).map(j => plane(j)): _*).as("p"))
+      .head().getSeq[scala.collection.Seq[Double]](0)
+      .map(_.toSeq).toSeq
+    val planesLit = org.apache.spark.sql.functions.typedLit(planeVals)
+    val withSigHof = vDf.select(col("vec_id"), col("v"),
+      transform(planesLit, p =>
+        when(aggregate(zip_with(col("v"), p, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) >= 0, 1L).otherwise(0L)).as("bits"))
+    time("cos signatures HOF-lit") {
+      withSigHof.write.format("noop").mode("overwrite").save(); 0L }
     val withSigP = withSig.persist(); withSigP.count()
     val cbands = withSigP.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(7)),

