@@ -105,6 +105,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("splitBucket is a pure projection: no exchange anywhere in the plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = spark.range(100).toDF("id")
+      .select(graft.llm.Sampling.splitBucket(col("id"), 10).as("b"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"split must not shuffle:\n$p")
+  }
+
+  test("stratifiedTake shuffles exactly once, on the stratum key") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 100L).map(i => (i, s"s${i % 4}")).toDF("id", "stratum")
+    val q = graft.llm.Sampling.stratifiedTake(df, "stratum", col("id"), 5)
+    val p = q.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size === 1, s"one exchange expected:\n$p")
+    assert(p.contains("hashpartitioning(stratum"), s"keyed on stratum:\n$p")
+  }
+
   test("date-partitioned store prunes partitions on a date predicate") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
