@@ -81,20 +81,36 @@ object Fetch {
           conn.disconnect()
           throw new java.io.IOException(s"HTTP $code for $url")
         }
+        val expected = conn.getContentLengthLong // -1 when server omits it
         val in = conn.getInputStream
-        val tmp = new Path(landingDir, s"_inflight.$name")
-        val out = fs.create(tmp, true)
+        // unique temp per attempt: a speculative/retried task for the same
+        // URL must never interleave writes into a shared temp path
+        val tmp = new Path(landingDir,
+          s"_inflight.$name.${java.util.UUID.randomUUID()}")
         var total = 0L
+        var renamed = false
         try {
-          val buf = new Array[Byte](1 << 16)
-          var r = in.read(buf)
-          while (r >= 0) { out.write(buf, 0, r); total += r; r = in.read(buf) }
+          val out = fs.create(tmp, true)
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var r = in.read(buf)
+            while (r >= 0) { out.write(buf, 0, r); total += r; r = in.read(buf) }
+          } finally {
+            out.close()
+            in.close()
+          }
+          // a proxy closing early gives a clean EOF, not an IOException —
+          // without this check a truncated gzip would land and permanently
+          // wedge every later scan of this hour
+          if (expected >= 0 && total != expected)
+            throw new java.io.IOException(
+              s"truncated body: $total of $expected bytes for $url")
+          if (fs.exists(dst)) fs.delete(dst, false)
+          fs.rename(tmp, dst)
+          renamed = true
         } finally {
-          out.close()
-          in.close()
+          if (!renamed && fs.exists(tmp)) fs.delete(tmp, false)
         }
-        if (fs.exists(dst)) fs.delete(dst, false)
-        fs.rename(tmp, dst)
         return FetchStatus(url, dst.toString, total, attempt, ok = true, "")
       } catch {
         case scala.util.control.NonFatal(e) =>

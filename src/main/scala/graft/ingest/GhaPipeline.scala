@@ -214,9 +214,17 @@ object GhaPipeline {
       keyword: String = " dask"): Seq[String] = {
     recoverInflight(spark, storeDir)
     val (start, stop) = resumeRange(spark, storeDir, now, backfillStart)
+    // STRICTLY CONTIGUOUS: the batch halts at the first hour with no landed
+    // file. Skipping a gap would advance the hwm past it, and the
+    // late-published file would then be silently lost forever (hourly
+    // archives publish in order; a hole means "not yet", not "never").
+    // Matches the reference, whose date_range covers every hour and whose
+    // flow fails rather than skips (preprocess.py:193-196, 260-261).
     val hourly = Iterator.iterate(start)(_.plusSeconds(3600))
       .takeWhile(!_.isAfter(stop))
-      .flatMap(h => landedFile(landingDir, h).map((h, _)))
+      .map(h => (h, landedFile(spark, landingDir, h)))
+      .takeWhile(_._2.isDefined)
+      .map { case (h, f) => (h, f.get) }
       .toSeq
     if (hourly.nonEmpty) {
       val lastHour = hourly.last._1
@@ -253,13 +261,18 @@ object GhaPipeline {
 
   /** The landed file for hour `h` if present: plain `.json` (local drops)
     * or `.json.gz` (what `Fetch.download` lands — Spark's text source
-    * decompresses either transparently).
+    * decompresses either transparently). Existence goes through the Hadoop
+    * FileSystem of the landing path, so HDFS/S3 landing dirs — the ones
+    * `Fetch` writes to in production — resolve exactly like local ones.
     */
-  private def landedFile(landingDir: String, h: java.time.Instant)
-      : Option[String] =
+  private def landedFile(spark: SparkSession, landingDir: String,
+      h: java.time.Instant): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val f = markerFs(spark, landingDir)
     Seq(".json", ".json.gz")
       .map(ext => s"$landingDir/${hourStem(h)}$ext")
-      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .find(p => f.exists(new Path(p)))
+  }
 
   /** Full remote-source parity with `workflow(start=None, stop=None)` +
     * `process_file`'s HTTP fetch (`preprocess.py:144-147, 247-266`): derive
@@ -276,27 +289,21 @@ object GhaPipeline {
       backfillStart: java.time.Instant, keyword: String = " dask",
       retries: Int = 10): Seq[String] = {
     recoverInflight(spark, storeDir)
+    // recovery must precede the range read (its rollback affects the
+    // data-watermark fallback); incrementalRun's own recover/resume repeat
+    // is then a pair of O(1) marker reads — only a marker-less legacy
+    // store's first tick ever pays the table-scan fallback twice.
     val (start, stop) = resumeRange(spark, storeDir, now, backfillStart)
     val missing = Iterator.iterate(start)(_.plusSeconds(3600))
       .takeWhile(!_.isAfter(stop))
-      .filter(h => landedFile(landingDir, h).isEmpty)
+      .filter(h => landedFile(spark, landingDir, h).isEmpty)
       .map(h => s"${baseUrl.stripSuffix("/")}/${hourStem(h)}.json.gz")
       .toSeq
     if (missing.nonEmpty)
       Fetch.download(spark, missing, landingDir, retries).collect()
-    // ingest a contiguous prefix only: stop the batch at the first hour
-    // still missing so the watermark never jumps over a failed download
-    val contiguous = Iterator.iterate(start)(_.plusSeconds(3600))
-      .takeWhile(!_.isAfter(stop))
-      .map(h => landedFile(landingDir, h))
-      .takeWhile(_.isDefined)
-      .size
-    if (contiguous == 0) Seq.empty
-    else incrementalRun(spark, landingDir, storeDir,
-      // clamp `now` so the tick's stop bound lands exactly on the end of
-      // the contiguous prefix: nextRange's stop = floor(now) - 1h, so
-      // now = start + contiguous hours gives stop = start + (contiguous-1)
-      now = start.plusSeconds(3600L * contiguous),
-      backfillStart = backfillStart, keyword = keyword)
+    // incrementalRun ingests the strictly-contiguous landed prefix, so a
+    // failed download halts the batch at the gap and the hour is retried
+    // next tick — the watermark never jumps over it
+    incrementalRun(spark, landingDir, storeDir, now, backfillStart, keyword)
   }
 }

@@ -113,32 +113,40 @@ object Multimodal {
   }
 
   case class ResizedMeta(doc_id: Long, orig_bytes: Long, width: Int,
-      height: Int, target_w: Int, target_h: Int, scaled_bytes: Long)
+      height: Int, target_w: Int, target_h: Int, scaled_bytes: Long,
+      decode_ok: Boolean)
 
   /** REAL resize: decode → aspect-preserving bilinear scale on a
     * `Graphics2D` raster → re-encode; `scaled_bytes` is the actual
     * re-encoded size. Narrow, partition-preserving, composes after decode.
+    * Undecodable payloads keep their row with `decode_ok=false` (media P4)
+    * so input and output row counts always reconcile.
     */
   def resizeFeatures(spark: SparkSession, withMedia: DataFrame,
       targetW: Int): Dataset[ResizedMeta] = {
     import spark.implicits._
     spread(spark, withMedia)
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
-          val targetH = math.max(1,
-            (img.getHeight.toLong * targetW / img.getWidth).toInt)
-          val scaled = new BufferedImage(targetW, targetH,
-            BufferedImage.TYPE_INT_RGB)
-          val g = scaled.createGraphics()
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, targetW, targetH, null)
-          g.dispose()
-          val bos = new ByteArrayOutputStream()
-          ImageIO.write(scaled, "png", bos)
-          ResizedMeta(id, bytes.length.toLong, img.getWidth, img.getHeight,
-            targetW, targetH, bos.size.toLong)
+      .mapPartitions(_.map { case (id, bytes) =>
+        (try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+         catch { case scala.util.control.NonFatal(_) => None }) match {
+          case None =>
+            ResizedMeta(id, bytes.length.toLong, 0, 0, targetW, 0, 0L,
+              decode_ok = false)
+          case Some(img) =>
+            val targetH = math.max(1,
+              (img.getHeight.toLong * targetW / img.getWidth).toInt)
+            val scaled = new BufferedImage(targetW, targetH,
+              BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(scaled, "png", bos)
+            ResizedMeta(id, bytes.length.toLong, img.getWidth, img.getHeight,
+              targetW, targetH, bos.size.toLong, decode_ok = true)
         }
       })
   }
@@ -184,8 +192,12 @@ object Multimodal {
       while (buf.remaining() >= 8) {
         val tag = new Array[Byte](4); buf.get(tag)
         val len = buf.getInt
+        // adversarial guard: a negative or over-long chunk length would
+        // otherwise rewind the cursor and spin this loop forever
+        if (len < 0 || len > buf.remaining()) return bad
         new String(tag) match {
           case "fmt " =>
+            if (len < 16) return bad
             val fmt = buf.getShort; channels = buf.getShort
             rate = buf.getInt; buf.getInt; buf.getShort; bits = buf.getShort
             if (fmt != 1 || bits != 16) return bad // PCM16 only

@@ -371,7 +371,8 @@ object VectorOps {
     // silently degrades recall (the exact-cosine verify would hide it), so
     // when the caller doesn't pass `dim`, probe one row for the true width
     val d = if (dim > 0) dim else {
-      val first = corpus.select(size(col("embedding")).as("d")).limit(1).collect()
+      val first = corpus.filter(col("embedding").isNotNull)
+        .select(size(col("embedding")).as("d")).limit(1).collect()
       if (first.isEmpty)
         return corpus.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
           lit(0.0).as("cos")).where(lit(false))

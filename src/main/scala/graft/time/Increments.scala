@@ -83,8 +83,11 @@ object Increments {
     */
   def nextRange(wm: Option[Instant], now: Instant,
       backfillStart: Instant): (Instant, Instant) = {
+    // floor the backfill fallback: every downstream consumer (hourly file
+    // stems, inflight-marker rollback windows) assumes hour-aligned range
+    // bounds, and a 01:30 backfill start would silently shift them all
     val start = wm.map(w => floorHourI(w).plusSeconds(3600))
-      .getOrElse(backfillStart)
+      .getOrElse(floorHourI(backfillStart))
     val stop = floorHourI(now).minusSeconds(3600)
     (start, stop)
   }

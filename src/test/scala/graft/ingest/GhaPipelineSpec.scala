@@ -95,6 +95,33 @@ class GhaPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(TableStore.read(spark, s"$dir/store/comment").count() === 3)
   }
 
+  test("a missing middle hour halts the batch; the late file is never skipped") {
+    import java.time.Instant
+    val base = Paths.get("/root/repo/target/tmp")
+    val dir = Files.createTempDirectory(base, "gha_gap").toString
+    Files.createDirectories(Paths.get(s"$dir/landing"))
+    def commentLine(user: String, h: Int) =
+      s"""{"type":"IssueCommentEvent","actor":{"login":"$user"},"repo":{"name":"r/x"},"created_at":"2024-02-29T0$h:30:00Z","payload":{"issue":{"number":1,"title":"t","created_at":"2024-02-29T01:00:00Z","user":{"login":"x"}},"comment":{"body":"b","author_association":"NONE"}}}"""
+    // hours 1 and 3 landed, hour 2 late: the tick must stop AT the gap —
+    // ingesting hour 3 would advance the hwm past hour 2 and lose it forever
+    Files.write(Paths.get(s"$dir/landing/2024-02-29-1.json"),
+      commentLine("u1", 1).getBytes)
+    Files.write(Paths.get(s"$dir/landing/2024-02-29-3.json"),
+      commentLine("u3", 3).getBytes)
+    val backfill = Instant.parse("2024-02-29T01:00:00Z")
+    val run1 = GhaPipeline.incrementalRun(spark, s"$dir/landing",
+      s"$dir/store", Instant.parse("2024-02-29T05:10:00Z"), backfill)
+    assert(run1.map(_.split('/').last) === Seq("2024-02-29-1.json"))
+    // hour 2 publishes late; the next tick picks up 2 AND the waiting 3
+    Files.write(Paths.get(s"$dir/landing/2024-02-29-2.json"),
+      commentLine("u2", 2).getBytes)
+    val run2 = GhaPipeline.incrementalRun(spark, s"$dir/landing",
+      s"$dir/store", Instant.parse("2024-02-29T05:10:00Z"), backfill)
+    assert(run2.map(_.split('/').last) ===
+      Seq("2024-02-29-2.json", "2024-02-29-3.json"))
+    assert(TableStore.read(spark, s"$dir/store/comment").count() === 3)
+  }
+
   test("crash mid-batch: inflight marker rolls back half-written hours (T4)") {
     import java.time.Instant
     val base = Paths.get("/root/repo/target/tmp")

@@ -28,6 +28,26 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(!f.decode_ok && f.n_bytes === 20L)
     val a = Multimodal.decodeWav(1L, "nor audio".getBytes)
     assert(!a.decode_ok)
+    // resize keeps the row too — input/output counts must reconcile
+    val df = Seq(9L).toDF("doc_id")
+      .withColumn("media", lit("junk bytes".getBytes))
+    val r = Multimodal.resizeFeatures(spark, df, targetW = 8).collect()
+    assert(r.length === 1 && !r.head.decode_ok)
+  }
+
+  test("adversarial RIFF chunk lengths terminate, recorded as bad (no infinite loop)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // valid RIFF/WAVE preamble, then a chunk claiming length -8: the naive
+    // cursor math would rewind and spin forever
+    val buf = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(16).put("WAVE".getBytes)
+    buf.put("JUNK".getBytes).putInt(-8)
+    assert(!Multimodal.decodeWav(1L, buf.array()).decode_ok)
+    // and an over-long claimed chunk
+    val buf2 = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    buf2.put("RIFF".getBytes).putInt(16).put("WAVE".getBytes)
+    buf2.put("data".getBytes).putInt(1 << 30)
+    assert(!Multimodal.decodeWav(1L, buf2.array()).decode_ok)
   }
 
   test("resize kernel scales for real: dims honored, output is a decodable PNG") {
