@@ -77,11 +77,12 @@ object VectorOps {
     *
     * At 100 TB: the only shuffles are (band_idx, band_hash) — a few longs
     * per doc — and the candidate-pair joins back to shingle sets; no
-    * all-pairs stage anywhere.
+    * all-pairs stage anywhere. `maxBucket` is the skew guard for hot
+    * buckets (see [[capBuckets]]).
     */
   def minhashPairsNative(docs: DataFrame, threshold: Double,
       nBands: Int = 8, rowsPerBand: Int = 8,
-      exactVerify: Boolean = false): DataFrame = {
+      exactVerify: Boolean = false, maxBucket: Int = 0): DataFrame = {
     val nPerm = nBands * rowsPerBand
     val n = 3
     val par = docs.sparkSession.sparkContext.defaultParallelism
@@ -112,11 +113,11 @@ object VectorOps {
       transform(sequence(lit(0), lit(nPerm - 1)),
         i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sig.select(col("doc_id"),
+    val bands = capBuckets(sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         j => xxhash64(
           slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand)), j))))
-      .toDF("doc_id", "band_idx", "band_hash")
+      .toDF("doc_id", "band_idx", "band_hash"), maxBucket)
     val candidates = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -245,6 +246,25 @@ object VectorOps {
     if (n == 0.0) c else c.map(_ / n)
   }
 
+  /** Skew guard for banded LSH: drop band buckets holding more than
+    * `maxBucket` members before the within-bucket self-join. All-pairs
+    * inside a bucket is quadratic, and at corpus scale one boilerplate
+    * template repeated a million times turns a single bucket into 10^12
+    * candidate pairs — the classic LSH-dedup hot-key. Oversized buckets are
+    * near-exact duplicates by construction (every band agrees), which the
+    * L1 exact-dedup pass already resolves at linear cost, so capping trades
+    * no real recall. One count-window shuffle on the band key — the same
+    * partitioning the self-join needs, so the exchange is reused.
+    * `maxBucket <= 0` disables the cap.
+    */
+  private def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) bands
+    else {
+      val w = Window.partitionBy("band_idx", "band_hash")
+      bands.withColumn("_bn", count(lit(1)).over(w))
+        .filter(col("_bn") <= maxBucket).drop("_bn")
+    }
+
   /** Deterministic hyperplane component (j, k) in [-1, 1]: the public
     * SplitMix64 finalizer over the packed indices — no RNG state, identical
     * on every executor and every JVM.
@@ -365,7 +385,8 @@ object VectorOps {
     * bucket shuffle; embeddings are touched again only for candidate pairs.
     */
   def cosinePairsNative(corpus: DataFrame, cosThreshold: Double,
-      nBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 0): DataFrame = {
+      nBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 0,
+      maxBucket: Int = 0): DataFrame = {
     val nBits = nBands * bitsPerBand
     // hyperplanes must span the full embedding width: hashing only a prefix
     // silently degrades recall (the exact-cosine verify would hide it), so
@@ -403,11 +424,11 @@ object VectorOps {
     val withSig = vDf
       .select(col("vec_id"), col("v"), array(sigCols: _*).as("bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = withSig.select(col("vec_id"),
+    val bands = capBuckets(withSig.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         j => xxhash64(slice(col("bits"), j * bitsPerBand + 1,
           lit(bitsPerBand)), j))))
-      .toDF("vec_id", "band_idx", "band_hash")
+      .toDF("vec_id", "band_idx", "band_hash"), maxBucket)
     val candidates = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -66,6 +66,23 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.head._3 > 0.8) // exact jaccard of the planted pair
   }
 
+  test("maxBucket caps the boilerplate hot bucket; distinct near-dups still found") {
+    // 20 byte-identical boilerplate docs (every band agrees -> one bucket of
+    // 20 = 190 quadratic pairs) + one planted distinct near-dup pair
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val docs = ((1L to 20L).map(i => (i, boiler)) ++
+      Seq((100L, base), (101L, base + " extra"))).toDF("doc_id", "text")
+    val capped = VectorOps.minhashPairsNative(docs, 0.5, maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the planted pair survives; the capped boilerplate bucket emits nothing
+    // (exact dedup is the linear-cost path for byte-identical copies)
+    assert(capped === Set((100L, 101L)))
+    val uncapped = VectorOps.minhashPairsNative(docs, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 190 + 1) // all boilerplate pairs + planted
+  }
+
   test("native and MLlib minhash agree on the planted pair (cross-check)") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = Seq(
