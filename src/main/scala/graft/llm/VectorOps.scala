@@ -479,7 +479,8 @@ object VectorOps {
 
     // ---- L2: banded MinHash-LSH near-dup pairs (approx: rows-only check) ------
     Q("q_dedup_minhash", None,
-      (s, d) => minhashPairsNative(Tables(s, d, "documents"), 0.5)
+      (s, d) => minhashPairsNative(Tables(s, d, "documents"), 0.5,
+          maxBucket = 1000)
         .orderBy("id_a", "id_b")),
 
     // ---- L2: pairs -> connected components -> keep/drop decision ---------------
@@ -487,7 +488,8 @@ object VectorOps {
     // rows-only check, transitivity proven in TextOpsSpec)
     Q("q_dedup_resolve", None,
       (s, d) => TextOps.dedupClusters(
-        minhashPairsNative(Tables(s, d, "documents"), 0.5))
+        minhashPairsNative(Tables(s, d, "documents"), 0.5,
+          maxBucket = 1000))
         .orderBy("doc_id")),
 
     // ---- L3: IVF-bucketed ANN (approx: rows-only check) ------------------------
@@ -513,7 +515,8 @@ object VectorOps {
     // cosine is ~0.45, so 0.35 marks the "suspiciously close" tail; output
     // cosines are EXACT — LSH only prunes the candidate set)
     Q("q_embed_neardup", None,
-      (s, d) => cosinePairsNative(Tables(s, d, "embeddings"), 0.35)
+      (s, d) => cosinePairsNative(Tables(s, d, "embeddings"), 0.35,
+        maxBucket = 1000)
         .orderBy("id_a", "id_b"))
   )
 }
