@@ -94,10 +94,6 @@ object Increments {
 
   private def floorHourI(i: Instant): Instant =
     Instant.ofEpochSecond(i.getEpochSecond / 3600 * 3600)
-  private def ceilHourI(i: Instant): Instant = {
-    val f = floorHourI(i)
-    if (f == i) i else f.plusSeconds(3600)
-  }
 
   /** S10/F8/F9: one GH-Archive URL per hour in [start, stop] — the Spark
     * form of `pd.date_range(freq="1h")` + f-string
