@@ -4,11 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only scale probe (not part of the driver contract): replicates the
-  * sf0.1 fixtures 5x / 10x with per-copy mutations and times the LSH dedup
-  * stack at each size, to MEASURE how the hot operators scale instead of
-  * guessing. Copies get a distinct leading token (text) / a small constant
-  * shift (embeddings), so replication grows the corpus without creating
-  * cross-copy near-duplicates — candidate density stays realistic.
+  * sf0.1 fixtures 5x / 10x and times the LSH dedup stack at each size, to
+  * MEASURE how the hot operators scale instead of guessing.
+  *
+  * NOTE the replication is a HEAVY-DUPLICATION stress, not a
+  * realistic-density corpus: a one-token prefix shifts only one 3-shingle,
+  * so every cross-copy pair remains a true near-dup and verified pairs grow
+  * ~quadratically in the copy count (255 → 247k at 10x). That is the point
+  * — the probe shows runtime tracking corpus size ~linearly even while the
+  * true-pair count explodes, i.e. the verify stage is the only quadratic
+  * touchpoint and it is bounded by real duplicate density.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {

@@ -40,10 +40,14 @@ object Fetch {
       retries: Int = 10, backoffMs: Long = 500L): DataFrame = {
     import spark.implicits._
     if (urls.isEmpty) return spark.emptyDataset[FetchStatus].toDF()
-    spark.sparkContext
+    // EAGER: the map has side effects, and a lazy RDD-backed frame would
+    // silently re-download every URL on each action a caller runs on the
+    // status report. One execution, pinned; the result is #URLs rows.
+    val statuses = spark.sparkContext
       .parallelize(urls, urls.size)
       .map(u => fetchOne(u, landingDir, retries, backoffMs))
-      .toDF()
+      .collect()
+    statuses.toSeq.toDF()
   }
 
   /** URL list for [start, stop] hours → download → status frame. The URL
@@ -106,7 +110,11 @@ object Fetch {
             throw new java.io.IOException(
               s"truncated body: $total of $expected bytes for $url")
           if (fs.exists(dst)) fs.delete(dst, false)
-          fs.rename(tmp, dst)
+          // Hadoop rename reports several failures by returning false, not
+          // throwing — unchecked, a lost rename would record ok=true with
+          // no file landed
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"rename failed: $tmp -> $dst")
           renamed = true
         } finally {
           if (!renamed && fs.exists(tmp)) fs.delete(tmp, false)

@@ -111,7 +111,8 @@ object GhaPipeline {
     try out.write(v.getBytes("UTF-8")) finally out.close()
     val dst = new Path(path)
     if (f.exists(dst)) f.delete(dst, false)
-    f.rename(tmp, dst)
+    if (!f.rename(tmp, dst)) // Hadoop rename fails by returning false
+      throw new java.io.IOException(s"marker rename failed: $tmp -> $dst")
   }
 
   private def readMarker(spark: SparkSession, path: String): Option[String] = {
@@ -279,31 +280,65 @@ object GhaPipeline {
     * the resume range, DOWNLOAD the missing hourly `.json.gz` files from
     * `baseUrl` (distributed, retried — `Fetch.download`), then run the
     * normal incremental tick over the landing dir. Hours whose download
-    * fails after retry exhaustion are skipped THIS tick and retried next
-    * tick (the hwm only advances through ingested hours, and an ingested
-    * batch never spans a gap: the batch stops at the first missing hour so
-    * a late-published file can never be skipped forever).
+    * fails after retry exhaustion are retried next tick (the hwm only
+    * advances through ingested hours, and an ingested batch never spans a
+    * gap: it stops at the first missing hour so a late-published file can
+    * never be skipped).
+    *
+    * Two failure policies on top:
+    *  - PERMANENT GAPS: real archives have hours that will never exist
+    *    (outages). An hour that still 404s `gapGraceHours` after its
+    *    publish time is recorded as an EMPTY landing file — the tombstone
+    *    makes the range contiguous again so the watermark can advance past
+    *    it. 5xx/timeouts never tombstone (the upstream may be down, not
+    *    the hour absent).
+    *  - DEAD UPSTREAM: if every download of a tick failed AND nothing got
+    *    ingested, the tick throws, so `Serve.loop`'s exponential backoff
+    *    actually engages (recorded-not-thrown failures would otherwise
+    *    look like a clean idle tick and hot-spin the hourly loop).
     */
   def fetchAndRun(spark: SparkSession, baseUrl: String, landingDir: String,
       storeDir: String, now: java.time.Instant,
       backfillStart: java.time.Instant, keyword: String = " dask",
-      retries: Int = 10): Seq[String] = {
+      retries: Int = 10, gapGraceHours: Int = 48): Seq[String] = {
     recoverInflight(spark, storeDir)
     // recovery must precede the range read (its rollback affects the
     // data-watermark fallback); incrementalRun's own recover/resume repeat
     // is then a pair of O(1) marker reads — only a marker-less legacy
     // store's first tick ever pays the table-scan fallback twice.
     val (start, stop) = resumeRange(spark, storeDir, now, backfillStart)
-    val missing = Iterator.iterate(start)(_.plusSeconds(3600))
-      .takeWhile(!_.isAfter(stop))
-      .filter(h => landedFile(spark, landingDir, h).isEmpty)
-      .map(h => s"${baseUrl.stripSuffix("/")}/${hourStem(h)}.json.gz")
-      .toSeq
-    if (missing.nonEmpty)
-      Fetch.download(spark, missing, landingDir, retries).collect()
-    // incrementalRun ingests the strictly-contiguous landed prefix, so a
-    // failed download halts the batch at the gap and the hour is retried
-    // next tick — the watermark never jumps over it
-    incrementalRun(spark, landingDir, storeDir, now, backfillStart, keyword)
+    val missing: Seq[(java.time.Instant, String)] =
+      Iterator.iterate(start)(_.plusSeconds(3600))
+        .takeWhile(!_.isAfter(stop))
+        .filter(h => landedFile(spark, landingDir, h).isEmpty)
+        .map(h => (h, s"${baseUrl.stripSuffix("/")}/${hourStem(h)}.json.gz"))
+        .toSeq
+    var allFailed = false
+    if (missing.nonEmpty) {
+      val st = Fetch.download(spark, missing.map(_._2), landingDir, retries)
+        .collect()
+      val failed = st.filter(!_.getAs[Boolean]("ok"))
+      allFailed = failed.length == missing.length
+      val hourOf = missing.map { case (h, u) => u -> h }.toMap
+      // grace counts from the hour's PUBLISH time (file H appears at H+1h),
+      // so hour H is past grace when H + 1h + grace < now
+      val cutoff = now.minusSeconds(3600L * (gapGraceHours + 1))
+      failed.iterator
+        .filter(_.getAs[String]("error").contains("HTTP 404"))
+        .map(r => hourOf(r.getAs[String]("url")))
+        .filter(_.isBefore(cutoff))
+        .foreach { h =>
+          val f = markerFs(spark, landingDir)
+          f.create(new org.apache.hadoop.fs.Path(
+            s"$landingDir/${hourStem(h)}.json"), true).close()
+        }
+    }
+    val ingested =
+      incrementalRun(spark, landingDir, storeDir, now, backfillStart, keyword)
+    if (ingested.isEmpty && allFailed)
+      throw new java.io.IOException(
+        s"all ${missing.size} downloads failed and nothing ingested " +
+          s"(upstream unreachable or lagging): ${missing.head._2} ...")
+    ingested
   }
 }

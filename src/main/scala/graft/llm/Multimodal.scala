@@ -85,16 +85,22 @@ object Multimodal {
       if (img == null)
         MediaFeatures(id, bytes.length.toLong, 0, 0, 0, 0.0, decode_ok = false)
       else {
+        // bulk getRGB: one colorspace-converted copy of the raster — the
+        // per-pixel getRGB(x, y) path converts and bounds-checks per call,
+        // ~10x slower on non-INT_RGB rasters (every JPEG decode)
+        val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var luma = 0.0
-        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
-          val p = img.getRGB(x, y)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
           luma += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
             0.114 * (p & 0xff)
+          i += 1
         }
-        val n = img.getWidth.toLong * img.getHeight
-        MediaFeatures(id, bytes.length.toLong, img.getWidth, img.getHeight,
+        MediaFeatures(id, bytes.length.toLong, w, h,
           img.getRaster.getNumBands,
-          math.rint(luma / n * 1000) / 1000, decode_ok = true)
+          math.rint(luma / px.length * 1000) / 1000, decode_ok = true)
       }
     } catch {
       case scala.util.control.NonFatal(_) =>
@@ -188,32 +194,42 @@ object Multimodal {
       val wave = new Array[Byte](4); buf.get(wave)
       if (new String(riff) != "RIFF" || new String(wave) != "WAVE") return bad
       var rate = 0; var channels = 0; var bits = 0
-      var rms = 0.0; var nSamples = 0L
+      var rms = 0.0; var frames = 0L
       while (buf.remaining() >= 8) {
         val tag = new Array[Byte](4); buf.get(tag)
         val len = buf.getInt
         // adversarial guard: a negative or over-long chunk length would
         // otherwise rewind the cursor and spin this loop forever
         if (len < 0 || len > buf.remaining()) return bad
+        // RIFF pads odd-sized chunks with one byte NOT counted in `len`
+        // (odd-length LIST/INFO metadata is common in real WAVs); every
+        // branch advances to chunkStart + len + pad, clamped to the buffer
+        val chunkStart = buf.position()
+        val next = math.min(chunkStart + len + (len & 1), buf.limit())
         new String(tag) match {
           case "fmt " =>
             if (len < 16) return bad
             val fmt = buf.getShort; channels = buf.getShort
             rate = buf.getInt; buf.getInt; buf.getShort; bits = buf.getShort
             if (fmt != 1 || bits != 16) return bad // PCM16 only
-            buf.position(buf.position() + len - 16)
           case "data" =>
             val n = len / 2
             var acc = 0.0
             for (_ <- 0 until n) { val s = buf.getShort.toDouble; acc += s * s }
             rms = math.rint(math.sqrt(acc / math.max(n, 1)) * 100) / 100
-            nSamples = n.toLong / math.max(channels, 1)
-          case _ => buf.position(buf.position() + len)
+            frames = n.toLong // per-channel division deferred until fmt known
+          case _ => ()
         }
+        buf.position(next)
       }
-      if (rate == 0) bad
-      else AudioFeatures(id, bytes.length.toLong, rate, channels, nSamples,
-        nSamples * 1000L / rate, rms, decode_ok = true)
+      // divide AFTER the walk: a (malformed) data-before-fmt file must not
+      // silently divide by the not-yet-known channel count
+      if (rate == 0 || channels == 0) bad
+      else {
+        val nSamples = frames / channels
+        AudioFeatures(id, bytes.length.toLong, rate, channels, nSamples,
+          nSamples * 1000L / rate, rms, decode_ok = true)
+      }
     } catch { case scala.util.control.NonFatal(_) => bad }
   }
 

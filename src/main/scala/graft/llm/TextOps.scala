@@ -435,10 +435,14 @@ object TextOps {
         |    '$EmailRe', '<EMAIL>', 'g'),
         |    '$UrlRe', '<URL>', 'g') <> text) AS changed
         |FROM documents ORDER BY doc_id""".stripMargin),
-      (s, d) => Tables(s, d, "documents").select(
-        col("doc_id"),
-        redact(col("text")).as("clean"),
-        (redact(col("text")) =!= col("text")).as("changed"))
+      (s, d) => Tables(s, d, "documents")
+        // two-stage select: `clean` is referenced twice below, and a
+        // multi-referenced non-cheap alias is exactly what CollapseProject
+        // refuses to inline — so the two-regexp chain runs once per row,
+        // not twice
+        .select(col("doc_id"), col("text"), redact(col("text")).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          (col("clean") =!= col("text")).as("changed"))
         .orderBy("doc_id"))
   )
 }

@@ -145,6 +145,45 @@ class FetchSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("permanently missing hour is tombstoned after the grace period; recent hours are not") {
+    import java.time.Instant
+    def commentLine(user: String, h: Int) =
+      s"""{"type":"IssueCommentEvent","actor":{"login":"$user"},"repo":{"name":"r/x"},"created_at":"2024-02-29T0$h:30:00Z","payload":{"issue":{"number":1,"title":"t","created_at":"2024-02-29T01:00:00Z","user":{"login":"x"}},"comment":{"body":"b","author_association":"NONE"}}}"""
+    // hours 1 and 3 exist; 2 and 4 are permanently absent (404); 5..6 are
+    // recent enough to still be within the publish grace
+    withServer(Map(
+      "/2024-02-29-1.json.gz" -> gzip(commentLine("u1", 1)),
+      "/2024-02-29-3.json.gz" -> gzip(commentLine("u3", 3)))) { base =>
+      val dir = tmpDir()
+      val run = GhaPipeline.fetchAndRun(spark, base, s"$dir/landing",
+        s"$dir/store", Instant.parse("2024-02-29T07:10:00Z"),
+        Instant.parse("2024-02-29T01:00:00Z"), retries = 1,
+        gapGraceHours = 2) // cutoff = 05:10 -> hours 2 and 4 are past grace
+      // gap hours 2 and 4 became empty tombstones, so the contiguous batch
+      // runs 1..4 and halts at hour 5 (missing but within grace)
+      assert(run.map(_.split('/').last) === Seq("2024-02-29-1.json.gz",
+        "2024-02-29-2.json", "2024-02-29-3.json.gz", "2024-02-29-4.json"))
+      assert(TableStore.read(spark, s"$dir/store/comment",
+        graft.schema.GhaSchemas.curated("comment")).count() === 2)
+      // the watermark advanced past the permanent gaps
+      assert(GhaPipeline.readHwm(spark, s"$dir/store")
+        === Some(Instant.parse("2024-02-29T04:00:00Z")))
+    }
+  }
+
+  test("dead upstream: all downloads fail, nothing ingested -> tick throws for backoff") {
+    import java.time.Instant
+    withServer(Map.empty) { base =>
+      val dir = tmpDir()
+      val e = intercept[java.io.IOException] {
+        GhaPipeline.fetchAndRun(spark, base, s"$dir/landing",
+          s"$dir/store", Instant.parse("2024-02-29T03:10:00Z"),
+          Instant.parse("2024-02-29T01:00:00Z"), retries = 1)
+      }
+      assert(e.getMessage.contains("downloads failed"))
+    }
+  }
+
   test("re-download overwrites idempotently (re-run safety)") {
     withServer(Map("/2024-02-29-5.json.gz" -> gzip(Fixture.good.head))) { base =>
       val dir = tmpDir()

@@ -35,6 +35,22 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(r.length === 1 && !r.head.decode_ok)
   }
 
+  test("odd-length RIFF metadata chunk (padded per spec) doesn't derail the walk") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // spec-valid WAV: fmt, then an odd-length LIST chunk + pad byte, then data
+    val wav = Multimodal.wavBytes(3L)
+    val listBody = "INFOx".getBytes // 5 bytes, odd
+    val out = ByteBuffer.allocate(wav.length + 8 + 6).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(wav, 0, 36) // RIFF header + fmt chunk
+    out.put("LIST".getBytes).putInt(5).put(listBody).put(0.toByte) // pad
+    out.put(wav, 36, wav.length - 36) // data chunk
+    // fix up the RIFF size field
+    out.putInt(4, wav.length - 8 + 14)
+    val a = Multimodal.decodeWav(3L, out.array())
+    assert(a.decode_ok)
+    assert(a.n_samples === 1600 && a.duration_ms === 200)
+  }
+
   test("adversarial RIFF chunk lengths terminate, recorded as bad (no infinite loop)") {
     import java.nio.{ByteBuffer, ByteOrder}
     // valid RIFF/WAVE preamble, then a chunk claiming length -8: the naive
