@@ -151,16 +151,27 @@ object TableStore {
     }
   }
 
-  /** S8+S9: compact to one file per date partition in a NEW generation, then
-    * vacuum everything older than the generation being superseded
-    * (`preprocess.py:199-206`). Returns (filesBefore, filesAfter).
+  /** S8+S9: compact each date partition to ~`targetFileBytes`-sized files
+    * in a NEW generation, then vacuum everything older than the generation
+    * being superseded (`preprocess.py:199-206`). Returns
+    * (filesBefore, filesAfter).
+    *
+    * File sizing is the Delta-OPTIMIZE bin-pack analog: a date holding B
+    * bytes gets ceil(B / targetFileBytes) buckets, rows spread across them
+    * by hash, one file per bucket. "One file per partition" would be a
+    * single task serially writing one 300 GB file for a hot date at corpus
+    * scale — both the write parallelism and the resulting file must be
+    * bounded by target size, not by partition size. Small partitions (the
+    * common case) still compact to exactly one file.
     *
     * The swap is committed by the `_SUCCESS` of the new generation (written
     * last); the source generation survives until the next compaction so
     * concurrent readers never lose files mid-scan.
     */
   def compact(spark: SparkSession, dir: String,
-      schema: Option[StructType] = None): (Long, Long) = {
+      schema: Option[StructType] = None,
+      targetFileBytes: Long = 512L * 1024 * 1024): (Long, Long) = {
+    import org.apache.spark.sql.functions._
     val cur = currentGeneration(spark, dir)
     val srcDir = cur.map(_._2).getOrElse(dir)
     val nextN = cur.map(_._1 + 1).getOrElse(0)
@@ -168,16 +179,55 @@ object TableStore {
     val tgt = s"$dir/g$nextN"
     val reader = schema.fold(spark.read)(s => spark.read.schema(s))
     val df = reader.parquet(srcDir)
-    // hash-repartition on the partition column: every date lands wholly in
-    // one task, so partitionBy("date") emits exactly one file per date.
-    // Parallelism scales with #dates, and untouched data never moves twice.
-    // static mode regardless of session conf: the fresh generation dir must
-    // get its committer-written _SUCCESS, which is what makes it visible.
-    df.repartition(df.col("date"))
+    // per-date byte sizes from the source listing (metadata-only), joined
+    // in as a broadcast — a literal when-chain over thousands of dates
+    // would bloat the plan
+    val sizes = dateSizes(spark, srcDir)
+    val nbDf = broadcast(spark.createDataFrame(sizes.toSeq.map { case (d, b) =>
+      (d, math.max(1L, (b + targetFileBytes - 1) / targetFileBytes))
+    }).toDF("_d", "_nb"))
+    val bucketed = df
+      .join(nbDf, df.col("date").cast("string") === col("_d"), "left")
+      .withColumn("_b", pmod(xxhash64(monotonically_increasing_id()),
+        coalesce(col("_nb"), lit(1L))))
+    // every (date, bucket) lands wholly in one task; partitionBy("date")
+    // then emits one file per bucket. The partition count is EXPLICIT —
+    // a column-only repartition is subject to AQE coalescing, which at
+    // small scale merges all buckets back into one task and silently
+    // undoes the bin-packing (2x the bucket count keeps same-date hash
+    // collisions — which merge two buckets into one bigger file — rare).
+    // Static mode regardless of session conf: the fresh generation dir
+    // must get its committer-written _SUCCESS, which makes it visible.
+    val totalBuckets = math.max(1L,
+      sizes.values.map(b => math.max(1L,
+        (b + targetFileBytes - 1) / targetFileBytes)).sum)
+    bucketed.repartition((totalBuckets * 2).min(20000).toInt,
+        col("date"), col("_b"))
+      .drop("_d", "_nb", "_b")
       .write.mode("overwrite").partitionBy("date")
       .option("partitionOverwriteMode", "static").parquet(tgt)
     vacuum(spark, dir, keepFrom = nextN - 1)
     (before, listParquet(spark, tgt).size.toLong)
+  }
+
+  /** Bytes per `date=` partition of a data dir (driver-side listing). */
+  private def dateSizes(spark: SparkSession, dataDir: String)
+      : Map[String, Long] = {
+    val f = fs(spark, dataDir)
+    val root = new Path(dataDir)
+    if (!f.exists(root)) Map.empty
+    else f.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .map { s =>
+        val it = f.listFiles(s.getPath, true)
+        var bytes = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            bytes += st.getLen
+        }
+        (s.getPath.getName.stripPrefix("date="), bytes)
+      }.toMap
   }
 
   /** Delete generations below `keepFrom` plus, once generations exist,

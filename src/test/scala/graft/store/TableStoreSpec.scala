@@ -56,6 +56,28 @@ class TableStoreSpec extends AnyFunSuite with SparkFixture {
     assert(TableStore.dataFiles(spark, dir).size === 2)
   }
 
+  test("compact bin-packs to the target file size: hot partitions split, small ones stay single") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-01-01", 0 until 2000), dir)
+    TableStore.append(mkBatch("2024-01-02", 0 until 10), dir)
+    val hotBytes = TableStore.dataFiles(spark, dir)
+      .filter(_.contains("date=2024-01-01"))
+      .map(f => java.nio.file.Files.size(
+        java.nio.file.Paths.get(f.stripPrefix("file:")))).sum
+    // target ~1/4 of the hot partition -> expect ~4 files there, 1 for the
+    // small one (a single task writing one partition-sized file would be
+    // the scale bottleneck this guards against)
+    val (_, after) = TableStore.compact(spark, dir,
+      targetFileBytes = math.max(1L, hotBytes / 4))
+    val files = TableStore.dataFiles(spark, dir)
+    val hot = files.count(_.contains("date=2024-01-01"))
+    val small = files.count(_.contains("date=2024-01-02"))
+    assert(hot >= 3 && hot <= 5, s"expected ~4 hot files, got $hot")
+    assert(small === 1)
+    assert(after === files.size.toLong)
+    assert(TableStore.read(spark, dir).count() === 2010)
+  }
+
   test("compaction swap keeps the superseded generation alive for in-flight readers") {
     val dir = tmpDir() + "/t"
     TableStore.append(mkBatch("2024-01-01", 0 until 10), dir)
