@@ -14,8 +14,9 @@ import org.apache.spark.sql.types.StructType
   *
   *  - append/overwrite writers partitioned by `date` — partition pruning on
   *    any date-bounded query is free (`PartitioningAwareFileIndex`);
-  *  - compaction = read → `repartition(n)` → write into a NEW generation
-  *    directory (the Spark-native analog of Delta OPTIMIZE);
+  *  - compaction = read → bin-pack each date to ~target-sized files →
+  *    write into a NEW generation directory (the Spark-native analog of
+  *    Delta OPTIMIZE);
   *  - vacuum = removal of generations older than the previous one.
   *
   * Generations replace the Delta tx log's snapshot isolation for the one

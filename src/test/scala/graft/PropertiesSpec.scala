@@ -68,6 +68,43 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("redact is idempotent and non-sensitive text is a fixed point (L5 law)") {
+    val piiWord = Gen.oneOf("x", "see", "bob.smith+1@corp.co.uk",
+      "https://ex.com/a?b=1", "plain", "a@b.io", "http://t.co/q")
+    val piiText = Gen.listOfN(6, piiWord).map(_.mkString(" "))
+    val df = samples(piiText, 15).toDF("text")
+    val once = df.select($"text", TextOps.redact($"text").as("r1"))
+    val twice = once.select($"text", $"r1",
+      TextOps.redact($"r1").as("r2")).as[(String, String, String)].collect()
+    twice.foreach { case (t, r1, r2) =>
+      assert(r1 === r2, s"not idempotent on: $t") // placeholders never re-match
+      assert(!r1.contains("@") || r1.contains("<EMAIL>") === t.contains("@"))
+    }
+  }
+
+  test("splitBucket totality and stability: every row gets the same bucket in [0,n) on re-run (L6 law)") {
+    val ids = samples(Gen.choose(Long.MinValue + 1, Long.MaxValue), 30)
+    val df = ids.toDF("id")
+    def buckets() = df
+      .select($"id", graft.llm.Sampling.splitBucket($"id", 7).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val b1 = buckets(); val b2 = buckets()
+    assert(b1 === b2)
+    assert(b1.values.forall(b => b >= 0 && b < 7)) // pmod: total, never negative
+  }
+
+  test("media round-trip: every generated payload decodes with exact invariants (L4 law)") {
+    for (id <- samples(Gen.choose(0L, 1000000L), 10)) {
+      val img = graft.llm.Multimodal.decodeImage(id,
+        graft.llm.Multimodal.pngBytes(id))
+      assert(img.decode_ok && img.width === 16 && img.height === 16)
+      val wav = graft.llm.Multimodal.decodeWav(id,
+        graft.llm.Multimodal.wavBytes(id))
+      assert(wav.decode_ok && wav.duration_ms === 200 && wav.sample_rate === 8000)
+      assert(wav.rms > 0) // a sine is never silent
+    }
+  }
+
   test("watermark monotonicity: appending newer data never lowers it (T1 law)") {
     val dir = "/root/repo/target/tmp/wm_prop_" + System.nanoTime()
     def write(h: Int) = Seq(s"2024-02-29 0$h:00:00").toDF("s")
