@@ -136,17 +136,22 @@ object TableStore {
   def dataFiles(spark: SparkSession, dir: String): Seq[String] =
     listParquet(spark, resolveDataDir(spark, dir))
 
-  private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
+  private def listParquet(spark: SparkSession, dir: String): Seq[String] =
+    listParquetStatus(spark, dir).map(_._1)
+
+  /** Recursive (path, bytes) of every parquet data file under `dir`. */
+  private def listParquetStatus(spark: SparkSession, dir: String)
+      : Seq[(String, Long)] = {
     val f = fs(spark, dir)
     val p = new Path(dir)
     if (!f.exists(p)) Seq.empty
     else {
       val it = f.listFiles(p, true)
-      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
       while (it.hasNext) {
         val s = it.next()
         if (s.isFile && s.getPath.getName.endsWith(".parquet"))
-          out += s.getPath.toString
+          out += ((s.getPath.toString, s.getLen))
       }
       out.toSeq
     }
@@ -173,24 +178,40 @@ object TableStore {
       schema: Option[StructType] = None,
       targetFileBytes: Long = 512L * 1024 * 1024): (Long, Long) = {
     import org.apache.spark.sql.functions._
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
     val cur = currentGeneration(spark, dir)
     val srcDir = cur.map(_._2).getOrElse(dir)
     val nextN = cur.map(_._1 + 1).getOrElse(0)
-    val before = listParquet(spark, srcDir).size.toLong
+    // ONE recursive listing drives everything: the before-count AND the
+    // per-date byte totals (keyed by the unescaped partition value, so an
+    // escaped char in a dir name still matches the column's string form)
+    val files = listParquetStatus(spark, srcDir)
+    val before = files.size.toLong
+    val DateSeg = ".*/date=([^/]+)/.*".r
+    val bucketsFor: Map[String, Long] = files
+      .flatMap { case (p, len) => p match {
+        case DateSeg(d) => Some(unescapePath(d) -> len)
+        case _ => None
+      }}
+      .groupMapReduce(_._1)(_._2)(_ + _)
+      .view.mapValues(b =>
+        math.max(1L, (b + targetFileBytes - 1) / targetFileBytes))
+      .toMap
     val tgt = s"$dir/g$nextN"
     val reader = schema.fold(spark.read)(s => spark.read.schema(s))
     val df = reader.parquet(srcDir)
-    // per-date byte sizes from the source listing (metadata-only), joined
-    // in as a broadcast — a literal when-chain over thousands of dates
-    // would bloat the plan
-    val sizes = dateSizes(spark, srcDir)
-    val nbDf = broadcast(spark.createDataFrame(sizes.toSeq.map { case (d, b) =>
-      (d, math.max(1L, (b + targetFileBytes - 1) / targetFileBytes))
-    }).toDF("_d", "_nb"))
+    // bucket counts joined in as a broadcast — a literal when-chain over
+    // thousands of dates would bloat the plan. Internal columns carry an
+    // improbable prefix: a user table with a column of the same name would
+    // otherwise be silently overwritten and dropped from the output.
+    val dCol = "__graft_compact_d"; val nbCol = "__graft_compact_nb"
+    val bCol = "__graft_compact_b"
+    val nbDf = broadcast(spark
+      .createDataFrame(bucketsFor.toSeq).toDF(dCol, nbCol))
     val bucketed = df
-      .join(nbDf, df.col("date").cast("string") === col("_d"), "left")
-      .withColumn("_b", pmod(xxhash64(monotonically_increasing_id()),
-        coalesce(col("_nb"), lit(1L))))
+      .join(nbDf, df.col("date").cast("string") === col(dCol), "left")
+      .withColumn(bCol, pmod(xxhash64(monotonically_increasing_id()),
+        coalesce(col(nbCol), lit(1L))))
     // every (date, bucket) lands wholly in one task; partitionBy("date")
     // then emits one file per bucket. The partition count is EXPLICIT —
     // a column-only repartition is subject to AQE coalescing, which at
@@ -199,36 +220,32 @@ object TableStore {
     // collisions — which merge two buckets into one bigger file — rare).
     // Static mode regardless of session conf: the fresh generation dir
     // must get its committer-written _SUCCESS, which makes it visible.
-    val totalBuckets = math.max(1L,
-      sizes.values.map(b => math.max(1L,
-        (b + targetFileBytes - 1) / targetFileBytes)).sum)
+    val totalBuckets = math.max(1L, bucketsFor.values.sum)
     bucketed.repartition((totalBuckets * 2).min(20000).toInt,
-        col("date"), col("_b"))
-      .drop("_d", "_nb", "_b")
+        col("date"), col(bCol))
+      .drop(dCol, nbCol, bCol)
       .write.mode("overwrite").partitionBy("date")
       .option("partitionOverwriteMode", "static").parquet(tgt)
     vacuum(spark, dir, keepFrom = nextN - 1)
     (before, listParquet(spark, tgt).size.toLong)
   }
 
-  /** Bytes per `date=` partition of a data dir (driver-side listing). */
-  private def dateSizes(spark: SparkSession, dataDir: String)
-      : Map[String, Long] = {
-    val f = fs(spark, dataDir)
-    val root = new Path(dataDir)
-    if (!f.exists(root)) Map.empty
-    else f.listStatus(root).iterator
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
-      .map { s =>
-        val it = f.listFiles(s.getPath, true)
-        var bytes = 0L
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-            bytes += st.getLen
-        }
-        (s.getPath.getName.stripPrefix("date="), bytes)
-      }.toMap
+  /** Undo Hive-style partition-path escaping (`%xx` hex pairs). */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val hex = if (c == '%' && i + 3 <= s.length)
+        scala.util.Try(
+          Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar).toOption
+      else None
+      hex match {
+        case Some(h) => sb.append(h); i += 3
+        case None => sb.append(c); i += 1
+      }
+    }
+    sb.toString
   }
 
   /** Delete generations below `keepFrom` plus, once generations exist,
