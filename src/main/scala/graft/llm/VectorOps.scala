@@ -246,6 +246,26 @@ object VectorOps {
     if (n == 0.0) c else c.map(_ / n)
   }
 
+  /** L4/L3 storage path: per-vector int8 scalar quantization — at corpus
+    * scale embeddings dominate storage (float32 = 4 bytes/dim) and uint8
+    * codes + two floats of scale metadata cut that 4x with a bounded
+    * reconstruction error (≤ scale/2 per component, scale = range/255).
+    * Pure column expressions, one scan, no shuffle; [[dequantize]] inverts
+    * it for similarity work that can't run on codes directly.
+    */
+  def quantize(v: Column): Column = {
+    val lo = array_min(v)
+    // constant vectors have zero range; the floor keeps the scale positive
+    val scale = greatest((array_max(v) - lo) / 255.0d, lit(1e-12))
+    struct(lo.as("zero"), scale.as("scale"),
+      transform(v, x => round((x - lo) / scale).cast("int")).as("codes"))
+  }
+
+  /** Reconstruct `zero + code * scale` from a [[quantize]] struct. */
+  def dequantize(q: Column): Column =
+    transform(q.getField("codes"),
+      c => q.getField("zero") + c * q.getField("scale"))
+
   /** Skew guard for banded LSH: drop band buckets holding more than
     * `maxBucket` members before the within-bucket self-join. All-pairs
     * inside a bucket is quadratic, and at corpus scale one boilerplate
@@ -508,6 +528,44 @@ object VectorOps {
         val emb = Tables(s, d, "embeddings")
         annCosine(emb, emb.filter(col("vec_id") < 10), 0.2)
           .orderBy("query_id", "neighbor_id")
+      }),
+
+    // ---- L4/L3: int8 embedding quantization, oracled via its error LAW ---------
+    // (booleans, not raw codes: a 0.5-boundary code may legitimately differ
+    // by 1 between engines' float paths, but the reconstruction bound
+    // |x - x'| <= scale/2 + eps holds either way, so the oracle is
+    // drift-proof while still verifying both quantizers end to end)
+    Q("q_quantize_embed", Some(
+      """SELECT vec_id, code_lo_ok, code_hi_ok, within_bound FROM (
+        |  SELECT vec_id,
+        |    list_min(codes) >= 0 AS code_lo_ok,
+        |    list_max(codes) <= 255 AS code_hi_ok,
+        |    list_max(list_transform(generate_series(1, len(v)),
+        |      i -> abs(v[i] - (zero + codes[i] * scale)))) <= scale / 2 + 1e-9
+        |      AS within_bound
+        |  FROM (
+        |    SELECT vec_id, v, zero, scale,
+        |      list_transform(v, x -> CAST(round((x - zero) / scale) AS INT))
+        |        AS codes
+        |    FROM (
+        |      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |        list_min(CAST(embedding AS DOUBLE[])) AS zero,
+        |        greatest((list_max(CAST(embedding AS DOUBLE[]))
+        |          - list_min(CAST(embedding AS DOUBLE[]))) / 255, 1e-12)
+        |          AS scale
+        |      FROM embeddings)))
+        |ORDER BY vec_id""".stripMargin),
+      (s, d) => {
+        val v = toDouble(col("embedding"))
+        Tables(s, d, "embeddings")
+          .select(col("vec_id"), v.as("v"), quantize(v).as("q"))
+          .select(col("vec_id"),
+            (array_min(col("q.codes")) >= 0).as("code_lo_ok"),
+            (array_max(col("q.codes")) <= 255).as("code_hi_ok"),
+            (array_max(zip_with(col("v"), dequantize(col("q")),
+              (x, y) => abs(x - y))) <= col("q.scale") / 2 + 1e-9)
+              .as("within_bound"))
+          .orderBy("vec_id")
       }),
 
     // ---- L2 on embeddings: near-duplicate vectors via native sign-LSH ----------
