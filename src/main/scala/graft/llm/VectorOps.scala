@@ -252,6 +252,12 @@ object VectorOps {
     * reconstruction error (≤ scale/2 per component, scale = range/255).
     * Pure column expressions, one scan, no shuffle; [[dequantize]] inverts
     * it for similarity work that can't run on codes directly.
+    *
+    * PERF: convenient for small frames, but the aggregate subexpressions
+    * (min/max/scale) sit inside the codes lambda and evaluate per ELEMENT
+    * — on hot paths stage zero/scale as attributes first and keep them
+    * multi-referenced so CollapseProject can't inline them back (see the
+    * q_quantize_embed registration; measured ~40x at sf0.1).
     */
   def quantize(v: Column): Column = {
     val lo = array_min(v)
@@ -556,14 +562,30 @@ object VectorOps {
         |      FROM embeddings)))
         |ORDER BY vec_id""".stripMargin),
       (s, d) => {
+        // staged, not quantize(v) one-shot: aggregate exprs referenced
+        // inside a transform lambda evaluate PER ELEMENT (no loop-invariant
+        // hoisting), so zero/scale must be real attributes before the code
+        // lambda reads them. Each stage re-exports them alongside their
+        // lambda use — the multi-reference is what stops CollapseProject
+        // from inlining the aggregates back into the lambda (measured
+        // ~40x on the sf0.1 scan).
         val v = toDouble(col("embedding"))
         Tables(s, d, "embeddings")
-          .select(col("vec_id"), v.as("v"), quantize(v).as("q"))
+          .select(col("vec_id"), v.as("v"))
+          .select(col("vec_id"), col("v"),
+            array_min(col("v")).as("zero"),
+            greatest((array_max(col("v")) - array_min(col("v"))) / 255.0d,
+              lit(1e-12)).as("scale"))
+          .select(col("vec_id"), col("v"), col("zero"), col("scale"),
+            transform(col("v"), x =>
+              round((x - col("zero")) / col("scale")).cast("int"))
+              .as("codes"))
           .select(col("vec_id"),
-            (array_min(col("q.codes")) >= 0).as("code_lo_ok"),
-            (array_max(col("q.codes")) <= 255).as("code_hi_ok"),
-            (array_max(zip_with(col("v"), dequantize(col("q")),
-              (x, y) => abs(x - y))) <= col("q.scale") / 2 + 1e-9)
+            (array_min(col("codes")) >= 0).as("code_lo_ok"),
+            (array_max(col("codes")) <= 255).as("code_hi_ok"),
+            (array_max(zip_with(col("v"),
+              transform(col("codes"), c => col("zero") + c * col("scale")),
+              (x, y) => abs(x - y))) <= col("scale") / 2 + 1e-9)
               .as("within_bound"))
           .orderBy("vec_id")
       }),
