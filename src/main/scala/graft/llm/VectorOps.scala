@@ -78,7 +78,7 @@ object VectorOps {
     * At 100 TB: the only shuffles are (band_idx, band_hash) — a few longs
     * per doc — and the candidate-pair joins back to shingle sets; no
     * all-pairs stage anywhere. `maxBucket` is the skew guard for hot
-    * buckets (see [[capBuckets]]).
+    * buckets (see [[bucketPairs]]).
     */
   def minhashPairsNative(docs: DataFrame, threshold: Double,
       nBands: Int = 8, rowsPerBand: Int = 8,
@@ -113,18 +113,12 @@ object VectorOps {
       transform(sequence(lit(0), lit(nPerm - 1)),
         i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = capBuckets(sig.select(col("doc_id"),
+    val bands = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         j => xxhash64(
           slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand)), j))))
-      .toDF("doc_id", "band_idx", "band_hash"), maxBucket)
-    val candidates = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .toDF("doc_id", "band_idx", "band_hash")
+    val candidates = bucketPairs(bands, maxBucket)
     // Verify candidates. Default: signature-estimate Jaccard (fraction of
     // agreeing minhash components) — candidate cost is 64 long compares,
     // independent of document size, which is what survives when near-dup
@@ -272,24 +266,41 @@ object VectorOps {
     transform(q.getField("codes"),
       c => q.getField("zero") + c * q.getField("scale"))
 
-  /** Skew guard for banded LSH: drop band buckets holding more than
-    * `maxBucket` members before the within-bucket self-join. All-pairs
-    * inside a bucket is quadratic, and at corpus scale one boilerplate
-    * template repeated a million times turns a single bucket into 10^12
-    * candidate pairs — the classic LSH-dedup hot-key. Oversized buckets are
-    * near-exact duplicates by construction (every band agrees), which the
-    * L1 exact-dedup pass already resolves at linear cost, so capping trades
-    * no real recall. One count-window shuffle on the band key — the same
-    * partitioning the self-join needs, so the exchange is reused.
+  /** Candidate pairs from banded LSH buckets, with a skew guard. Buckets at
+    * or under `maxBucket` emit all pairs (id_a < id_b). Oversized buckets —
+    * the LSH hot-key case: one boilerplate template repeated a million times
+    * turns a single bucket into 10^12 all-pairs candidates — emit STAR pairs
+    * instead: every member against the bucket's minimum id. Linear cost, and
+    * every hot-cluster member still reaches the verify and
+    * cluster-resolution stages through the representative. (Dropping the
+    * whole bucket would silently lose every near-but-not-byte-exact
+    * duplicate in it — only byte-identical copies are saved by the L1 exact
+    * pass.) The count/min window shuffles on the same (band_idx, band_hash)
+    * key the self-join needs, so the exchange is reused.
     * `maxBucket <= 0` disables the cap.
     */
-  private def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
-    if (maxBucket <= 0) bands
-    else {
-      val w = Window.partitionBy("band_idx", "band_hash")
-      bands.withColumn("_bn", count(lit(1)).over(w))
-        .filter(col("_bn") <= maxBucket).drop("_bn")
-    }
+  private def bucketPairs(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val id = bands.columns.head
+    def allPairs(df: DataFrame): DataFrame = df.as("a").join(df.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+    val pairs =
+      if (maxBucket <= 0) allPairs(bands)
+      else {
+        val w = Window.partitionBy("band_idx", "band_hash")
+        val stats = bands
+          .withColumn("_bn", count(lit(1)).over(w))
+          .withColumn("_rep", min(col(id)).over(w))
+        val small = stats.filter(col("_bn") <= maxBucket).drop("_bn", "_rep")
+        val star = stats
+          .filter(col("_bn") > maxBucket && col(id) =!= col("_rep"))
+          .select(col("_rep").as("id_a"), col(id).as("id_b"))
+        allPairs(small).union(star)
+      }
+    pairs.distinct()
+  }
 
   /** Deterministic hyperplane component (j, k) in [-1, 1]: the public
     * SplitMix64 finalizer over the packed indices — no RNG state, identical
@@ -450,18 +461,12 @@ object VectorOps {
     val withSig = vDf
       .select(col("vec_id"), col("v"), array(sigCols: _*).as("bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = capBuckets(withSig.select(col("vec_id"),
+    val bands = withSig.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         j => xxhash64(slice(col("bits"), j * bitsPerBand + 1,
           lit(bitsPerBand)), j))))
-      .toDF("vec_id", "band_idx", "band_hash"), maxBucket)
-    val candidates = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+      .toDF("vec_id", "band_idx", "band_hash")
+    val candidates = bucketPairs(bands, maxBucket)
     // exact-cosine verify: three codegen'd dots per candidate pair (dot +
     // two norms) — cost scales with candidate count only, never corpus size
     val verified = candidates

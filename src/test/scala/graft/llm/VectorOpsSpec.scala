@@ -75,9 +75,10 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
       Seq((100L, base), (101L, base + " extra"))).toDF("doc_id", "text")
     val capped = VectorOps.minhashPairsNative(docs, 0.5, maxBucket = 10)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // the planted pair survives; the capped boilerplate bucket emits nothing
-    // (exact dedup is the linear-cost path for byte-identical copies)
-    assert(capped === Set((100L, 101L)))
+    // the planted pair survives, and the hot bucket degrades to STAR pairs
+    // (each member vs the min-id representative) instead of 190 all-pairs —
+    // every boilerplate doc still reaches cluster resolution through doc 1
+    assert(capped === ((2L to 20L).map(i => (1L, i)).toSet + ((100L, 101L))))
     val uncapped = VectorOps.minhashPairsNative(docs, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(uncapped.size === 190 + 1) // all boilerplate pairs + planted
