@@ -109,6 +109,22 @@ object Fetch {
           if (expected >= 0 && total != expected)
             throw new java.io.IOException(
               s"truncated body: $total of $expected bytes for $url")
+          // no Content-Length (chunked proxies): a mid-body close looks like
+          // clean EOF, so the byte count can't catch truncation — validate
+          // the landed gzip itself (decompress to null; GZIPInputStream
+          // checks the trailer CRC/ISIZE at EOF) before the rename makes it
+          // visible. Failure is retryable like any short read.
+          if (expected < 0 && name.endsWith(".gz")) {
+            val check = new java.util.zip.GZIPInputStream(fs.open(tmp))
+            try {
+              val buf = new Array[Byte](1 << 16)
+              while (check.read(buf) >= 0) ()
+            } catch {
+              case e: java.io.IOException =>
+                throw new java.io.IOException(
+                  s"corrupt gzip body (no Content-Length) for $url: $e")
+            } finally check.close()
+          }
           if (fs.exists(dst)) fs.delete(dst, false)
           // Hadoop rename reports several failures by returning false, not
           // throwing — unchecked, a lost rename would record ok=true with

@@ -153,11 +153,23 @@ object GhaPipeline {
     readMarker(spark, marker) match {
       case None => false
       case Some(v) =>
-        val Array(s, e) = v.split('|')
-        val start = java.time.Instant.parse(s)
-        val stopEx = java.time.Instant.parse(e).plusSeconds(3600)
+        // a corrupt marker must fail ACTIONABLY: an unhandled MatchError /
+        // parse error here would escape every tick forever (the marker is
+        // never cleared and Serve just backs off) with no hint at the cause
+        val parsed = v.split('|') match {
+          case Array(s, e) =>
+            try Some((java.time.Instant.parse(s), java.time.Instant.parse(e)))
+            catch { case _: java.time.format.DateTimeParseException => None }
+          case _ => None
+        }
+        val (start, stopInst) = parsed.getOrElse(throw new java.io.IOException(
+          s"""corrupt _ingest_inflight marker at $marker (contents: "$v") — """ +
+            "cannot determine the half-written batch's hour range. Inspect " +
+            "the store, roll back the affected partitions manually, then " +
+            "delete the marker to resume."))
+        val stopEx = stopInst.plusSeconds(3600)
         val hwmOk = readHwm(spark, storeDir)
-          .exists(h => !h.isBefore(java.time.Instant.parse(e)))
+          .exists(h => !h.isBefore(stopInst))
         if (!hwmOk) {
           val affectedDates: Seq[String] = Iterator
             .iterate(start)(_.plusSeconds(3600))
@@ -313,13 +325,21 @@ object GhaPipeline {
         .filter(h => landedFile(spark, landingDir, h).isEmpty)
         .map(h => (h, s"${baseUrl.stripSuffix("/")}/${hourStem(h)}.json.gz"))
         .toSeq
-    var allFailed = false
+    // (blocking hour, its error, #failed) when the earliest missing hour
+    // failed to download — the one failure that can stall the whole tick
+    var blocking: Option[(java.time.Instant, String, Int)] = None
     if (missing.nonEmpty) {
       val st = Fetch.download(spark, missing.map(_._2), landingDir, retries)
         .collect()
       val failed = st.filter(!_.getAs[Boolean]("ok"))
-      allFailed = failed.length == missing.length
       val hourOf = missing.map { case (h, u) => u -> h }.toMap
+      val failedByHour = failed.iterator
+        .map(r => hourOf(r.getAs[String]("url")) -> r.getAs[String]("error"))
+        .toMap
+      blocking = missing.collectFirst {
+        case (h, _) if failedByHour.contains(h) =>
+          (h, failedByHour(h), failed.length)
+      }
       // grace counts from the hour's PUBLISH time (file H appears at H+1h),
       // so hour H is past grace when H + 1h + grace < now
       val cutoff = now.minusSeconds(3600L * (gapGraceHours + 1))
@@ -335,10 +355,16 @@ object GhaPipeline {
     }
     val ingested =
       incrementalRun(spark, landingDir, storeDir, now, backfillStart, keyword)
-    if (ingested.isEmpty && allFailed)
+    // STALLED TICK: nothing ingested and the earliest missing hour's
+    // download failed — whether every download failed (dead upstream) or
+    // later hours succeeded around a persistently failing first hour
+    // (contiguity halt). A silent empty return here would read as a clean
+    // idle tick: Serve's backoff never engages and the watermark stalls
+    // with no error signal.
+    for ((h, err, nFailed) <- blocking if ingested.isEmpty)
       throw new java.io.IOException(
-        s"all ${missing.size} downloads failed and nothing ingested " +
-          s"(upstream unreachable or lagging): ${missing.head._2} ...")
+        s"$nFailed of ${missing.size} downloads failed and nothing ingested " +
+          s"— tick blocked at hour $h: $err")
     ingested
   }
 }

@@ -208,10 +208,18 @@ object TableStore {
     val bCol = "__graft_compact_b"
     val nbDf = broadcast(spark
       .createDataFrame(bucketsFor.toSeq).toDF(dCol, nbCol))
+    // The bucket key must be DETERMINISTIC under task retry: a recomputed
+    // map task must assign every row the same bucket already-fetched
+    // reducer output saw, or the retry silently duplicates/loses rows (the
+    // classic repartition-by-rand corruption). Hash the row's own columns
+    // (skipping unhashable map types); byte-identical duplicate rows then
+    // share a bucket, which skews only degenerate all-duplicate dates.
+    val hashCols = df.schema.fields
+      .filter(f => hashableType(f.dataType)).map(f => df.col(f.name))
+    val rowKey = if (hashCols.isEmpty) lit(0L) else xxhash64(hashCols: _*)
     val bucketed = df
       .join(nbDf, df.col("date").cast("string") === col(dCol), "left")
-      .withColumn(bCol, pmod(xxhash64(monotonically_increasing_id()),
-        coalesce(col(nbCol), lit(1L))))
+      .withColumn(bCol, pmod(rowKey, coalesce(col(nbCol), lit(1L))))
     // every (date, bucket) lands wholly in one task; partitionBy("date")
     // then emits one file per bucket. The partition count is EXPLICIT —
     // a column-only repartition is subject to AQE coalescing, which at
@@ -229,6 +237,15 @@ object TableStore {
     vacuum(spark, dir, keepFrom = nextN - 1)
     (before, listParquet(spark, tgt).size.toLong)
   }
+
+  /** Types `xxhash64` can hash (maps are rejected by Spark's HashExpression). */
+  private def hashableType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: StructType => s.fields.forall(f => hashableType(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashableType(a.elementType)
+      case _ => true
+    }
 
   /** Undo Hive-style partition-path escaping (`%xx` hex pairs). */
   private def unescapePath(s: String): String = {

@@ -31,10 +31,12 @@ class FetchSpec extends AnyFunSuite with SparkFixture {
   }
 
   /** Serve `routes` (path -> gzipped body); `flakyFailures` first hits of a
-    * path listed in `flaky` return 503 before succeeding.
+    * path listed in `flaky` return 503 before succeeding. Paths in `chunked`
+    * are served with chunked transfer encoding (no Content-Length header).
     */
   private def withServer(routes: Map[String, Array[Byte]],
-      flaky: Set[String] = Set.empty, flakyFailures: Int = 2)
+      flaky: Set[String] = Set.empty, flakyFailures: Int = 2,
+      chunked: Set[String] = Set.empty)
       (body: String => Unit): Unit = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val hits = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
@@ -43,7 +45,7 @@ class FetchSpec extends AnyFunSuite with SparkFixture {
       val n = hits.computeIfAbsent(path, _ => new AtomicInteger).incrementAndGet()
       routes.get(path) match {
         case Some(bytes) if !(flaky(path) && n <= flakyFailures) =>
-          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.sendResponseHeaders(200, if (chunked(path)) 0L else bytes.length.toLong)
           ex.getResponseBody.write(bytes)
         case Some(_) =>
           ex.sendResponseHeaders(503, -1)
@@ -171,6 +173,35 @@ class FetchSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("blocked first hour with later hours succeeding still throws (contiguity stall)") {
+    import java.time.Instant
+    def commentLine(user: String, h: Int) =
+      s"""{"type":"IssueCommentEvent","actor":{"login":"$user"},"repo":{"name":"r/x"},"created_at":"2024-02-29T0$h:30:00Z","payload":{"issue":{"number":1,"title":"t","created_at":"2024-02-29T01:00:00Z","user":{"login":"x"}},"comment":{"body":"b","author_association":"NONE"}}}"""
+    // hour 1 persistently 503s while hour 2 serves fine: the contiguous
+    // batch ingests nothing. A clean empty return would look like an idle
+    // tick — Serve's backoff never engages and the watermark stalls.
+    withServer(Map(
+      "/2024-02-29-1.json.gz" -> gzip(commentLine("u1", 1)),
+      "/2024-02-29-2.json.gz" -> gzip(commentLine("u2", 2))),
+      flaky = Set("/2024-02-29-1.json.gz"), flakyFailures = 2) { base =>
+      val dir = tmpDir()
+      val e = intercept[java.io.IOException] {
+        GhaPipeline.fetchAndRun(spark, base, s"$dir/landing",
+          s"$dir/store", Instant.parse("2024-02-29T03:10:00Z"),
+          Instant.parse("2024-02-29T01:00:00Z"), retries = 2)
+      }
+      assert(e.getMessage.contains("downloads failed"))
+      assert(e.getMessage.contains("blocked at hour 2024-02-29T01:00:00Z"))
+      // hour 2 DID land; hour 1's 503 streak ends (flakyFailures exhausted)
+      // so the next tick downloads it and ingests both hours in order
+      val ok = GhaPipeline.fetchAndRun(spark, base, s"$dir/landing",
+        s"$dir/store", Instant.parse("2024-02-29T03:10:00Z"),
+        Instant.parse("2024-02-29T01:00:00Z"), retries = 2)
+      assert(ok.map(_.split('/').last) ===
+        Seq("2024-02-29-1.json.gz", "2024-02-29-2.json.gz"))
+    }
+  }
+
   test("dead upstream: all downloads fail, nothing ingested -> tick throws for backoff") {
     import java.time.Instant
     withServer(Map.empty) { base =>
@@ -181,6 +212,30 @@ class FetchSpec extends AnyFunSuite with SparkFixture {
           Instant.parse("2024-02-29T01:00:00Z"), retries = 1)
       }
       assert(e.getMessage.contains("downloads failed"))
+    }
+  }
+
+  test("chunked response truncated mid-gzip is rejected, not landed") {
+    // no Content-Length + early close = clean EOF at the byte layer; only
+    // the gzip trailer check can catch it. Cut the 8-byte CRC/ISIZE trailer.
+    val whole = gzip(Fixture.good.mkString("\n"))
+    val cut = whole.dropRight(8)
+    withServer(
+      Map("/2024-02-29-6.json.gz" -> cut, "/2024-02-29-7.json.gz" -> whole),
+      chunked = Set("/2024-02-29-6.json.gz", "/2024-02-29-7.json.gz")) { base =>
+      val dir = tmpDir()
+      val st = Fetch.download(spark,
+        Seq(s"$base/2024-02-29-6.json.gz", s"$base/2024-02-29-7.json.gz"),
+        s"$dir/landing", retries = 2, backoffMs = 1L)
+        .collect().map(r => r.getAs[String]("url").split('/').last ->
+          (r.getAs[Boolean]("ok"), r.getAs[String]("error"))).toMap
+      val (okCut, errCut) = st("2024-02-29-6.json.gz")
+      assert(!okCut && errCut.contains("corrupt gzip"))
+      // an intact chunked body passes the trailer check and lands
+      assert(st("2024-02-29-7.json.gz")._1)
+      val landing = new java.io.File(s"$dir/landing")
+      assert(landing.listFiles().map(_.getName)
+        .filter(_.endsWith(".json.gz")).toSet === Set("2024-02-29-7.json.gz"))
     }
   }
 

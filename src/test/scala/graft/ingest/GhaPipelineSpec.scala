@@ -176,6 +176,25 @@ class GhaPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(Paths.get(s"$dir/store/_ingest_inflight")))
   }
 
+  test("corrupt inflight marker fails actionably, naming the marker path") {
+    val base = Paths.get("/root/repo/target/tmp")
+    val dir = Files.createTempDirectory(base, "gha_badmark").toString
+    Files.createDirectories(Paths.get(s"$dir/store"))
+    for (bad <- Seq("not-a-range", "a|b|c", "2024-02-29T01:00:00Z|garbage")) {
+      Files.write(Paths.get(s"$dir/store/_ingest_inflight"), bad.getBytes)
+      val e = intercept[java.io.IOException] {
+        GhaPipeline.recoverInflight(spark, s"$dir/store")
+      }
+      // MatchError/DateTimeParseException here would wedge every later tick
+      // with no hint; the error must say where the marker is and what to do
+      assert(e.getMessage.contains("_ingest_inflight"))
+      assert(e.getMessage.contains(bad))
+      // the marker survives for inspection — recovery never guesses a range
+      assert(Files.exists(Paths.get(s"$dir/store/_ingest_inflight")))
+      Files.delete(Paths.get(s"$dir/store/_ingest_inflight"))
+    }
+  }
+
   test("ingest is re-runnable: append accumulates per batch (storage union-all)") {
     val base = Paths.get("/root/repo/target/tmp")
     val dir = Files.createTempDirectory(base, "gha_inc").toString
