@@ -18,6 +18,7 @@ object SparkEntry {
     graft.query.Temporal.all ++
     graft.query.JsonQueries.all ++
     graft.query.Pipelines.all ++
+    graft.plans.PlanQueries.all ++
     graft.llm.TextOps.all ++
     graft.llm.VectorOps.all ++
     graft.llm.Sampling.all ++
