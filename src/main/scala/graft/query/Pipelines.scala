@@ -103,6 +103,48 @@ object Pipelines {
           org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
           ()
         }
+      }),
+
+    // ---- Z-order compaction + footer-stats data skipping e2e --------------------
+    // Lay events out z-ordered on (user_id, value), then answer a 2-D range
+    // query through the file-pruned read path. The oracle is the PLAIN
+    // range filter over the original table: hash-equality proves pruning
+    // loses no rows while `ZOrderSpec` proves it skips most files. The
+    // result is materialized before the temp store is deleted.
+    Q("q_zorder_scan", Some(
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 20 AND 120
+        |ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+        Files.createDirectories(base)
+        val tmpRoot = Files.createTempDirectory(base, "graft_zorder")
+        val tmp = tmpRoot.toString + "/events_z"
+        try {
+          // only the z-demo columns travel through the two write passes —
+          // hauling the bulky props JSON through append+compact would just
+          // tax the bench without exercising anything new
+          val ev = Tables(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("value"),
+              to_date(col("ts")).as("date"))
+            .repartition(4)
+          TableStore.append(ev, tmp)
+          TableStore.compact(s, tmp, zorderBy = Seq("user_id", "value"),
+            targetFileBytes = 16L * 1024)
+          val pruned = TableStore.readPruned(s, tmp, Seq(
+            TableStore.ColRange("user_id", 3, 9),
+            TableStore.ColRange("value", 20, 120)))
+          pruned.df
+            .filter(col("user_id").between(3, 9) && col("value").between(20, 120))
+            .select("event_id", "user_id", "value")
+            .orderBy("event_id")
+            .as[(Long, Long, Double)].collect().toSeq
+            .toDF("event_id", "user_id", "value")
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
+          ()
+        }
       })
   )
 }

@@ -121,6 +121,26 @@ object TableStore {
   def overwrite(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
 
+  /** Overwrite via a fresh generation. For derived tables whose NEXT
+    * version is computed FROM their current one (incremental aggregates):
+    * a plain overwrite would delete the very files the merge plan is
+    * reading; writing generation N+1 while reading N needs no checkpoint
+    * barrier, and concurrent readers keep a stable file list (same
+    * machinery as [[compact]]). `partitionCols` optionally keeps the
+    * result date-partitioned so later appends can target it.
+    */
+  def overwriteVersioned(df: DataFrame, dir: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val nextN = currentGeneration(spark, dir).map(_._1 + 1).getOrElse(0)
+    val tgt = s"$dir/g$nextN"
+    val w = df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tgt)
+    vacuum(spark, dir, keepFrom = nextN - 1)
+  }
+
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(resolveDataDir(spark, dir))
 
@@ -135,6 +155,105 @@ object TableStore {
   /** Parquet data files of the CURRENT generation (recursive). */
   def dataFiles(spark: SparkSession, dir: String): Seq[String] =
     listParquet(spark, resolveDataDir(spark, dir))
+
+  /** Inclusive numeric range predicate for file-level data skipping. */
+  final case class ColRange(name: String, lo: Double, hi: Double)
+
+  /** A pruned read plus the skipping evidence for observability/tests. */
+  final case class PrunedRead(df: DataFrame, filesKept: Int, filesTotal: Int)
+
+  /** File-level data skipping from parquet footer stats — the engine-side
+    * half of Delta data skipping (Delta reads min/max from its tx log; a
+    * plain-parquet store reads them from the footers, distributed one task
+    * per file batch so the driver never touches a footer). A file is
+    * skipped only when its stats PROVE no row can satisfy every range;
+    * missing/non-numeric stats keep the file (conservative). The caller
+    * still applies the row-level filter — pruning is a superset guarantee,
+    * identical results, fewer bytes read.
+    *
+    * Pairs with z-order compaction ([[compact]] `zorderBy`): clustered
+    * layout makes per-file ranges tight, so multi-column predicates drop
+    * most files instead of overlapping all of them.
+    */
+  def readPruned(spark: SparkSession, dir: String, ranges: Seq[ColRange],
+      schema: Option[StructType] = None): PrunedRead = {
+    val dataDir = resolveDataDir(spark, dir)
+    val files = listParquet(spark, dataDir)
+    val stats = footerStats(spark, files, ranges.map(_.name))
+    val kept = files.filter { f =>
+      val fileStats = stats.getOrElse(f, Map.empty)
+      ranges.forall { r =>
+        fileStats.get(r.name) match {
+          case Some((mn, mx)) => mx >= r.lo && mn <= r.hi
+          case None => true // column absent from stats → can't prove, keep
+        }
+      }
+    }
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val df =
+      if (files.isEmpty) reader.parquet(dataDir)
+      else if (kept.isEmpty)
+        reader.option("basePath", dataDir).parquet(files.head)
+          .where(org.apache.spark.sql.functions.lit(false))
+      else reader.option("basePath", dataDir).parquet(kept: _*)
+    PrunedRead(df, kept.size, files.size)
+  }
+
+  /** Per-file `col → (min, max)` over the footers of `files`, read in
+    * parallel tasks (a 100 TB table's stats pass is O(files) footer reads
+    * spread over the cluster — the same stats Delta materializes in its
+    * log, gathered lazily here).
+    */
+  private def footerStats(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
+    if (files.isEmpty || cols.isEmpty) return Map.empty
+    val colSet = cols.toSet
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { p =>
+        import scala.jdk.CollectionConverters._
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val m = scala.collection.mutable.Map[String, (Double, Double)]()
+          val keep = (Double.NegativeInfinity, Double.PositiveInfinity)
+          for (b <- r.getFooter.getBlocks.asScala;
+               c <- b.getColumns.asScala) {
+            val name = c.getPath.toDotString
+            if (colSet.contains(name)) {
+              val st = c.getStatistics
+              val range: Option[(Double, Double)] =
+                if (st == null || st.isEmpty) Some(keep) // no stats → keep file
+                else if (!st.hasNonNullValue) None // all-null block: no row matches
+                else numericRange(st).orElse(Some(keep)) // non-numeric → keep
+              range.foreach { case (mn, mx) =>
+                m(name) = m.get(name).fold((mn, mx)) { t =>
+                  (math.min(t._1, mn), math.max(t._2, mx))
+                }
+              }
+            }
+          }
+          (p, m.toMap)
+        } finally r.close()
+      }
+      .collect().toMap
+  }
+
+  private def numericRange(
+      st: org.apache.parquet.column.statistics.Statistics[_])
+      : Option[(Double, Double)] = st match {
+    case s: org.apache.parquet.column.statistics.LongStatistics =>
+      Some((s.getMin.toDouble, s.getMax.toDouble))
+    case s: org.apache.parquet.column.statistics.IntStatistics =>
+      Some((s.getMin.toDouble, s.getMax.toDouble))
+    case s: org.apache.parquet.column.statistics.DoubleStatistics =>
+      Some((s.getMin, s.getMax))
+    case s: org.apache.parquet.column.statistics.FloatStatistics =>
+      Some((s.getMin.toDouble, s.getMax.toDouble))
+    case _ => None
+  }
 
   private def listParquet(spark: SparkSession, dir: String): Seq[String] =
     listParquetStatus(spark, dir).map(_._1)
@@ -176,7 +295,9 @@ object TableStore {
     */
   def compact(spark: SparkSession, dir: String,
       schema: Option[StructType] = None,
-      targetFileBytes: Long = 512L * 1024 * 1024): (Long, Long) = {
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil,
+      zorderBits: Int = 6): (Long, Long) = {
     import org.apache.spark.sql.functions._
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
     val cur = currentGeneration(spark, dir)
@@ -200,6 +321,25 @@ object TableStore {
     val tgt = s"$dir/g$nextN"
     val reader = schema.fold(spark.read)(s => spark.read.schema(s))
     val df = reader.parquet(srcDir)
+    val totalBuckets = math.max(1L, bucketsFor.values.sum)
+    if (zorderBy.nonEmpty) {
+      // Z-ORDER variant (Delta OPTIMIZE ZORDER analog): instead of hash
+      // buckets, range-partition + sort on (date, z) so every output file
+      // covers a tight hyper-rectangle of the z-columns. Range sampling
+      // sees heavy dates proportionally, so file sizing still tracks
+      // targetFileBytes without the per-date bucket join. Explicit
+      // partition count keeps AQE from coalescing the layout away.
+      val zCol = "__graft_z"
+      df.withColumn(zCol, ZOrder.zvalue(df, zorderBy, zorderBits))
+        .repartitionByRange(totalBuckets.min(20000).toInt,
+          col("date"), col(zCol))
+        .sortWithinPartitions(col("date"), col(zCol))
+        .drop(zCol)
+        .write.mode("overwrite").partitionBy("date")
+        .option("partitionOverwriteMode", "static").parquet(tgt)
+      vacuum(spark, dir, keepFrom = nextN - 1)
+      return (before, listParquet(spark, tgt).size.toLong)
+    }
     // bucket counts joined in as a broadcast — a literal when-chain over
     // thousands of dates would bloat the plan. Internal columns carry an
     // improbable prefix: a user table with a column of the same name would
@@ -228,7 +368,6 @@ object TableStore {
     // collisions — which merge two buckets into one bigger file — rare).
     // Static mode regardless of session conf: the fresh generation dir
     // must get its committer-written _SUCCESS, which makes it visible.
-    val totalBuckets = math.max(1L, bucketsFor.values.sum)
     bucketed.repartition((totalBuckets * 2).min(20000).toInt,
         col("date"), col(bCol))
       .drop(dCol, nbCol, bCol)
