@@ -226,24 +226,69 @@ object GhaPipeline {
       backfillStart: java.time.Instant,
       keyword: String = " dask"): Seq[String] = {
     recoverInflight(spark, storeDir)
-    val (start, stop) = resumeRange(spark, storeDir, now, backfillStart)
-    // STRICTLY CONTIGUOUS: the batch halts at the first hour with no landed
-    // file. Skipping a gap would advance the hwm past it, and the
-    // late-published file would then be silently lost forever (hourly
-    // archives publish in order; a hole means "not yet", not "never").
-    // Matches the reference, whose date_range covers every hour and whose
-    // flow fails rather than skips (preprocess.py:193-196, 260-261).
-    val hourly = Iterator.iterate(start)(_.plusSeconds(3600))
-      .takeWhile(!_.isAfter(stop))
-      .map(h => (h, landedFile(spark, landingDir, h)))
-      .takeWhile(_._2.isDefined)
-      .map { case (h, f) => (h, f.get) }
-      .toSeq
+    val hourly = pendingHours(spark, landingDir, storeDir, now, backfillStart)
     if (hourly.nonEmpty) {
       val lastHour = hourly.last._1
       writeMarker(spark, s"$storeDir/_ingest_inflight",
         s"${hourly.head._1}|$lastHour")
       workflow(spark, hourly.map(_._2), storeDir, keyword)
+      writeMarker(spark, s"$storeDir/_ingest_hwm", lastHour.toString)
+      deleteMarker(spark, s"$storeDir/_ingest_inflight")
+    }
+    hourly.map(_._2)
+  }
+
+  /** The contiguous run of landed, not-yet-ingested hours: STRICTLY halts
+    * at the first hour with no landed file. Skipping a gap would advance
+    * the hwm past it, and the late-published file would then be silently
+    * lost forever (hourly archives publish in order; a hole means "not
+    * yet", not "never"). Matches the reference, whose date_range covers
+    * every hour and whose flow fails rather than skips
+    * (preprocess.py:193-196, 260-261).
+    */
+  private def pendingHours(spark: SparkSession, landingDir: String,
+      storeDir: String, now: java.time.Instant,
+      backfillStart: java.time.Instant)
+      : Seq[(java.time.Instant, String)] = {
+    val (start, stop) = resumeRange(spark, storeDir, now, backfillStart)
+    Iterator.iterate(start)(_.plusSeconds(3600))
+      .takeWhile(!_.isAfter(stop))
+      .map(h => (h, landedFile(spark, landingDir, h)))
+      .takeWhile(_._2.isDefined)
+      .map { case (h, f) => (h, f.get) }
+      .toSeq
+  }
+
+  /** [[incrementalRun]] with incremental `query_data` maintenance
+    * ([[IncrementalViews]]): same exactly-once bookkeeping, but each tick
+    * folds the batch into the materialized views and serves the result
+    * tables from them, instead of recomputing the analytics over full
+    * history. A recovery that rolled curated tables back rebuilds the
+    * views from the recovered store before the tick proceeds (full
+    * recompute as the recovery path; the happy path never scans history).
+    */
+  def incrementalRunWithViews(spark: SparkSession, landingDir: String,
+      storeDir: String, mvDir: String, now: java.time.Instant,
+      backfillStart: java.time.Instant,
+      keyword: String = " dask"): Seq[String] = {
+    if (recoverInflight(spark, storeDir))
+      IncrementalViews.rebuild(spark, storeDir, mvDir, keyword)
+    val hourly = pendingHours(spark, landingDir, storeDir, now, backfillStart)
+    if (hourly.nonEmpty) {
+      val lastHour = hourly.last._1
+      writeMarker(spark, s"$storeDir/_ingest_inflight",
+        s"${hourly.head._1}|$lastHour")
+      val (raw, tables) = Ingest.extractAll(spark, hourly.map(_._2))
+      try {
+        tables.foreach { case (name, df) =>
+          TableStore.append(df, s"$storeDir/$name")
+        }
+        IncrementalViews.maintainTick(spark, tables, mvDir, keyword)
+      } finally raw.unpersist()
+      compactAll(spark, storeDir)
+      val (commits, comments) = IncrementalViews.queryData(spark, mvDir, keyword)
+      TableStore.overwrite(commits, s"$storeDir/results/commits")
+      TableStore.overwrite(comments, s"$storeDir/results/comments")
       writeMarker(spark, s"$storeDir/_ingest_hwm", lastHour.toString)
       deleteMarker(spark, s"$storeDir/_ingest_inflight")
     }

@@ -1,0 +1,133 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.schema.GhaSchemas
+import graft.store.TableStore
+
+/** Incremental maintenance of the `query_data` analytics — materialized
+  * views updated per ingest tick instead of recomputed from full history.
+  *
+  * The reference recomputes `query_data` over the ENTIRE curated store
+  * every hourly tick (`/root/reference/preprocess.py:209-244, 265`): at
+  * 100 TB that is a full scan of the commit/comment/watch history to
+  * produce a result that changed by one hour of data. The incremental
+  * decomposition splits each query by what it needs:
+  *
+  *  - `repo_counts` — the watch count per repo is DISTRIBUTIVE: the new
+  *    batch's partial counts merge into the stored totals by key. Tick
+  *    cost: O(batch + distinct repos), not O(watch history).
+  *  - `kw_commits` / `kw_comments` — the keyword/bot/prefix predicates are
+  *    ROW-LOCAL: they are applied to the batch once and the survivors
+  *    appended (date-partitioned). The popularity JOIN is deliberately NOT
+  *    folded in: popularity changes over time, and a repo crossing the
+  *    threshold at tick N must surface its tick-1 commits — so membership
+  *    is resolved at read time against the CURRENT counts, over the
+  *    keyword-matching slice only (a tiny fraction of history).
+  *
+  * [[queryData]] therefore returns exactly what [[GhaPipeline.queryData]]
+  * returns on the same ingested history (equivalence is tested tick by
+  * tick), while scanning keyword-survivors + the counts table instead of
+  * everything.
+  *
+  * Crash contract: [[maintainTick]] is NOT idempotent (counts would
+  * double-merge, appends would duplicate) — it must run inside the same
+  * `_ingest_inflight` marker scope as the curated appends, and a recovery
+  * that rolled curated tables back must [[rebuild]] the views from them
+  * (full recompute as the RECOVERY path only; the happy path stays
+  * incremental). [[GhaPipeline.incrementalRunWithViews]] wires both.
+  */
+object IncrementalViews {
+
+  private val countsSchema = StructType(Seq(
+    StructField("repo", org.apache.spark.sql.types.StringType),
+    StructField("count", LongType)))
+
+  /** Row-local commit-side predicates (`preprocess.py:218-230` minus the
+    * popularity join).
+    */
+  private def commitFilter(df: DataFrame, keyword: String): DataFrame = df
+    .filter(!col("username").contains("bot"))
+    .filter(lower(col("message")).contains(keyword))
+    .filter(!col("repo").startsWith(keyword.trim + "/"))
+
+  /** Row-local comment-side predicates (`preprocess.py:233-244`). */
+  private def commentFilter(df: DataFrame, keyword: String): DataFrame = df
+    .filter(lower(col("comment")).contains(keyword))
+    .filter(!col("repo").startsWith(keyword.trim + "/"))
+
+  /** Fold one ingested batch into the views. `batch` is
+    * `Ingest.extractAll`'s curated frames for the tick (already persisted
+    * by the caller — each view reads it once more, narrow, no shuffle
+    * beyond the counts merge).
+    */
+  def maintainTick(spark: SparkSession, batch: Map[String, DataFrame],
+      mvDir: String, keyword: String = " dask"): Unit = {
+    // counts merge: stored totals ∪ batch partials → sum by repo, into a
+    // new generation (the read of g<N> feeds the write of g<N+1>)
+    val partial = batch("watch").groupBy("repo")
+      .agg(count(lit(1)).cast(LongType).as("count"))
+    val merged = readCounts(spark, mvDir) match {
+      case Some(cur) => cur.unionByName(partial)
+        .groupBy("repo").agg(sum("count").cast(LongType).as("count"))
+      case None => partial
+    }
+    TableStore.overwriteVersioned(merged, s"$mvDir/repo_counts")
+    // keyword survivors append (date-partitioned, same layout as curated)
+    TableStore.append(commitFilter(batch("commit"), keyword),
+      s"$mvDir/kw_commits")
+    TableStore.append(commentFilter(batch("comment"), keyword),
+      s"$mvDir/kw_comments")
+  }
+
+  private def readCounts(spark: SparkSession, mvDir: String): Option[DataFrame] = {
+    val dir = s"$mvDir/repo_counts"
+    if (TableStore.dataFiles(spark, dir).nonEmpty)
+      Some(TableStore.read(spark, dir, countsSchema))
+    else None
+  }
+
+  /** `query_data` over the views: identical output to
+    * [[GhaPipeline.queryData]] on the same history — the scans are just
+    * proportional to keyword survivors instead of full history.
+    */
+  def queryData(spark: SparkSession, mvDir: String,
+      keyword: String = " dask", minWatches: Long = 5)
+      : (DataFrame, DataFrame) = {
+    val popular = readCounts(spark, mvDir)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], countsSchema))
+      .filter(col("count") > minWatches)
+    val commits = TableStore
+      .read(spark, s"$mvDir/kw_commits", GhaSchemas.curated("commit"))
+      .join(popular, Seq("repo"))
+      .select("username", "repo", "message", "count")
+      .orderBy(desc("count"), asc("username"), asc("message"))
+    val comments = TableStore
+      .read(spark, s"$mvDir/kw_comments", GhaSchemas.curated("comment"))
+      .join(popular, Seq("repo"))
+      .select("username", "repo", "comment", "count")
+      .orderBy(desc("count"), asc("username"), asc("comment"))
+    (commits, comments)
+  }
+
+  /** Recovery/bootstrap: recompute every view from the curated store (the
+    * one full scan, paid only after a crash rollback or when adopting the
+    * views over an existing store).
+    */
+  def rebuild(spark: SparkSession, storeDir: String, mvDir: String,
+      keyword: String = " dask"): Unit = {
+    import GhaSchemas.curated
+    val watch = TableStore.read(spark, s"$storeDir/watch", curated("watch"))
+    TableStore.overwriteVersioned(
+      watch.groupBy("repo").agg(count(lit(1)).cast(LongType).as("count")),
+      s"$mvDir/repo_counts")
+    val commit = TableStore.read(spark, s"$storeDir/commit", curated("commit"))
+    TableStore.overwriteVersioned(commitFilter(commit, keyword),
+      s"$mvDir/kw_commits", partitionCols = Seq("date"))
+    val comment = TableStore.read(spark, s"$storeDir/comment", curated("comment"))
+    TableStore.overwriteVersioned(commentFilter(comment, keyword),
+      s"$mvDir/kw_comments", partitionCols = Seq("date"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.store.TableStore
+
+/** Incremental `query_data` maintenance: per-tick view folding must equal
+  * the reference's full-history recompute, tick for tick.
+  */
+class IncrementalViewsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def watch(user: String, repo: String, d: String, h: Int) =
+    s"""{"type":"WatchEvent","actor":{"login":"$user"},"repo":{"name":"$repo"},"created_at":"${d}T0$h:10:00Z","payload":{"action":"started"}}"""
+  private def push(user: String, repo: String, msg: String, sha: String, d: String, h: Int) =
+    s"""{"type":"PushEvent","actor":{"login":"$user"},"repo":{"name":"$repo"},"created_at":"${d}T0$h:20:00Z","payload":{"commits":[{"sha":"$sha","message":"$msg"}]}}"""
+  private def comment(user: String, repo: String, body: String, d: String, h: Int) =
+    s"""{"type":"IssueCommentEvent","actor":{"login":"$user"},"repo":{"name":"$repo"},"created_at":"${d}T0$h:30:00Z","payload":{"issue":{"number":1,"title":"t","created_at":"${d}T01:00:00Z","user":{"login":"x"}},"comment":{"body":"$body","author_association":"NONE"}}}"""
+
+  private def tmp(prefix: String): String = {
+    val base = Paths.get("/root/repo/target/tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, prefix).toString
+  }
+
+  private def land(dir: String, d: String, h: Int, lines: Seq[String]): Unit =
+    Files.write(Paths.get(s"$dir/$d-$h.json"), lines.mkString("\n").getBytes)
+
+  private def collectResults(dir: String): (Seq[(String, String, Long)], Seq[(String, String, Long)]) = {
+    val commits = TableStore.read(spark, s"$dir/results/commits")
+      .select("username", "repo", "count").as[(String, String, Long)]
+      .collect().toSeq
+    val comments = TableStore.read(spark, s"$dir/results/comments")
+      .select("username", "repo", "count").as[(String, String, Long)]
+      .collect().toSeq
+    (commits, comments)
+  }
+
+  // Three ticks; org/late crosses the popularity threshold only on tick 3,
+  // so its tick-1 commit must appear in tick-3 results — the case that
+  // proves the popularity join can't be folded into the append-time filter.
+  private val d = "2024-03-01"
+  private val tick1 = Seq(
+    watch("w1", "org/hot", d, 1), watch("w2", "org/hot", d, 1),
+    watch("w3", "org/hot", d, 1), watch("w4", "org/hot", d, 1),
+    watch("w5", "org/hot", d, 1), watch("w6", "org/hot", d, 1),
+    watch("u1", "org/late", d, 1), watch("u2", "org/late", d, 1),
+    push("alice", "org/hot", "adopt dask here", "a1", d, 1),
+    push("zoe", "org/late", "try dask experiment", "z1", d, 1),
+    comment("frank", "org/hot", "what about dask?", d, 1))
+  private val tick2 = Seq(
+    watch("u3", "org/late", d, 2), watch("u4", "org/late", d, 2),
+    push("bot-deploy", "org/hot", "dask bump", "b2", d, 2),
+    push("alice", "org/hot", "no keyword", "a2", d, 2))
+  private val tick3 = Seq(
+    watch("u5", "org/late", d, 3), watch("u6", "org/late", d, 3),
+    comment("gina", "org/late", "yes dask works", d, 3))
+
+  test("3 ticks of view maintenance ≡ full recompute, including late-crossing repos") {
+    val incDir = tmp("mv_inc")
+    val fullDir = tmp("mv_full")
+    Files.createDirectories(Paths.get(s"$incDir/landing"))
+    Files.createDirectories(Paths.get(s"$fullDir/landing"))
+    val start = Instant.parse(s"${d}T01:00:00Z")
+    for ((lines, h) <- Seq(tick1 -> 1, tick2 -> 2, tick3 -> 3)) {
+      land(s"$incDir/landing", d, h, lines)
+      land(s"$fullDir/landing", d, h, lines)
+      val now = Instant.parse(s"${d}T0${h + 2}:00:00Z")
+      val ingestedInc = GhaPipeline.incrementalRunWithViews(spark,
+        s"$incDir/landing", s"$incDir/store", s"$incDir/mv", now, start)
+      val ingestedFull = GhaPipeline.incrementalRun(spark,
+        s"$fullDir/landing", s"$fullDir/store", now, start)
+      assert(ingestedInc.size == 1 && ingestedFull.size == 1, s"tick $h")
+      val (ci, mi) = collectResults(s"$incDir/store")
+      val (cf, mf) = collectResults(s"$fullDir/store")
+      assert(ci == cf, s"commits diverge at tick $h")
+      assert(mi == mf, s"comments diverge at tick $h")
+    }
+    // tick-3 state: org/late has 6 watches → popular; zoe's TICK-1 commit
+    // and gina's comment must both be present now
+    val (commits, comments) = collectResults(s"$incDir/store")
+    assert(commits.contains(("zoe", "org/late", 6L)))
+    assert(commits.contains(("alice", "org/hot", 6L)))
+    assert(!commits.exists(_._1 == "bot-deploy"))
+    assert(comments.map(_._1).toSet == Set("frank", "gina"))
+  }
+
+  test("rebuild from the curated store equals the incrementally maintained views") {
+    val dir = tmp("mv_rb")
+    Files.createDirectories(Paths.get(s"$dir/landing"))
+    val start = Instant.parse(s"${d}T01:00:00Z")
+    for ((lines, h) <- Seq(tick1 -> 1, tick2 -> 2, tick3 -> 3)) {
+      land(s"$dir/landing", d, h, lines)
+      GhaPipeline.incrementalRunWithViews(spark, s"$dir/landing",
+        s"$dir/store", s"$dir/mv", Instant.parse(s"${d}T0${h + 2}:00:00Z"), start)
+    }
+    val (c1, m1) = IncrementalViews.queryData(spark, s"$dir/mv") match {
+      case (c, m) => (c.collect().toSeq, m.collect().toSeq)
+    }
+    IncrementalViews.rebuild(spark, s"$dir/store", s"$dir/mv")
+    val (c2, m2) = IncrementalViews.queryData(spark, s"$dir/mv") match {
+      case (c, m) => (c.collect().toSeq, m.collect().toSeq)
+    }
+    assert(c1 == c2 && m1 == m2)
+  }
+
+  test("counts view is a merged total, not a last-batch snapshot") {
+    val dir = tmp("mv_cnt")
+    Files.createDirectories(Paths.get(s"$dir/landing"))
+    val start = Instant.parse(s"${d}T01:00:00Z")
+    for ((lines, h) <- Seq(tick1 -> 1, tick2 -> 2, tick3 -> 3)) {
+      land(s"$dir/landing", d, h, lines)
+      GhaPipeline.incrementalRunWithViews(spark, s"$dir/landing",
+        s"$dir/store", s"$dir/mv", Instant.parse(s"${d}T0${h + 2}:00:00Z"), start)
+    }
+    val counts = TableStore.read(spark, s"$dir/mv/repo_counts")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("org/hot" -> 6L, "org/late" -> 6L))
+  }
+}
