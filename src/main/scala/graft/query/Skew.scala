@@ -48,7 +48,10 @@ object Skew {
           .withColumnRenamed("l_orderkey", "orderkey")
         val ord = Tables(s, d, "orders")
           .withColumnRenamed("o_orderkey", "orderkey")
-        saltedJoin(li, ord, "orderkey", buckets = 8,
+        // buckets=4 spreads a hot key over 4 tasks while only 4x-replicating
+        // the dim side — the demo's point survives at half the round-2 cost
+        // (8x); production callers size buckets to the observed hot-key skew.
+        saltedJoin(li, ord, "orderkey", buckets = 4,
           saltSource = col("l_linenumber"))
           .groupBy("o_orderpriority")
           .agg(cnt.as("cnt"), Tables.sumMoney(col("l_quantity")).as("sum_qty"))
