@@ -288,7 +288,7 @@ object TextOps {
         |    list_distinct(list_transform(
         |      generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
         |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
-        |  FROM documents WHERE doc_id < 100)
+        |  FROM documents WHERE doc_id < 150)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
@@ -300,8 +300,10 @@ object TextOps {
         // intersect 64-bit shingle HASHES, not shingle strings: Jaccard is
         // identical (collisions at 2^-64 are negligible) and the per-pair
         // array_intersect/array_union compares longs instead of strings —
-        // measured several-fold cheaper on the 4,950-pair verify set
-        val docs = Tables(s, d, "documents").filter(col("doc_id") < 100)
+        // measured several-fold cheaper. Window = 150 docs (11,175 pairs):
+        // the smallest prefix whose pairs clear the 0.2 threshold at EVERY
+        // driver SF, so the oracle never degenerates to an empty match
+        val docs = Tables(s, d, "documents").filter(col("doc_id") < 150)
           .select(col("doc_id"),
             transform(shingles(col("text"), 3), x => xxhash64(x)).as("sh"))
         val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))

@@ -31,6 +31,25 @@ object Functions {
         length(trim(col("source"))).cast("long").as("src_len"))
         .orderBy("doc_id")),
 
+    // ---- regex: extract/count/match/replace -----------------------------------
+    // patterns restricted to the Java-regex ∩ RE2 dialect (no lookaround,
+    // no backrefs) so Spark and DuckDB execute literally the same automaton
+    // — the same portability rule as q_redact's PII patterns
+    Q("q_regexp_funcs", Some(
+      """SELECT doc_id,
+        |  regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels,
+        |  regexp_matches(text, 'data|spark') AS mentions,
+        |  regexp_replace(text, '[0-9]+', '#', 'g') AS masked
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => Tables(s, d, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+        regexp_count(col("text"), lit("[aeiou]")).cast("long").as("n_vowels"),
+        col("text").rlike("data|spark").as("mentions"),
+        regexp_replace(col("text"), "[0-9]+", "#").as("masked"))
+        .orderBy("doc_id")),
+
     // ---- dates: add/diff/extract/truncate -------------------------------------
     Q("q_date_funcs", Some(
       """SELECT event_id,

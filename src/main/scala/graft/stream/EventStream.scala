@@ -40,6 +40,32 @@ object EventStream {
       .groupBy(col("user_id"), session_window(col(tsCol), "5 minutes"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** T∅: stream-stream inner interval join — pair each row of `probe`
+    * with same-key rows of `base` whose timestamp falls in the preceding
+    * `gap` (e.g. purchases matched to the views that led to them). BOTH
+    * sides carry watermarks and the join condition bounds the time span,
+    * which is what makes the state store finite: Spark evicts buffered
+    * rows once the other side's watermark passes `gap` + lateness — the
+    * state held at 100 TB/day is two horizons of rows, never history.
+    * An unbounded-condition stream-stream join would buffer forever and
+    * is rejected here by construction.
+    */
+  def intervalJoin(probe: DataFrame, base: DataFrame,
+      key: String = "user_id", tsCol: String = "ts",
+      gap: String = "10 minutes", lateness: String = "1 hour"): DataFrame = {
+    val l = probe.withWatermark(tsCol, lateness)
+      .select(col(key), col(tsCol).as("probe_ts"),
+        col("event_type").as("probe_type"))
+    val r = base.withWatermark(tsCol, lateness)
+      .select(col(key).as("__rk"), col(tsCol).as("base_ts"),
+        col("event_type").as("base_type"))
+    l.join(r,
+      col(key) === col("__rk") &&
+        col("base_ts") >= col("probe_ts") - expr(s"interval $gap") &&
+        col("base_ts") < col("probe_ts"))
+      .drop("__rk")
+  }
+
   /** L1 in streaming form: exactly-once event dedup inside the watermark
     * horizon. State is bounded — ids older than the watermark are evicted,
     * so at 100 TB/day the state store holds one horizon of ids, not history.

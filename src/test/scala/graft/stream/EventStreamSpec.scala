@@ -102,6 +102,32 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("intervalJoin pairs same-user events inside the gap, drops outside (stream-stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val probe = MemoryStream[Ev]
+    val base = MemoryStream[Ev]
+    val q = EventStream.intervalJoin(probe.toDF(), base.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      base.addData(
+        Ev(ts("2024-02-29 01:00:00"), "view", 1),   // 5 min before → match
+        Ev(ts("2024-02-29 00:40:00"), "view", 1),   // 25 min before → outside gap
+        Ev(ts("2024-02-29 01:00:00"), "view", 2))   // other user → no match
+      probe.addData(Ev(ts("2024-02-29 01:05:00"), "purchase", 1))
+      q.processAllAvailable()
+      // advance both watermarks far enough to flush the joined results
+      base.addData(Ev(ts("2024-02-29 09:00:00"), "view", 9))
+      probe.addData(Ev(ts("2024-02-29 09:00:00"), "purchase", 9))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select($"user_id", date_format($"probe_ts", "HH:mm").as("p"),
+          date_format($"base_ts", "HH:mm").as("b"))
+        .as[(Long, String, String)].collect().toSet
+      assert(rows === Set((1L, "01:05", "01:00")))
+    } finally q.stop()
+  }
+
   test("closedSessions emits a session only when a later event closes it (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
