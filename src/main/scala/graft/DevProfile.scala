@@ -127,6 +127,35 @@ object DevProfile {
       spark.catalog.clearCache()
       graft.llm.VectorOps.cosinePairsNative(emb, 0.35).count()
     }
+
+    // ---- top-k-per-key: window row_number form vs custom heap plan ----------
+    // The interesting number is SHUFFLE VOLUME (window moves every row,
+    // the heap plan moves ≤ k·keys·partitions) — wall-clock at sf0.1 only
+    // hints at it; the lineitem variant (6x rows, 200k keys) shows the
+    // high-cardinality regime where the partial pass stops winning.
+    {
+      import org.apache.spark.sql.expressions.Window
+      val orders = graft.query.Tables(spark, sfDir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val winForm = orders.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 3).drop("_rn")
+      time("topk window (5 keys)") { winForm.count() }
+      val heapForm = graft.plans.TopK.perKey(orders, Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      time("topk heap   (5 keys)") { heapForm.count() }
+      val li = graft.query.Tables(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val wl = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      val liWin = li.withColumn("_rn", row_number().over(wl))
+        .filter(col("_rn") <= 2).drop("_rn")
+      time("topk window (hi-card)") { liWin.count() }
+      val liHeap = graft.plans.TopK.perKey(li, Seq("l_orderkey"),
+        Seq(col("l_extendedprice").desc, col("l_linenumber").asc), 2)
+      time("topk heap   (hi-card)") { liHeap.count() }
+    }
     spark.stop()
   }
 }

@@ -70,6 +70,31 @@ object Sampling {
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
         .orderBy("split")),
 
+    // ---- weighted source mixing: per-source sampling rates ---------------------
+    // The corpus-mixing step of a training pipeline: each source is kept at
+    // its target rate (here src0 fully, src1-src3 at 50%, the rest at 20%)
+    // by the same deterministic per-row bucket as the split — no RNG, no
+    // shuffle, re-run/backfill stable, and the mix is reproducible from the
+    // code alone. Production callers use splitBucket(key, 100) < rate with
+    // xxhash64; the oracle twin pins the semantics via the arithmetic hash.
+    Q("q_mix_weighted", Some(
+      """SELECT source, count(*) AS n_kept, min(doc_id) AS min_id
+        |FROM documents
+        |WHERE (doc_id % 1000003) * 31 % 100 <
+        |  CASE WHEN source = 'src0' THEN 100
+        |       WHEN source IN ('src1','src2','src3') THEN 50
+        |       ELSE 20 END
+        |GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("rate",
+          when(col("source") === "src0", 100)
+            .when(col("source").isin("src1", "src2", "src3"), 50)
+            .otherwise(20))
+        .filter(arithBucket(col("doc_id")) < col("rate"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_id"))
+        .orderBy("source")),
+
     // ---- stratified sample: k docs per language, stable under re-runs ----------
     Q("q_sample_stratified", Some(
       """SELECT lang, doc_id FROM (

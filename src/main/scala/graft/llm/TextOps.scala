@@ -268,7 +268,58 @@ object TextOps {
     out
   }
 
+  /** L5+: split documents into overlapping word-window chunks — the unit
+    * conversion every training pipeline does between cleaning and
+    * tokenization (long doc → fixed-ish context windows, stride < size for
+    * boundary overlap). Pure generator shape: one `sequence`+`explode` per
+    * row, `slice` per chunk — no shuffle, no driver involvement; at 100 TB
+    * this is a map-only pass whose output partitioning follows the input.
+    * Chunk starts are 0, stride, 2·stride, …, covering every word (the
+    * last chunk may be short); a doc shorter than `chunkSize` yields
+    * exactly one chunk.
+    */
+  def chunkWords(df: DataFrame, chunkSize: Int, stride: Int,
+      textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val ws = words(col(textCol))
+    val lastStart = ceil(greatest(size(ws) - chunkSize, lit(0))
+      .cast("double") / stride).cast("long")
+    df.withColumn("_ws", ws)
+      .withColumn("chunk_id", explode(sequence(lit(0L), lastStart)))
+      .withColumn("chunk", array_join(
+        slice(col("_ws"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)), " "))
+      .withColumn("n_words",
+        least(size(col("_ws")) - col("chunk_id") * stride, lit(chunkSize))
+          .cast("long"))
+      .drop("_ws")
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ---- L5+: overlapping chunking (doc → training context windows) ----------
+    Q("q_chunk_docs", Some(
+      // (DuckDB's table-valued generate_series can't see lateral columns,
+      // so the oracle expands chunks as a list of structs and unnests)
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(ceil(greatest(len(ws) - 32, 0)::DOUBLE / 24) AS BIGINT) + 1),
+        |    i -> struct_pack(chunk_id := i,
+        |                     chunk := array_to_string(ws[i*24+1 : i*24+32], ' '),
+        |                     n_words := least(len(ws) - i*24, 32)))) AS ch
+        |  FROM w)
+        |SELECT doc_id, ch.chunk_id AS chunk_id, ch.chunk AS chunk,
+        |  CAST(ch.n_words AS BIGINT) AS n_words
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, d) => chunkWords(
+        Tables(s, d, "documents").filter(col("doc_id") < 200),
+        chunkSize = 32, stride = 24)
+        .select("doc_id", "chunk_id", "chunk", "n_words")
+        .orderBy("doc_id", "chunk_id")),
 
     // ---- L1: exact dedup ---------------------------------------------------
     Q("q_dedup_exact", Some(

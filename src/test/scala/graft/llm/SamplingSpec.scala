@@ -36,4 +36,23 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     val tiny = Seq((1L, "a"), (2L, "b")).toDF("id", "parity")
     assert(Sampling.stratifiedTake(tiny, "parity", col("id"), 5).count() === 2)
   }
+
+  test("weighted mixing via splitBucket: rates hold and re-runs are identical") {
+    val df = (1L to 9000L)
+      .map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    def mix() = df
+      .withColumn("rate", when(col("source") === "src0", 100)
+        .when(col("source") === "src1", 50).otherwise(20))
+      .filter(Sampling.splitBucket(col("id"), 100) < col("rate"))
+    val counts = mix().groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("src0") === 3000L) // rate 100 keeps everything
+    // hash-uniform rates: within 15% of target on 3000 rows/source
+    assert(math.abs(counts("src1") - 1500L) < 225, counts.toString)
+    assert(math.abs(counts("src2") - 600L) < 90, counts.toString)
+    // determinism: the sampled ID SET is identical across runs
+    val ids1 = mix().select("id").as[Long].collect().toSet
+    val ids2 = mix().select("id").as[Long].collect().toSet
+    assert(ids1 === ids2)
+  }
 }

@@ -144,4 +144,36 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)))
   }
+
+  test("chunkWords: coverage, overlap, short docs, dense chunk ids") {
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ") // 10 words
+    val df = Seq((1L, text10), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkWords(df, chunkSize = 4, stride = 3)
+      .select("doc_id", "chunk_id", "chunk", "n_words")
+      .as[(Long, Long, String, Long)].collect().sortBy(c => (c._1, c._2))
+    val doc1 = chunks.filter(_._1 == 1L)
+    // starts 0,3,6 cover all 10 words; last chunk is the short tail
+    assert(doc1.map(_._3).toSeq === Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(doc1.map(_._4).toSeq === Seq(4L, 4L, 4L))
+    // consecutive chunks overlap by chunkSize - stride = 1 word
+    assert(doc1.sliding(2).forall { case Array(a, b) =>
+      a._3.split(" ").last == b._3.split(" ").head })
+    // chunk ids dense from 0
+    assert(doc1.map(_._2).toSeq === Seq(0L, 1L, 2L))
+    // docs shorter than chunkSize yield exactly one (short) chunk
+    assert(chunks.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b", 2L)))
+    assert(chunks.filter(_._1 == 3L).toSeq === Seq((3L, 0L, "solo", 1L)))
+    // every word of every doc appears in at least one chunk
+    val rebuilt = doc1.flatMap(_._3.split(" ")).toSet
+    assert(rebuilt === (1 to 10).map(i => s"w$i").toSet)
+  }
+
+  test("chunkWords rejects stride > chunkSize (words would be dropped)") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.chunkWords(df, chunkSize = 4, stride = 5)
+    }
+  }
 }
