@@ -74,6 +74,7 @@ object IncrementalViews {
       case None => partial
     }
     TableStore.overwriteVersioned(merged, s"$mvDir/repo_counts")
+    maintainDistinctWatchers(spark, batch("watch"), mvDir)
     // keyword survivors append (date-partitioned, same layout as curated)
     TableStore.append(commitFilter(batch("commit"), keyword),
       s"$mvDir/kw_commits")
@@ -112,6 +113,38 @@ object IncrementalViews {
     (commits, comments)
   }
 
+  // ---- mergeable-sketch view: distinct watchers per repo -------------------
+  // COUNT DISTINCT is not distributive — totals can't merge by addition, and
+  // keeping the raw user sets would make the view as big as history. The
+  // mergeable form is a sketch: each tick folds the batch's per-repo HLL
+  // sketches into the stored ones (`hll_union_agg`), so the view holds one
+  // fixed-size binary per repo and the per-tick cost stays O(batch +
+  // repos). This is exactly how a 100 TB pipeline keeps "unique users per
+  // repo, all time" fresh without ever rescanning history.
+
+  private val sketchSchema = StructType(Seq(
+    StructField("repo", org.apache.spark.sql.types.StringType),
+    StructField("sk", org.apache.spark.sql.types.BinaryType)))
+
+  /** Fold one batch's watch events into the distinct-watchers sketches. */
+  def maintainDistinctWatchers(spark: SparkSession, batchWatch: DataFrame,
+      mvDir: String): Unit = {
+    val dir = s"$mvDir/watcher_sketches"
+    val partial = batchWatch.groupBy("repo")
+      .agg(hll_sketch_agg(col("username")).as("sk"))
+    val merged =
+      if (TableStore.dataFiles(spark, dir).isEmpty) partial
+      else TableStore.read(spark, dir, sketchSchema).unionByName(partial)
+        .groupBy("repo").agg(hll_union_agg(col("sk")).as("sk"))
+    TableStore.overwriteVersioned(merged, dir)
+  }
+
+  /** (repo, estimated distinct watchers) from the maintained sketches. */
+  def distinctWatchers(spark: SparkSession, mvDir: String): DataFrame =
+    TableStore.read(spark, s"$mvDir/watcher_sketches", sketchSchema)
+      .select(col("repo"),
+        hll_sketch_estimate(col("sk")).as("distinct_watchers"))
+
   /** Recovery/bootstrap: recompute every view from the curated store (the
     * one full scan, paid only after a crash rollback or when adopting the
     * views over an existing store).
@@ -123,6 +156,9 @@ object IncrementalViews {
     TableStore.overwriteVersioned(
       watch.groupBy("repo").agg(count(lit(1)).cast(LongType).as("count")),
       s"$mvDir/repo_counts")
+    TableStore.overwriteVersioned(
+      watch.groupBy("repo").agg(hll_sketch_agg(col("username")).as("sk")),
+      s"$mvDir/watcher_sketches")
     val commit = TableStore.read(spark, s"$storeDir/commit", curated("commit"))
     TableStore.overwriteVersioned(commitFilter(commit, keyword),
       s"$mvDir/kw_commits", partitionCols = Seq("date"))

@@ -87,6 +87,29 @@ object Relational {
         .agg(approx_count_distinct("user_id").as("n_users_approx"))
         .orderBy("event_type")),
 
+    // ---- A7: MERGEABLE distinct sketches (DataSketches HLL), law-oracled ----
+    // Unlike approx_count_distinct's opaque internal state, hll_sketch_agg
+    // emits a portable binary that composes across ticks/partitions with
+    // hll_union_agg — the building block of incremental distinct views
+    // (`IncrementalViews.maintainDistinctWatchers`). The raw estimate is
+    // engine-defined, so the oracle pins the LAW instead: the estimate must
+    // land within 5% of the exact distinct (trivially true on the oracle
+    // side, true on the Spark side only if the sketch math is right — the
+    // same drift-proof boolean-law pattern as q_quantize_embed).
+    Q("q_distinct_sketch", Some(
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n,
+        |  true AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => t("events")(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_n"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+        .withColumn("within_5pct",
+          abs(col("est") - col("exact_n")) <= col("exact_n") * 0.05)
+        .select("event_type", "exact_n", "within_5pct")
+        .orderBy("event_type")),
+
     // ---- A7: rollup over two time scales (gha.ipynb:392 "trends") ----------
     Q("q_rollup", Some(
       """SELECT coalesce(event_type, 'ALL') AS event_type,

@@ -2,6 +2,7 @@ package graft.ingest
 
 import java.nio.file.{Files, Paths}
 import java.time.Instant
+import org.apache.spark.sql.functions.countDistinct
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkFixture
 import graft.store.TableStore
@@ -104,6 +105,39 @@ class IncrementalViewsSpec extends AnyFunSuite with SparkFixture {
       case (c, m) => (c.collect().toSeq, m.collect().toSeq)
     }
     assert(c1 == c2 && m1 == m2)
+  }
+
+  test("distinct-watcher sketches union across ticks (sets, not sums)") {
+    val dir = tmp("mv_hll")
+    // overlapping user sets across two batches: a sum of per-batch
+    // distincts would say 6; the sketch union must say 4
+    val b1 = Seq(("r1", "a"), ("r1", "b"), ("r1", "c"), ("r2", "x"))
+      .toDF("repo", "username")
+    val b2 = Seq(("r1", "b"), ("r1", "c"), ("r1", "d"), ("r2", "x"))
+      .toDF("repo", "username")
+    IncrementalViews.maintainDistinctWatchers(spark, b1, dir)
+    IncrementalViews.maintainDistinctWatchers(spark, b2, dir)
+    val got = IncrementalViews.distinctWatchers(spark, dir)
+      .as[(String, Double)].collect().toMap
+    assert(math.round(got("r1")) === 4L, got.toString)
+    assert(math.round(got("r2")) === 1L, got.toString)
+  }
+
+  test("pipeline-maintained sketches match exact distincts from the store") {
+    val dir = tmp("mv_hll2")
+    Files.createDirectories(Paths.get(s"$dir/landing"))
+    val start = Instant.parse(s"${d}T01:00:00Z")
+    for ((lines, h) <- Seq(tick1 -> 1, tick2 -> 2, tick3 -> 3)) {
+      land(s"$dir/landing", d, h, lines)
+      GhaPipeline.incrementalRunWithViews(spark, s"$dir/landing",
+        s"$dir/store", s"$dir/mv", Instant.parse(s"${d}T0${h + 2}:00:00Z"), start)
+    }
+    val est = IncrementalViews.distinctWatchers(spark, s"$dir/mv")
+      .as[(String, Double)].collect().toMap.view.mapValues(math.round).toMap
+    val exact = TableStore.read(spark, s"$dir/store/watch")
+      .groupBy("repo").agg(countDistinct("username").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(est === exact.view.mapValues(identity).toMap, s"est=$est exact=$exact")
   }
 
   test("counts view is a merged total, not a last-batch snapshot") {
