@@ -131,7 +131,7 @@ object Pipelines {
             .repartition(4)
           TableStore.append(ev, tmp)
           TableStore.compact(s, tmp, zorderBy = Seq("user_id", "value"),
-            targetFileBytes = 16L * 1024)
+            targetFileBytes = 64L * 1024)
           val pruned = TableStore.readPruned(s, tmp, Seq(
             TableStore.ColRange("user_id", 3, 9),
             TableStore.ColRange("value", 20, 120)))
