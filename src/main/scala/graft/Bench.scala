@@ -22,29 +22,53 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = {
+    // task-level byte counters: shuffle volume is the number that predicts
+    // 100 TB behavior (wall-clock on a shared 32-core box mostly measures
+    // ambient load). Deltas are read per query after draining the async
+    // listener bus, so each query's bytes are exactly its own.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            inputBytes.addAndGet(m.inputMetrics.bytesRead)
+          }
+        }
+      })
+
+    def runOnce(name: String): (Double, Long, Long) = {
       val fn = SparkEntry.queries(name)
       // queries that persist() intermediates would otherwise hand their
       // cache to the second run and min-of-two would report warm-cache time
       spark.catalog.clearCache()
+      org.apache.spark.graft.CoreBridge.drainListenerBus(spark.sparkContext)
+      val sh0 = shuffleBytes.get(); val in0 = inputBytes.get()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        return (-1.0, 0L, 0L)
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.CoreBridge.drainListenerBus(spark.sparkContext)
+      (dt, shuffleBytes.get() - sh0, inputBytes.get() - in0)
     }
 
     // best-of-2: the box is shared with the driver harness and ambient load
     // spikes swing single runs 2-3x; min-of-two reports the query's cost,
     // not the neighbor's. (Plan construction re-runs too — cached plans are
-    // not reused because each call rebuilds the DataFrame.)
-    def run(name: String): Double = {
+    // not reused because each call rebuilds the DataFrame.) Byte counters
+    // are deterministic, so the second run's are reported (first-run
+    // footer/cache warmup can differ).
+    def run(name: String): (Double, Long, Long) = {
       val a = runOnce(name)
-      if (a < 0) return a
+      if (a._1 < 0) return a
       val b = runOnce(name)
-      if (b < 0) a else math.min(a, b)
+      if (b._1 < 0) a else (math.min(a._1, b._1), b._2, b._3)
     }
 
     // untimed warmup: JIT + classloading + parquet footer caches for every
@@ -57,9 +81,11 @@ object Bench {
 
     val names = SparkEntry.registry.map(_.name)
     val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = results.map { case (k, (v, sh, in)) =>
+      f""""$k":{"sec":$v,"shuffle_mb":${sh / 1e6}%.2f,"input_mb":${in / 1e6}%.2f}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalShuffleMb = results.map(_._2._2).sum / 1e6
     // Full per-query detail first (its own line; too long for the harness's
     // stdout tail window, but still readable by humans in the captured tail).
     println(s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}""")
@@ -67,10 +93,10 @@ object Bench {
     // inside the harness's last-2000-chars capture, or it records
     // parsed:null (observed rounds 1-2 with the full 86-query line). Keep it
     // compact: total + the slowest queries only, 3-decimal values.
-    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
-    val qsTop = slow.map { case (k, v) => f""""$k":$v%.3f""" }
+    val slow = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(25)
+    val qsTop = slow.map { case (k, (v, _, _)) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"queries":$qsTop,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${names.size},"shuffle_mb":$totalShuffleMb%.1f,"queries":$qsTop,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

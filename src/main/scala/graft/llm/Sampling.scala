@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.query.Tables
@@ -16,8 +15,9 @@ import graft.query.Tables
   * and replication across clusters, so no RNG state is ever involved —
   * bucket membership is a pure function of the row's key. At 100 TB both
   * ops are embarrassingly parallel: the split is a per-row codegen'd
-  * expression (no shuffle at all); the stratified sample shuffles only on
-  * the stratum key with map-side-partial-friendly window rank.
+  * expression (no shuffle at all); the stratified sample runs on the
+  * TopKPerKey heap plan, shuffling at most k rows per stratum per map
+  * partition instead of the corpus.
   */
 object Sampling {
 
@@ -33,16 +33,19 @@ object Sampling {
   /** Deterministic per-stratum sample: the `perStratum` lowest-ranked rows
     * of each stratum under an explicit stable ordering. With `orderKey` =
     * a hash of the id this is a uniform stratified sample; with a quality
-    * score it is top-k-per-stratum curation — same operator, same plan
-    * (one shuffle on the stratum key).
+    * score it is top-k-per-stratum curation.
+    *
+    * Executes on the [[graft.plans.TopKPerKey]] heap plan, not a window:
+    * the window form (`row_number` + filter) shuffles and sorts EVERY row,
+    * while the heap plan's map-side pass caps the exchange at `perStratum`
+    * rows per stratum per partition — for a 100 TB corpus sampled to
+    * k·strata rows, the shuffle shrinks from the corpus to roughly the
+    * sample. Semantics are identical (window-equivalence is pinned by
+    * `TopKPerKeySpec` and the `q_sample_stratified` window-form oracle).
     */
   def stratifiedTake(df: org.apache.spark.sql.DataFrame, stratum: String,
-      orderKey: Column, perStratum: Int): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy(stratum).orderBy(orderKey)
-    df.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= perStratum)
-      .drop("_rk")
-  }
+      orderKey: Column, perStratum: Int): org.apache.spark.sql.DataFrame =
+    graft.plans.TopK.perKey(df, Seq(stratum), Seq(orderKey.asc), perStratum)
 
   // Oracle-twinned arithmetic bucket: DuckDB has no xxhash64, so the
   // SQL-verified query pins the split SEMANTICS (deterministic, disjoint,

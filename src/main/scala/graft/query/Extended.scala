@@ -169,6 +169,23 @@ object Extended {
           .select(col("day") +:
             types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
           .orderBy("day")
-      })
-  )
+      }),
+
+    // ---- A7f⁻¹: unpivot (wide metrics back to long form) ----------------------
+    // The inverse of q_pivot: melt two numeric columns into (k, v) rows —
+    // the normalization step before generic per-metric aggregation. Both
+    // columns cast to DOUBLE first (unpivot requires one value type).
+    Q("q_unpivot", Some(
+      """SELECT event_id, k, v FROM (
+        |  SELECT event_id, CAST(user_id AS DOUBLE) AS user_id_d, value
+        |  FROM events)
+        |UNPIVOT (v FOR k IN (user_id_d, value))
+        |ORDER BY event_id, k""".stripMargin),
+      (s, d) => Tables(s, d, "events")
+        .unpivot(
+          Array(col("event_id")),
+          Array(col("user_id").cast("double").as("user_id_d"), col("value")),
+          "k", "v")
+        .orderBy("event_id", "k")
+  ))
 }

@@ -251,6 +251,30 @@ object Relational {
         .groupBy("n_orders").agg(cnt.as("n_customers"))
         .orderBy("n_orders")),
 
+    // ---- J: full outer join — unmatched rows survive from BOTH sides -----------
+    // customer restricted to half the nations vs per-customer order counts:
+    // customers outside the slice surface with null c_name side... and
+    // order-less customers inside it surface with null o_cnt. One shuffle
+    // (sort-merge full outer); coalesced key keeps the output totally
+    // ordered for the hash compare.
+    Q("q_join_full", Some(
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |  c.c_name AS c_name, o.o_cnt AS o_cnt
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 12) c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS o_cnt
+        |                 FROM orders GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin),
+      (s, d) => {
+        val c = t("customer")(s, d).filter(col("c_nationkey") < 12)
+          .select("c_custkey", "c_name")
+        val o = t("orders")(s, d).groupBy("o_custkey").agg(cnt.as("o_cnt"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_name"), col("o_cnt"))
+          .orderBy("custkey")
+      }),
+
     // ---- J: multi-way star join (TPC-H Q5 shape) --------------------------------
     // Fact x fact on orderkey (shuffle), then three bounded dims broadcast.
     // This is the canonical 100 TB plan: exactly one big shuffle.

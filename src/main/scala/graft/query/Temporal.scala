@@ -153,6 +153,31 @@ object Temporal {
           .orderBy("event_type", "drnk", "day")
       }),
 
+    // ---- W: navigation frame — first/last/nth value over an explicit frame ----
+    // Ranking functions use the default frame; value navigation needs the
+    // full-partition frame spelled out (the default RANGE..CURRENT ROW frame
+    // would make last_value degenerate to the current row in BOTH engines).
+    Q("q_window_nav", Some(
+      s"""WITH daily AS ($dailySql)
+        |SELECT event_type, day, cnt,
+        |  first_value(cnt) OVER w AS best,
+        |  last_value(cnt) OVER w AS worst,
+        |  nth_value(cnt, 2) OVER w AS runner_up
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY cnt DESC, day
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_type, cnt DESC, day""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(desc("cnt"), asc("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        daily(s, d)
+          .withColumn("best", first(col("cnt")).over(w))
+          .withColumn("worst", last(col("cnt")).over(w))
+          .withColumn("runner_up", nth_value(col("cnt"), 2).over(w))
+          .orderBy(col("event_type"), desc("cnt"), asc("day"))
+      }),
+
     // ---- T3: tumbling hourly window (the reference's micro-batch grain) ---------
     Q("q_window_tumbling", Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
