@@ -110,4 +110,29 @@ class TableStoreSpec extends AnyFunSuite with SparkFixture {
     assert(back.count() === 2)
     assert(back.head().getInt(0) === 2)
   }
+
+  test("schema evolution: a declared read schema bridges old and new file layouts") {
+    // a long-lived curated table accumulates files written under different
+    // code versions; the GhaSchemas-style DECLARED schema (not inference,
+    // not mergeSchema's full footer sweep) is what makes the mix readable:
+    // files predating a column yield nulls, survive compaction, and never
+    // force a schema-merge scan over every footer at 100 TB
+    import org.apache.spark.sql.types._
+    val dir = tmpDir() + "/evo"
+    TableStore.append(Seq((1L, "2024-01-01"))
+      .toDF("id", "date"), dir) // v1 layout: no score column
+    TableStore.append(Seq((2L, 0.7, "2024-01-02"))
+      .toDF("id", "score", "date"), dir) // v2 layout adds score
+    val declared = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType),
+      StructField("date", StringType)))
+    val back = TableStore.read(spark, dir, declared).orderBy("id")
+      .as[(Long, Option[Double], String)].collect().toSeq
+    assert(back === Seq((1L, None, "2024-01-01"), (2L, Some(0.7), "2024-01-02")))
+    // compaction under the declared schema normalizes every file to it
+    TableStore.compact(spark, dir, Some(declared))
+    val after = TableStore.read(spark, dir, declared).orderBy("id")
+      .as[(Long, Option[Double], String)].collect().toSeq
+    assert(after === back)
+  }
 }
