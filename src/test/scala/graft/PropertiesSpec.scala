@@ -119,4 +119,29 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(!w2.before(w1))
     assert(w3 === w2)
   }
+
+  test("top-k-per-key ≡ window row_number on arbitrary data (O3 law)") {
+    // duplicate-heavy values force tie-break correctness; tiny/huge k and
+    // skewed key distributions probe the heap admission logic
+    val row = for {
+      key <- Gen.oneOf("a", "b", "c", "hot", "hot", "hot")
+      v <- Gen.choose(0, 9) // heavy ties
+      id <- Gen.choose(0L, Long.MaxValue)
+    } yield (key, v, id)
+    for ((rows, k) <- samples(Gen.listOfN(60, row), 4)
+        .zip(Seq(1, 2, 7, 100))) {
+      val df = rows.toDF("key", "v", "id").dropDuplicates("id")
+      val ord = Seq(col("v").desc, col("id").asc)
+      val ours = graft.plans.TopK.perKey(df, Seq("key"), ord, k)
+        .orderBy(col("key"), col("v").desc, col("id"))
+        .as[(String, Int, Long)].collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(ord: _*)
+      val ref = df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k).drop("_rn")
+        .orderBy(col("key"), col("v").desc, col("id"))
+        .as[(String, Int, Long)].collect().toSeq
+      assert(ours === ref, s"k=$k")
+    }
+  }
 }

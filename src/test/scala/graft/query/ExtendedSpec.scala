@@ -122,6 +122,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p = q.queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(p).size === 1, s"one exchange expected:\n$p")
     assert(p.contains("hashpartitioning(stratum"), s"keyed on stratum:\n$p")
+    // and it must be the bounded heap plan, not a window: no per-partition
+    // sort of the input, partial pass before the exchange
+    assert(p.contains("GraftTopKPerKeyFinal") &&
+      p.contains("GraftTopKPerKeyPartial"), s"heap plan expected:\n$p")
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"no sort/window should survive:\n$p")
   }
 
   test("date-partitioned store prunes partitions on a date predicate") {
