@@ -43,25 +43,40 @@ object Multimodal {
     * actual codec. `mapPartitions` because encoding is a per-row kernel,
     * not a column expression.
     */
-  def withImagePayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def withImagePayload(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.join(imagePayload(spark, docs), "doc_id")
+
+  /** The (doc_id, media) image fixture alone, parallelism-spread BEFORE the
+    * bytes exist: ids (8 bytes/row) shuffle, PNG payloads are generated
+    * post-shuffle in the partitions that will decode them. Kernels fed from
+    * this frame move no media across the wire at all — the shape a 100 TB
+    * pipeline gets from a partitioned media-column scan, where the bytes
+    * are born distributed.
+    */
+  def imagePayload(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val enc = docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id")).as[Long]
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map(id => (id, pngBytes(id))))
       .toDF("doc_id", "media")
-    docs.join(enc, "doc_id")
   }
 
-  /** Spread rows across cores immediately before a codec kernel: fixture
-    * tables arrive as one parquet file (one partition) and AQE coalesces
-    * small join outputs back to one partition — either way a per-row codec
-    * must not run serial. Explicit numPartitions is exempt from AQE
-    * coalescing; the same move a real pipeline makes after an unsplittable
-    * read.
+  /** Spread rows across cores immediately before a codec kernel IF the
+    * input arrives under-partitioned (fixture tables are one parquet file;
+    * AQE coalesces small join outputs back to one partition — either way a
+    * per-row codec must not run serial). When the caller already provides
+    * parallel partitioning — the normal case for a partitioned media scan
+    * or [[imagePayload]] — this is a no-op: re-shuffling media bytes in
+    * front of every kernel is exactly the "media never shuffles" violation
+    * this module warns about. Explicit numPartitions is exempt from AQE
+    * coalescing.
     */
-  private def spread(spark: SparkSession, withMedia: DataFrame): DataFrame =
-    withMedia.select(col("doc_id"), col("media"))
-      .repartition(spark.sparkContext.defaultParallelism)
+  private def spread(spark: SparkSession, withMedia: DataFrame): DataFrame = {
+    val narrow = withMedia.select(col("doc_id"), col("media"))
+    val cores = spark.sparkContext.defaultParallelism
+    if (narrow.rdd.getNumPartitions * 2 >= cores) narrow
+    else narrow.repartition(cores)
+  }
 
   /** Deterministic 16x16 RGB PNG for doc `id` — real image bytes. */
   def pngBytes(id: Long): Array[Byte] = {
@@ -286,7 +301,7 @@ object Multimodal {
     // measured 60x the cost for nothing demonstrated
     Q("q_multimodal_resize", None,
       (s, d) => resizeFeatures(s,
-        withImagePayload(s, Tables(s, d, "documents")), targetW = 8)
+        imagePayload(s, Tables(s, d, "documents")), targetW = 8)
         .toDF()
         .select("doc_id", "width", "height", "target_w", "target_h",
           "scaled_bytes")
@@ -295,7 +310,7 @@ object Multimodal {
     Q("q_multimodal_decode", None,
       (s, d) => {
         val feats = decodeFeatures(s,
-          withImagePayload(s, Tables(s, d, "documents")))
+          imagePayload(s, Tables(s, d, "documents")))
         feats.toDF()
           .groupBy("channels", "decode_ok")
           .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
