@@ -75,6 +75,52 @@ object ScaleProbe {
       println(s"    pairs=$pairs")
       e.unpersist()
     }
+
+    // ---- z-order + footer-stats skipping at growing file counts ------------
+    // The question at scale isn't the layout cost (a one-time compaction
+    // write) but whether the skip RATIO holds as files multiply and whether
+    // the stats pass stays trivial next to the scan it avoids.
+    {
+      import graft.store.TableStore
+      val ev = graft.query.Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("date"))
+      for (copies <- Seq(1, 5, 10)) {
+        val big = (0 until copies).map(c => ev.select(
+          (col("event_id") + lit(c * 10000000L)).as("event_id"),
+          (col("user_id") + lit(c * 1000L)).as("user_id"),
+          col("value"), col("date"))).reduce(_ union _).localCheckpoint()
+        val n = big.count()
+        val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+        java.nio.file.Files.createDirectories(base)
+        val dir = java.nio.file.Files
+          .createTempDirectory(base, "zprobe").toString + "/t"
+        TableStore.append(big.repartition(8), dir)
+        time(s"zorder compact        n=$n") {
+          TableStore.compact(spark, dir, zorderBy = Seq("user_id", "value"),
+            targetFileBytes = 64L * 1024)
+        }
+        val pr = time(s"stats prune pass      n=$n") {
+          TableStore.readPruned(spark, dir, Seq(
+            TableStore.ColRange("user_id", 100, 160),
+            TableStore.ColRange("value", 20, 60)))
+        }
+        println(s"    files kept ${pr.filesKept}/${pr.filesTotal}")
+        val pruned = time(s"pruned filtered scan  n=$n") {
+          pr.df.filter(col("user_id").between(100, 160) &&
+            col("value").between(20, 60)).count()
+        }
+        val full = time(s"full filtered scan    n=$n") {
+          TableStore.read(spark, dir).filter(
+            col("user_id").between(100, 160) &&
+            col("value").between(20, 60)).count()
+        }
+        require(pruned == full, s"pruning changed the result: $pruned != $full")
+        big.unpersist()
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir).getParentFile)
+      }
+    }
     spark.stop()
   }
 }
