@@ -357,8 +357,10 @@ object GhaPipeline {
   def fetchAndRun(spark: SparkSession, baseUrl: String, landingDir: String,
       storeDir: String, now: java.time.Instant,
       backfillStart: java.time.Instant, keyword: String = " dask",
-      retries: Int = 10, gapGraceHours: Int = 48): Seq[String] = {
-    recoverInflight(spark, storeDir)
+      retries: Int = 10, gapGraceHours: Int = 48,
+      mvDir: Option[String] = None): Seq[String] = {
+    if (recoverInflight(spark, storeDir))
+      mvDir.foreach(mv => IncrementalViews.rebuild(spark, storeDir, mv, keyword))
     // recovery must precede the range read (its rollback affects the
     // data-watermark fallback); incrementalRun's own recover/resume repeat
     // is then a pair of O(1) marker reads — only a marker-less legacy
@@ -398,8 +400,12 @@ object GhaPipeline {
             s"$landingDir/${hourStem(h)}.json"), true).close()
         }
     }
-    val ingested =
-      incrementalRun(spark, landingDir, storeDir, now, backfillStart, keyword)
+    val ingested = mvDir match {
+      case Some(mv) => incrementalRunWithViews(spark, landingDir, storeDir,
+        mv, now, backfillStart, keyword)
+      case None =>
+        incrementalRun(spark, landingDir, storeDir, now, backfillStart, keyword)
+    }
     // STALLED TICK: nothing ingested and the earliest missing hour's
     // download failed — whether every download failed (dead upstream) or
     // later hours succeeded around a persistently failing first hour

@@ -41,16 +41,19 @@ object Serve {
       backfillStart: Instant, keyword: String = " dask", ticks: Int = -1,
       now: () => Instant = () => Instant.now(),
       sleeper: Long => Unit = Thread.sleep,
-      baseUrl: Option[String] = None): Long = {
+      baseUrl: Option[String] = None,
+      mvDir: Option[String] = None): Long = {
     var ingested = 0L
     var failures = 0
     var i = 0
     while (ticks < 0 || i < ticks) {
       try {
-        ingested += (baseUrl match {
-          case Some(b) => GhaPipeline.fetchAndRun(spark, b, landingDir,
-            storeDir, now(), backfillStart, keyword).size
-          case None => GhaPipeline.incrementalRun(spark, landingDir,
+        ingested += ((baseUrl, mvDir) match {
+          case (Some(b), _) => GhaPipeline.fetchAndRun(spark, b, landingDir,
+            storeDir, now(), backfillStart, keyword, mvDir = mvDir).size
+          case (None, Some(mv)) => GhaPipeline.incrementalRunWithViews(spark,
+            landingDir, storeDir, mv, now(), backfillStart, keyword).size
+          case (None, None) => GhaPipeline.incrementalRun(spark, landingDir,
             storeDir, now(), backfillStart, keyword).size
         })
         failures = 0

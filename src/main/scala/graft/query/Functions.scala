@@ -122,6 +122,55 @@ object Functions {
     // ---- A∅: approximate quantiles (sketch-based; rows-only — DuckDB's
     // approx_quantile uses a different sketch, exact values are
     // engine-defined; bounds are asserted in the unit spec) ---------------------
+    // ---- histogram: fixed-width binning, exact counts --------------------------
+    // (this DuckDB build has no width_bucket; the oracle states the same
+    // binning arithmetically: bucket i covers [(i-1)*5, i*5), upper bound
+    // inclusive lands in bucket 11 — width_bucket's exact contract)
+    Q("q_histogram", Some(
+      """SELECT CAST(floor(l_quantity / 5) + 1 AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => Tables(s, d, "lineitem")
+        .select(width_bucket(col("l_quantity"), lit(0), lit(50), lit(10))
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(cnt.as("cnt"))
+        .orderBy("bucket")),
+
+    // ---- string aggregation: sorted-distinct concat per group ------------------
+    // collect_list is order-nondeterministic under parallelism, so the
+    // deterministic form is sort-then-join — the only safe way to compare
+    // string aggregation across ANY two engines (or two runs)
+    Q("q_string_agg", Some(
+      """SELECT n_name,
+        |  array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segs
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      (s, d) => Tables(s, d, "customer")
+        .join(Tables(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(array_sort(array_distinct(
+          collect_list(col("c_mktsegment")))), ",").as("segs"))
+        .orderBy("n_name")),
+
+    // ---- second-moment statistics: stddev / correlation / covariance -----------
+    // rounded to absorb summation-order ulps (both engines stream partial
+    // aggregates in engine-defined order; the values agree to ~1e-12
+    // relative, far inside the rounding)
+    Q("q_stats_moments", Some(
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qe,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qe
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qe"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qe"))
+        .orderBy("l_returnflag")),
+
     Q("q_approx_quantile", None,
       (s, d) => Tables(s, d, "events")
         .groupBy("event_type")

@@ -21,6 +21,13 @@ object Relational {
   private def t(name: String)(implicit s: SparkSession, dir: String) =
     Tables(s, dir, name)
 
+  /** One ANSI string both Spark and DuckDB execute verbatim (q_sql_entry). */
+  private val SqlEntryText =
+    """SELECT c_mktsegment, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- A4: scalar count -------------------------------------------------
@@ -250,6 +257,18 @@ object Relational {
         .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
         .groupBy("n_orders").agg(cnt.as("n_customers"))
         .orderBy("n_orders")),
+
+    // ---- SQL surface: the same ANSI text runs on BOTH engines ------------------
+    // The engine is DataFrame-first, but a reference user also writes SQL;
+    // this key registers the tables as views and executes the ORACLE'S OWN
+    // text through spark.sql — dialect compatibility proven by definition
+    // (one string, two engines, one hash).
+    Q("q_sql_entry", Some(SqlEntryText),
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        Tables(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql(SqlEntryText)
+      }),
 
     // ---- J: full outer join — unmatched rows survive from BOTH sides -----------
     // customer restricted to half the nations vs per-customer order counts:

@@ -56,6 +56,39 @@ class ServeSpec extends AnyFunSuite with SparkFixture {
       graft.schema.GhaSchemas.curated("comment")).count() === 2)
   }
 
+  test("mvDir ticks maintain the views and serve results from them") {
+    val base = Paths.get("/root/repo/target/tmp")
+    Files.createDirectories(base)
+    val dir = Files.createTempDirectory(base, "serve_mv").toString
+    Files.createDirectories(Paths.get(s"$dir/landing"))
+    def watchLine(user: String, h: Int) =
+      s"""{"type":"WatchEvent","actor":{"login":"$user"},"repo":{"name":"r/x"},"created_at":"2024-02-29T0$h:10:00Z","payload":{"action":"started"}}"""
+    def pushLine(user: String, h: Int) =
+      s"""{"type":"PushEvent","actor":{"login":"$user"},"repo":{"name":"r/x"},"created_at":"2024-02-29T0$h:20:00Z","payload":{"commits":[{"sha":"s$h","message":"use dask"}]}}"""
+    Files.write(Paths.get(s"$dir/landing/2024-02-29-1.json"),
+      ((1 to 6).map(i => watchLine(s"w$i", 1)) :+ pushLine("alice", 1))
+        .mkString("\n").getBytes)
+    var t = Instant.parse("2024-02-29T03:10:00Z")
+    val n = Serve.loop(spark, s"$dir/landing", s"$dir/store",
+      Instant.parse("2024-02-29T01:00:00Z"), ticks = 2,
+      now = () => t,
+      sleeper = _ => {
+        Files.write(Paths.get(s"$dir/landing/2024-02-29-2.json"),
+          pushLine("bob", 2).getBytes)
+        t = Instant.parse("2024-02-29T04:10:00Z")
+      },
+      mvDir = Some(s"$dir/mv"))
+    assert(n === 2)
+    // results came from the views: both ticks' commits visible, counts from
+    // the merged totals (6 watches), and the views dir actually exists
+    assert(Files.exists(Paths.get(s"$dir/mv/repo_counts")))
+    val spark2 = spark
+    import spark2.implicits._
+    val commits = TableStore.read(spark, s"$dir/store/results/commits")
+      .select("username", "count").as[(String, Long)].collect().toSet
+    assert(commits === Set(("alice", 6L), ("bob", 6L)))
+  }
+
   test("a failing tick is absorbed; failure count feeds the backoff") {
     val base = Paths.get("/root/repo/target/tmp")
     val dir = Files.createTempDirectory(base, "serve_f").toString
