@@ -296,6 +296,31 @@ object TextOps {
       .drop("_ws")
   }
 
+  /** L2: remove corpus rows whose `textCol` appears verbatim in an eval
+    * set — benchmark decontamination for a training pipeline.
+    *
+    * 100 TB shape: the corpus scans ONCE through a broadcast bloom filter
+    * of the eval texts (no false negatives, so non-hits are definite
+    * keeps with zero join work); only the ~fpp fraction of bloom hits pay
+    * the exact anti-join, and that side is candidate-sized. The bloom is
+    * built driver-side from the eval set (`df.stat.bloomFilter`) — eval
+    * suites are MBs, not TBs, and the bloom is smaller still; a raw
+    * broadcast anti-join would ship every eval string to every executor
+    * and give the join NO cheap definite-keep path.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val n = math.max(evalSet.count(), 1L)
+    val bloom = evalSet.stat.bloomFilter(textCol, n, 0.01)
+    val b = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && b.value.mightContain(s))
+    val definiteKeep = corpus.filter(!mightContain(col(textCol)))
+    val verified = corpus.filter(mightContain(col(textCol)))
+      .join(evalSet.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+    definiteKeep.unionByName(verified.select(definiteKeep.columns.map(col): _*))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- L5+: overlapping chunking (doc → training context windows) ----------
@@ -379,6 +404,21 @@ object TextOps {
           .filter(col("hamming") <= 4)
           .select("id_a", "id_b", "hamming")
           .orderBy("id_a", "id_b")
+      }),
+
+    // ---- L2: eval-set decontamination (bloom prefilter + exact verify) ---------
+    // The oracle is the plain NOT EXISTS anti-join — hash-equality proves
+    // the bloom layer loses nothing. q_decontaminate uses a 10%-of-corpus
+    // eval slice so both the definite-keep and verify paths carry rows.
+    Q("q_decontaminate", Some(
+      """SELECT d.doc_id FROM documents d WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents e
+        |  WHERE e.doc_id % 10 = 0 AND e.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        decontaminate(docs, docs.filter(col("doc_id") % 10 === 0), "text")
+          .select("doc_id").orderBy("doc_id")
       }),
 
     // ---- U∅/L2: cross-source contamination via composed minhash signatures ------

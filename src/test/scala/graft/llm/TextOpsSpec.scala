@@ -176,4 +176,21 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
       TextOps.chunkWords(df, chunkSize = 4, stride = 5)
     }
   }
+
+  test("decontaminate removes exact eval matches and keeps everything else") {
+    val corpus = (1L to 200L)
+      .map(i => (i, if (i % 7 == 0) s"leaked eval item ${i % 3}" else s"clean doc $i"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq("leaked eval item 0", "leaked eval item 1",
+      "leaked eval item 2", "never in corpus").toDF("text")
+    val kept = TextOps.decontaminate(corpus, evalSet, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val expected = (1L to 200L).filter(_ % 7 != 0).toSet
+    assert(kept === expected)
+    // bloom false positives must be resolved by the exact verify, never
+    // dropped: a corpus with NO real matches survives intact
+    val cleanOnly = corpus.filter(!col("text").startsWith("leaked"))
+    val kept2 = TextOps.decontaminate(cleanOnly, evalSet, "text").count()
+    assert(kept2 === cleanOnly.count())
+  }
 }
