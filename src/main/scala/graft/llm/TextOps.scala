@@ -518,6 +518,40 @@ object TextOps {
           .cast("long").as("re_tokens"))
         .orderBy("doc_id")),
 
+    // ---- L1+L5 composed: the corpus-cleaning pipeline as ONE flow ---------------
+    // quality gate → exact dedup (keep min id) → per-source survivor counts:
+    // the operators are individually oracled above; this key proves they
+    // COMPOSE — the shape of a real "clean the crawl" job. One scan feeds
+    // the gate; dedup is the single hash shuffle; counts are map-side
+    // partial. Rows: the per-source survivor histogram.
+    Q("q_corpus_clean", Some(
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM scored WHERE n_words >= 30 AND stop_ratio > 0.01),
+        |dd AS (SELECT text, min(doc_id) AS keep_id FROM kept GROUP BY text)
+        |SELECT k.source, count(*) AS n_docs
+        |FROM kept k JOIN dd ON k.doc_id = dd.keep_id
+        |GROUP BY k.source ORDER BY k.source""".stripMargin),
+      (s, d) => {
+        val w = words(col("text"))
+        val kept = Tables(s, d, "documents")
+          .withColumn("n_words", size(w).cast("long"))
+          .withColumn("stop_ratio",
+            size(filter(w, x => x.isin(STOPWORDS: _*))).cast("double") / size(w))
+          .filter(col("n_words") >= 30 && col("stop_ratio") > 0.01)
+        val keeps = exactDedup(kept, col("text"), col("doc_id"))
+          .select(col("keep_id").as("doc_id"))
+        kept.join(keeps, "doc_id")
+          .groupBy("source").agg(cnt.as("n_docs"))
+          .orderBy("source")
+      }),
+
     // ---- L5: PII/boilerplate redaction (emails/URLs -> placeholders) -----------------
     Q("q_redact", Some(
       s"""SELECT doc_id,
