@@ -115,15 +115,21 @@ object Fetch {
           // checks the trailer CRC/ISIZE at EOF) before the rename makes it
           // visible. Failure is retryable like any short read.
           if (expected < 0 && name.endsWith(".gz")) {
-            val check = new java.util.zip.GZIPInputStream(fs.open(tmp))
+            // the GZIPInputStream CONSTRUCTOR itself throws on a corrupt
+            // header (truncation mid-header, an HTML error page with 200)
+            // — it must sit inside the classify-and-close scope too, or
+            // the raw stream leaks and the error loses its actionable
+            // corrupt-gzip framing
+            val rawIn = fs.open(tmp)
             try {
+              val check = new java.util.zip.GZIPInputStream(rawIn)
               val buf = new Array[Byte](1 << 16)
               while (check.read(buf) >= 0) ()
             } catch {
               case e: java.io.IOException =>
                 throw new java.io.IOException(
                   s"corrupt gzip body (no Content-Length) for $url: $e")
-            } finally check.close()
+            } finally rawIn.close()
           }
           if (fs.exists(dst)) fs.delete(dst, false)
           // Hadoop rename reports several failures by returning false, not

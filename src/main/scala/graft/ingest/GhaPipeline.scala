@@ -18,10 +18,21 @@ import graft.time.Increments
 object GhaPipeline {
 
   /** Ingest a batch of NDJSON files into the curated store. */
-  def ingest(spark: SparkSession, paths: Seq[String], storeDir: String): Unit = {
+  def ingest(spark: SparkSession, paths: Seq[String], storeDir: String): Unit =
+    ingestWith(spark, paths, storeDir)(_ => ())
+
+  /** [[ingest]] plus a hook over the batch's curated frames while the
+    * parsed raw is still persisted — the views path folds the SAME batch
+    * the appends wrote, without re-parsing.
+    */
+  def ingestWith(spark: SparkSession, paths: Seq[String], storeDir: String)(
+      f: Map[String, org.apache.spark.sql.DataFrame] => Unit): Unit = {
     val (raw, tables) = Ingest.extractAll(spark, paths)
-    try tables.foreach { case (name, df) =>
-      TableStore.append(df, s"$storeDir/$name")
+    try {
+      tables.foreach { case (name, df) =>
+        TableStore.append(df, s"$storeDir/$name")
+      }
+      f(tables)
     } finally raw.unpersist()
   }
 
@@ -267,24 +278,40 @@ object GhaPipeline {
     * views from the recovered store before the tick proceeds (full
     * recompute as the recovery path; the happy path never scans history).
     */
+  /** Crash-atomic recovery for the views path. `recoverInflight` consumes
+    * the inflight marker, so "views need a rebuild" must be recorded
+    * DURABLY before the rollback starts: a crash between marker deletion
+    * and rebuild completion would otherwise leave the views silently
+    * diverged forever (the next tick sees no marker, skips the rebuild,
+    * and re-folds the replayed hour into double-counted views). The
+    * `_mv_stale` marker is written while the inflight marker still
+    * exists and cleared only after a COMPLETED rebuild — any crash in
+    * between re-enters the rebuild on the next tick.
+    */
+  private def recoverWithViews(spark: SparkSession, storeDir: String,
+      mvDir: String, keyword: String): Unit = {
+    val stale = s"$mvDir/_mv_stale"
+    if (readMarker(spark, s"$storeDir/_ingest_inflight").isDefined)
+      writeMarker(spark, stale, "rebuild-pending")
+    recoverInflight(spark, storeDir)
+    if (readMarker(spark, stale).isDefined) {
+      IncrementalViews.rebuild(spark, storeDir, mvDir, keyword)
+      deleteMarker(spark, stale)
+    }
+  }
+
   def incrementalRunWithViews(spark: SparkSession, landingDir: String,
       storeDir: String, mvDir: String, now: java.time.Instant,
       backfillStart: java.time.Instant,
       keyword: String = " dask"): Seq[String] = {
-    if (recoverInflight(spark, storeDir))
-      IncrementalViews.rebuild(spark, storeDir, mvDir, keyword)
+    recoverWithViews(spark, storeDir, mvDir, keyword)
     val hourly = pendingHours(spark, landingDir, storeDir, now, backfillStart)
     if (hourly.nonEmpty) {
       val lastHour = hourly.last._1
       writeMarker(spark, s"$storeDir/_ingest_inflight",
         s"${hourly.head._1}|$lastHour")
-      val (raw, tables) = Ingest.extractAll(spark, hourly.map(_._2))
-      try {
-        tables.foreach { case (name, df) =>
-          TableStore.append(df, s"$storeDir/$name")
-        }
-        IncrementalViews.maintainTick(spark, tables, mvDir, keyword)
-      } finally raw.unpersist()
+      ingestWith(spark, hourly.map(_._2), storeDir)(tables =>
+        IncrementalViews.maintainTick(spark, tables, mvDir, keyword))
       compactAll(spark, storeDir)
       val (commits, comments) = IncrementalViews.queryData(spark, mvDir, keyword)
       TableStore.overwrite(commits, s"$storeDir/results/commits")
@@ -359,8 +386,10 @@ object GhaPipeline {
       backfillStart: java.time.Instant, keyword: String = " dask",
       retries: Int = 10, gapGraceHours: Int = 48,
       mvDir: Option[String] = None): Seq[String] = {
-    if (recoverInflight(spark, storeDir))
-      mvDir.foreach(mv => IncrementalViews.rebuild(spark, storeDir, mv, keyword))
+    mvDir match {
+      case Some(mv) => recoverWithViews(spark, storeDir, mv, keyword)
+      case None => recoverInflight(spark, storeDir); ()
+    }
     // recovery must precede the range read (its rollback affects the
     // data-watermark fallback); incrementalRun's own recover/resume repeat
     // is then a pair of O(1) marker reads — only a marker-less legacy

@@ -152,18 +152,28 @@ object IncrementalViews {
   def rebuild(spark: SparkSession, storeDir: String, mvDir: String,
       keyword: String = " dask"): Unit = {
     import GhaSchemas.curated
-    val watch = TableStore.read(spark, s"$storeDir/watch", curated("watch"))
+    // a first-tick crash can leave some curated tables never created; the
+    // views still need a consistent (empty) rebuild — same guard
+    // recoverInflight applies per table
+    def readOrEmpty(name: String): DataFrame = {
+      val dir = s"$storeDir/$name"
+      try TableStore.read(spark, dir, curated(name))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          curated(name))
+      }
+    }
+    val watch = readOrEmpty("watch")
     TableStore.overwriteVersioned(
       watch.groupBy("repo").agg(count(lit(1)).cast(LongType).as("count")),
       s"$mvDir/repo_counts")
     TableStore.overwriteVersioned(
       watch.groupBy("repo").agg(hll_sketch_agg(col("username")).as("sk")),
       s"$mvDir/watcher_sketches")
-    val commit = TableStore.read(spark, s"$storeDir/commit", curated("commit"))
-    TableStore.overwriteVersioned(commitFilter(commit, keyword),
+    TableStore.overwriteVersioned(commitFilter(readOrEmpty("commit"), keyword),
       s"$mvDir/kw_commits", partitionCols = Seq("date"))
-    val comment = TableStore.read(spark, s"$storeDir/comment", curated("comment"))
-    TableStore.overwriteVersioned(commentFilter(comment, keyword),
+    TableStore.overwriteVersioned(commentFilter(readOrEmpty("comment"), keyword),
       s"$mvDir/kw_comments", partitionCols = Seq("date"))
   }
 }

@@ -61,21 +61,22 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
-  /** Spread rows across cores immediately before a codec kernel IF the
-    * input arrives under-partitioned (fixture tables are one parquet file;
-    * AQE coalesces small join outputs back to one partition — either way a
-    * per-row codec must not run serial). When the caller already provides
-    * parallel partitioning — the normal case for a partitioned media scan
-    * or [[imagePayload]] — this is a no-op: re-shuffling media bytes in
-    * front of every kernel is exactly the "media never shuffles" violation
-    * this module warns about. Explicit numPartitions is exempt from AQE
-    * coalescing.
+  /** Spread rows across cores immediately before a codec kernel when the
+    * CALLER declares the input under-partitioned (`spreadInput = true` —
+    * fixture tables are one parquet file; AQE coalesces small join outputs
+    * back to one partition; a per-row codec must not run serial). The flag
+    * is explicit rather than inferred from `rdd.getNumPartitions`: under
+    * AQE that probe materializes every upstream stage just to read a
+    * count, and the kernel query then re-executes them. Default off — a
+    * partitioned media scan or [[imagePayload]] is already parallel, and
+    * re-shuffling media bytes in front of every kernel is exactly the
+    * "media never shuffles" violation this module warns about.
     */
-  private def spread(spark: SparkSession, withMedia: DataFrame): DataFrame = {
+  private def spread(spark: SparkSession, withMedia: DataFrame,
+      force: Boolean): DataFrame = {
     val narrow = withMedia.select(col("doc_id"), col("media"))
-    val cores = spark.sparkContext.defaultParallelism
-    if (narrow.rdd.getNumPartitions * 2 >= cores) narrow
-    else narrow.repartition(cores)
+    if (force) narrow.repartition(spark.sparkContext.defaultParallelism)
+    else narrow
   }
 
   /** Deterministic 16x16 RGB PNG for doc `id` — real image bytes. */
@@ -125,10 +126,10 @@ object Multimodal {
   /** Decode/feature-extract pass: narrow, partition-preserving, streaming
     * per partition (the Spark-idiomatic shape for any media kernel).
     */
-  def decodeFeatures(spark: SparkSession, withMedia: DataFrame)
-      : Dataset[MediaFeatures] = {
+  def decodeFeatures(spark: SparkSession, withMedia: DataFrame,
+      spreadInput: Boolean = false): Dataset[MediaFeatures] = {
     import spark.implicits._
-    spread(spark, withMedia)
+    spread(spark, withMedia, spreadInput)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeImage(id, bytes) })
   }
@@ -144,9 +145,9 @@ object Multimodal {
     * so input and output row counts always reconcile.
     */
   def resizeFeatures(spark: SparkSession, withMedia: DataFrame,
-      targetW: Int): Dataset[ResizedMeta] = {
+      targetW: Int, spreadInput: Boolean = false): Dataset[ResizedMeta] = {
     import spark.implicits._
-    spread(spark, withMedia)
+    spread(spark, withMedia, spreadInput)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         (try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
@@ -249,10 +250,10 @@ object Multimodal {
   }
 
   /** Audio feature pass over a WAV `binary` column — same narrow shape. */
-  def audioFeatures(spark: SparkSession, withAudio: DataFrame)
-      : Dataset[AudioFeatures] = {
+  def audioFeatures(spark: SparkSession, withAudio: DataFrame,
+      spreadInput: Boolean = false): Dataset[AudioFeatures] = {
     import spark.implicits._
-    spread(spark, withAudio)
+    spread(spark, withAudio, spreadInput)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
   }

@@ -45,7 +45,11 @@ object Sampling {
     */
   def stratifiedTake(df: org.apache.spark.sql.DataFrame, stratum: String,
       orderKey: Column, perStratum: Int): org.apache.spark.sql.DataFrame =
-    graft.plans.TopK.perKey(df, Seq(stratum), Seq(orderKey.asc), perStratum)
+    // orderKey passes through UNWRAPPED: perKey honors an embedded
+    // .desc/.asc and defaults plain columns to ascending — wrapping in
+    // .asc here would nest a caller's `score.desc` inside a second
+    // SortOrder (unevaluable, and semantically bottom-k)
+    graft.plans.TopK.perKey(df, Seq(stratum), Seq(orderKey), perStratum)
 
   // Oracle-twinned arithmetic bucket: DuckDB has no xxhash64, so the
   // SQL-verified query pins the split SEMANTICS (deterministic, disjoint,

@@ -299,14 +299,17 @@ object TextOps {
   /** L2: remove corpus rows whose `textCol` appears verbatim in an eval
     * set — benchmark decontamination for a training pipeline.
     *
-    * 100 TB shape: the corpus scans ONCE through a broadcast bloom filter
-    * of the eval texts (no false negatives, so non-hits are definite
-    * keeps with zero join work); only the ~fpp fraction of bloom hits pay
-    * the exact anti-join, and that side is candidate-sized. The bloom is
-    * built driver-side from the eval set (`df.stat.bloomFilter`) — eval
-    * suites are MBs, not TBs, and the bloom is smaller still; a raw
-    * broadcast anti-join would ship every eval string to every executor
-    * and give the join NO cheap definite-keep path.
+    * 100 TB shape: ONE corpus scan feeding a broadcast anti-join against
+    * the distinct eval texts (eval suites are MBs, not TBs). The bloom
+    * filter of the eval set rides the JOIN CONDITION as a guard: it has
+    * no false negatives, so a bloom-negative row provably matches nothing
+    * and the exact string comparison is skipped for the overwhelming
+    * majority of rows. Note the deliberate single-scan trade-off: a
+    * two-branch split (bloom-negative rows bypass the join entirely)
+    * would read the corpus twice — at this scale the scan IS the cost, so
+    * the join stays in-line. For an eval set too large to broadcast,
+    * filter candidates by bloom into a persisted frame first and
+    * anti-join only those (two passes, candidates shuffle).
     */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,
       textCol: String): DataFrame = {
@@ -315,10 +318,11 @@ object TextOps {
     val bloom = evalSet.stat.bloomFilter(textCol, n, 0.01)
     val b = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && b.value.mightContain(s))
-    val definiteKeep = corpus.filter(!mightContain(col(textCol)))
-    val verified = corpus.filter(mightContain(col(textCol)))
-      .join(evalSet.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
-    definiteKeep.unionByName(verified.select(definiteKeep.columns.map(col): _*))
+    val evalTexts = broadcast(
+      evalSet.select(col(textCol).as("__eval_text")).distinct())
+    corpus.join(evalTexts,
+      col(textCol) === col("__eval_text") && mightContain(col(textCol)),
+      "left_anti")
   }
 
   val all: Seq[Q] = Seq(

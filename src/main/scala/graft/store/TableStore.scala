@@ -208,11 +208,19 @@ object TableStore {
       cols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
     if (files.isEmpty || cols.isEmpty) return Map.empty
     val colSet = cols.toSet
+    // the SESSION's Hadoop conf must reach the tasks (S3A credentials /
+    // endpoints land there via CloudStorage.configure; a bare
+    // `new Configuration()` would see none of it). Configuration itself
+    // isn't serializable — ship the entries and rebuild per task.
+    import scala.jdk.CollectionConverters._
+    val confEntries = spark.sparkContext.hadoopConfiguration.iterator()
+      .asScala.map(e => (e.getKey, e.getValue)).toArray
     spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
       .map { p =>
         import scala.jdk.CollectionConverters._
         val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new Path(p), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

@@ -140,6 +140,28 @@ class IncrementalViewsSpec extends AnyFunSuite with SparkFixture {
     assert(est === exact.view.mapValues(identity).toMap, s"est=$est exact=$exact")
   }
 
+  test("a crash between rollback and rebuild re-enters the rebuild (_mv_stale)") {
+    val dir = tmp("mv_crash")
+    Files.createDirectories(Paths.get(s"$dir/landing"))
+    val start = Instant.parse(s"${d}T01:00:00Z")
+    land(s"$dir/landing", d, 1, tick1)
+    GhaPipeline.incrementalRunWithViews(spark, s"$dir/landing",
+      s"$dir/store", s"$dir/mv", Instant.parse(s"${d}T03:00:00Z"), start)
+    // simulate the torn state: a previous tick rolled the store back and
+    // died after deleting _ingest_inflight but before the rebuild — the
+    // views are diverged (corrupted here) and only _mv_stale records it
+    TableStore.overwriteVersioned(
+      Seq(("org/bogus", 999L)).toDF("repo", "count"), s"$dir/mv/repo_counts")
+    Files.write(Paths.get(s"$dir/mv/_mv_stale"), "rebuild-pending".getBytes)
+    // next tick (nothing new landed) must rebuild from the store
+    GhaPipeline.incrementalRunWithViews(spark, s"$dir/landing",
+      s"$dir/store", s"$dir/mv", Instant.parse(s"${d}T03:00:00Z"), start)
+    val counts = TableStore.read(spark, s"$dir/mv/repo_counts")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("org/hot" -> 6L, "org/late" -> 2L), counts.toString)
+    assert(!Files.exists(Paths.get(s"$dir/mv/_mv_stale")))
+  }
+
   test("counts view is a merged total, not a last-batch snapshot") {
     val dir = tmp("mv_cnt")
     Files.createDirectories(Paths.get(s"$dir/landing"))

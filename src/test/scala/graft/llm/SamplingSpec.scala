@@ -35,6 +35,12 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     // strata smaller than k return all their rows, no padding
     val tiny = Seq((1L, "a"), (2L, "b")).toDF("id", "parity")
     assert(Sampling.stratifiedTake(tiny, "parity", col("id"), 5).count() === 2)
+    // a DESCENDING order key (the top-k-per-stratum curation use) must be
+    // honored, not re-wrapped into ascending
+    val top = Sampling.stratifiedTake(df, "parity", col("id").desc, 2)
+      .select("parity", "id").as[(String, Long)].collect().toSet
+    assert(top === Set(("even", 100L), ("even", 98L),
+      ("odd", 99L), ("odd", 97L)))
   }
 
   test("weighted mixing via splitBucket: rates hold and re-runs are identical") {
