@@ -144,6 +144,38 @@ object TableStore {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(resolveDataDir(spark, dir))
 
+  /** Generations present for this table, oldest first (committed only). */
+  def generations(spark: SparkSession, dir: String): Seq[Int] = {
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case GenName(n) if f.exists(new Path(s.getPath, "_SUCCESS")) =>
+          Some(n.toInt)
+        case _ => None
+      })
+      .toSeq.sorted
+  }
+
+  /** Time travel (Delta `VERSION AS OF` parity, bounded by retention):
+    * read a specific generation. The store keeps the current generation
+    * plus the one it superseded (see [[compact]]/[[overwriteVersioned]]),
+    * so the previous version of a table stays queryable until the NEXT
+    * rewrite — enough for the reprocess-after-a-bad-compaction and
+    * compare-to-previous-result workflows; older versions are vacuumed.
+    */
+  def readGeneration(spark: SparkSession, dir: String, generation: Int,
+      schema: Option[StructType] = None): DataFrame = {
+    val gens = generations(spark, dir)
+    require(gens.contains(generation),
+      s"generation $generation not present for $dir (retained: " +
+        s"${gens.mkString(", ")}) — older generations are vacuumed")
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(s"$dir/g$generation")
+  }
+
   /** Schema-declared read: required for tables that may hold zero rows (an
     * ingested batch with no events of some type writes only `_SUCCESS`, so
     * there is no footer to infer from), and the right default everywhere —

@@ -66,6 +66,18 @@ object EventStream {
       .drop("__rk")
   }
 
+  /** T∅: stream-static enrichment — each micro-batch joins against a
+    * batch dimension table (the "attach user profile / repo metadata to
+    * the event stream" shape). No streaming state at all: the static side
+    * is re-planned per micro-batch, so a dimension REFRESH (overwritten
+    * parquet, a new TableStore generation) is picked up on the next batch
+    * without restarting the query; broadcast keeps the stream side
+    * shuffle-free when the dimension is bounded.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id")
+      : DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** L1 in streaming form: exactly-once event dedup inside the watermark
     * horizon. State is bounded — ids older than the watermark are evicted,
     * so at 100 TB/day the state store holds one horizon of ids, not history.

@@ -111,6 +111,23 @@ class TableStoreSpec extends AnyFunSuite with SparkFixture {
     assert(back.head().getInt(0) === 2)
   }
 
+  test("time travel: the superseded generation stays queryable until the next rewrite") {
+    val dir = tmpDir() + "/tt"
+    TableStore.overwriteVersioned(Seq((1, "v1")).toDF("k", "v"), dir) // g0
+    TableStore.overwriteVersioned(Seq((2, "v2")).toDF("k", "v"), dir) // g1
+    assert(TableStore.generations(spark, dir) === Seq(0, 1))
+    // current read sees g1; VERSION AS OF 0 still sees the old rows
+    assert(TableStore.read(spark, dir).head().getString(1) === "v2")
+    assert(TableStore.readGeneration(spark, dir, 0).head().getString(1) === "v1")
+    // a third rewrite vacuums g0: time travel to it must fail actionably
+    TableStore.overwriteVersioned(Seq((3, "v3")).toDF("k", "v"), dir) // g2
+    assert(TableStore.generations(spark, dir) === Seq(1, 2))
+    val e = intercept[IllegalArgumentException] {
+      TableStore.readGeneration(spark, dir, 0)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("schema evolution: a declared read schema bridges old and new file layouts") {
     // a long-lived curated table accumulates files written under different
     // code versions; the GhaSchemas-style DECLARED schema (not inference,

@@ -102,6 +102,24 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("enrich joins each micro-batch against the static dim; unmatched keys survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStream.enrich(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts("2024-02-29 01:00:00"), "view", 1),
+        Ev(ts("2024-02-29 01:01:00"), "view", 9)) // 9 not in dim
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select($"user_id", $"tier").as[(Long, Option[String])]
+        .collect().toSet
+      assert(rows === Set((1L, Some("gold")), (9L, None)))
+    } finally q.stop()
+  }
+
   test("intervalJoin pairs same-user events inside the gap, drops outside (stream-stream)") {
     implicit val sqlCtx = spark.sqlContext
     val probe = MemoryStream[Ev]
