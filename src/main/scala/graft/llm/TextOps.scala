@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.query.Tables
@@ -296,6 +297,102 @@ object TextOps {
       .drop("_ws")
   }
 
+  /** All word n-gram occurrences, NON-distinct (unlike [[shingles]]) —
+    * for corpus-frequency counting, where each occurrence counts once.
+    */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
+  /** L5: Gopher-style quality-rule battery — the per-document repetition /
+    * shape signals LLM cleaning pipelines gate on (Rae et al. 2021 §A1.1):
+    * word count bounds, mean word length, duplicate-word and
+    * duplicate-trigram fractions (within-doc repetition), symbol ratio.
+    * One scan, zero shuffles: every signal is a codegen'd expression over
+    * the token array, so at 100 TB this runs at parquet-read speed and the
+    * `keep` verdict prunes the corpus before any shuffle-bearing stage.
+    * Ratios round to 6 places so the oracle compare is ulp-proof.
+    */
+  def qualityRules(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = words(col(textCol))
+    val nW = size(w)
+    val meanWordLen =
+      (length(col(textCol)) - (nW - 1)).cast("double") / nW
+    val dupWordFrac =
+      lit(1.0) - size(array_distinct(w)).cast("double") / nW
+    // shingles() is distinct-per-doc; occurrences = nW - 2
+    val dupTriFrac = when(nW < 3, 0.0).otherwise(
+      lit(1.0) - size(shingles(col(textCol), 3)).cast("double") / (nW - 2))
+    val symbolFrac = regexp_count(col(textCol), lit("[^a-zA-Z0-9 ]"))
+      .cast("double") / length(col(textCol))
+    df.select(
+        col("doc_id"), nW.cast("long").as("n_words"),
+        round(meanWordLen, 6).as("mean_word_len"),
+        round(dupWordFrac, 6).as("dup_word_frac"),
+        round(dupTriFrac, 6).as("dup_trigram_frac"),
+        round(symbolFrac, 6).as("symbol_frac"))
+      .withColumn("keep",
+        col("n_words").between(30, 100000) &&
+        col("mean_word_len").between(2, 12) &&
+        col("dup_trigram_frac") <= 0.35 &&
+        col("symbol_frac") <= 0.05)
+  }
+
+  /** L1 at paragraph grain: corpus-level exact chunk dedup (C4/CCNet-style
+    * boilerplate removal one level below whole-document dedup). Documents
+    * split into non-overlapping `chunkSize`-word windows; a chunk is kept
+    * iff it is the first occurrence corpus-wide (order: doc_id, chunk_id).
+    *
+    * 100 TB shape: the generator is map-only ([[chunkWords]]), then ONE
+    * shuffle — and it carries the 8-byte `xxhash64(chunk)`, never the
+    * chunk text (a 2^-64 collision merges two chunks; at that odds the
+    * shuffle-volume win is the right trade, same call as L1's sha2 note).
+    * Output: per-doc (n_chunks, n_kept) — the survivor histogram a
+    * cleaning job reports.
+    */
+  def chunkDedup(df: DataFrame, chunkSize: Int): DataFrame = {
+    val chunks = chunkWords(df, chunkSize, chunkSize)
+      .select(col("doc_id"), col("chunk_id"), xxhash64(col("chunk")).as("ch"))
+    val firstInCorpus = Window.partitionBy(col("ch"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .withColumn("rn", row_number().over(firstInCorpus))
+      .groupBy("doc_id")
+      .agg(cnt.as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** L8+: deterministic concat-and-split sequence packing — the step that
+    * turns a cleaned corpus into fixed-budget training sequences. Documents
+    * are laid end-to-end in (`partitionCols`, `orderCol`) order; each doc's
+    * start offset is the running token total before it, and it lands in
+    * sequence `floor(start / budget)` at `start % budget` (docs straddle
+    * boundaries, as concat-and-split tokenization does — no fragmentation,
+    * 100% budget utilization, unlike first-fit).
+    *
+    * One shuffle on `partitionCols` + a per-partition sort (the window);
+    * at 100 TB you pack per shard (source, date, file) rather than one
+    * global stream — any partitioning works, the law `offset + n_tokens`
+    * of doc i = `start` of doc i+1 holds within every partition.
+    */
+  def packSequences(df: DataFrame, budget: Long,
+      partitionCols: Seq[String], orderCol: String,
+      tokens: Column): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val before = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select((partitionCols :+ orderCol).map(col) :+
+        tokens.cast("long").as("n_tokens"): _*)
+      .withColumn("start", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .withColumn("seq_id", floor(col("start") / budget).cast("long"))
+      .withColumn("seq_offset", col("start") % budget)
+      .drop("start")
+  }
+
   /** L2: remove corpus rows whose `textCol` appears verbatim in an eval
     * set — benchmark decontamination for a training pipeline.
     *
@@ -555,6 +652,76 @@ object TextOps {
           .groupBy("source").agg(cnt.as("n_docs"))
           .orderBy("source")
       }),
+
+    // ---- L5: Gopher-style quality-rule battery ---------------------------------
+    Q("q_quality_rules", Some(
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, ws, len(ws) AS n_words,
+        |    CAST(length(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS mean_word_len,
+        |    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
+        |    CASE WHEN len(ws) < 3 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(list_transform(
+        |                generate_series(1, len(ws) - 2),
+        |                i -> array_to_string(ws[i:i+2], ' ')))) AS DOUBLE)
+        |              / (len(ws) - 2) END AS dup_trigram_frac,
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |      / length(text) AS symbol_frac
+        |  FROM w)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(mean_word_len, 6) AS mean_word_len,
+        |  round(dup_word_frac, 6) AS dup_word_frac,
+        |  round(dup_trigram_frac, 6) AS dup_trigram_frac,
+        |  round(symbol_frac, 6) AS symbol_frac,
+        |  (n_words BETWEEN 30 AND 100000
+        |   AND round(mean_word_len, 6) BETWEEN 2 AND 12
+        |   AND round(dup_trigram_frac, 6) <= 0.35
+        |   AND round(symbol_frac, 6) <= 0.05) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin),
+      (s, d) => qualityRules(Tables(s, d, "documents")).orderBy("doc_id")),
+
+    // ---- L1 at paragraph grain: corpus-level chunk dedup -------------------------
+    // (oracle partitions by chunk TEXT; the engine shuffles the 64-bit
+    // chunk hash — hash-equality of the survivor histograms proves the
+    // hashed shuffle loses nothing on this corpus)
+    Q("q_chunk_dedup", Some(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(ceil(greatest(len(ws) - 32, 0)::DOUBLE / 32) AS BIGINT) + 1),
+        |    i -> struct_pack(chunk_id := i,
+        |                     chunk := array_to_string(ws[i*32+1 : i*32+32], ' ')))) AS ch
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, ch.chunk_id AS chunk_id,
+        |    row_number() OVER (PARTITION BY ch.chunk ORDER BY doc_id, ch.chunk_id) AS rn
+        |  FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => chunkDedup(Tables(s, d, "documents"), chunkSize = 32)
+        .orderBy("doc_id")),
+
+    // ---- L8+: concat-and-split sequence packing ----------------------------------
+    Q("q_pack_sequences", Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor(start / 2048) AS BIGINT) AS seq_id,
+        |  start % 2048 AS seq_offset
+        |FROM s ORDER BY doc_id""".stripMargin),
+      (s, d) => packSequences(Tables(s, d, "documents"), budget = 2048L,
+          partitionCols = Seq("lang"), orderCol = "doc_id",
+          tokens = size(words(col("text"))))
+        .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")),
 
     // ---- L5: PII/boilerplate redaction (emails/URLs -> placeholders) -----------------
     Q("q_redact", Some(

@@ -26,6 +26,37 @@ object PlanQueries {
         TopK.perKey(o, Seq("o_orderpriority"),
             Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
           .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+      }),
+
+    // Corpus-wide top-5 trigrams per language — the text-pipeline shape of
+    // the same operator ("most common boilerplate phrases per language" is
+    // a standard corpus-quality report). The expensive stage is the
+    // explode + hash aggregate (map-side partial); the top-k stage then
+    // moves at most k×langs×partitions count rows instead of every
+    // distinct n-gram, which is where the window form loses at 100 TB
+    // (n-gram vocabularies grow superlinearly with corpus size). Order
+    // (cnt DESC, ngram ASC) is total within a language, so the result set
+    // is unique and hash-comparable.
+    Q("q_ngram_topk", Some(
+      """WITH g AS (
+        |  SELECT lang, unnest(list_transform(
+        |    generate_series(1, greatest(len(ws) - 2, 0)),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS ngram
+        |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)),
+        |c AS (SELECT lang, ngram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |r AS (SELECT lang, ngram, cnt,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram) AS rn
+        |  FROM c)
+        |SELECT lang, ngram, cnt FROM r WHERE rn <= 5
+        |ORDER BY lang, cnt DESC, ngram""".stripMargin),
+      (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .select(col("lang"),
+            explode(graft.llm.TextOps.ngramsAll(col("text"), 3)).as("ngram"))
+          .groupBy("lang", "ngram").agg(Tables.cnt.as("cnt"))
+        TopK.perKey(counts, Seq("lang"),
+            Seq(col("cnt").desc, col("ngram").asc), k = 5)
+          .orderBy(col("lang"), col("cnt").desc, col("ngram"))
       })
   )
 }

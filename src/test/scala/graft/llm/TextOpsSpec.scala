@@ -193,4 +193,69 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     val kept2 = TextOps.decontaminate(cleanOnly, evalSet, "text").count()
     assert(kept2 === cleanOnly.count())
   }
+
+  test("qualityRules: repetitive / degenerate docs fail, normal prose passes") {
+    // 40 distinct words: varied trigrams, sane word lengths. (A phrase
+    // repeated 5x would itself trip the dup-trigram rule — correctly.)
+    val normal = (1 to 40).map(i => s"word$i").mkString(" ")
+    val repetitive = ("spam " * 60).trim            // one trigram repeated
+    val tooShort = "just five little words here"
+    val longWords = (Seq.fill(40)("pneumonoultramicroscopicsilicovolcanoconiosis")
+      .mkString(" "))                               // mean word len ≈ 45
+    val df = Seq((1L, normal), (2L, repetitive), (3L, tooShort),
+      (4L, longWords)).toDF("doc_id", "text")
+    val got = TextOps.qualityRules(df).orderBy("doc_id")
+      .select("doc_id", "keep", "dup_trigram_frac", "n_words")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(1), "normal prose must pass the gate")
+    assert(!got(2L).getBoolean(1) && got(2L).getDouble(2) > 0.9,
+      "repeated trigrams must trip the duplicate-trigram rule")
+    assert(!got(3L).getBoolean(1), "sub-30-word docs must fail")
+    assert(!got(4L).getBoolean(1), "degenerate word lengths must fail")
+  }
+
+  test("chunkDedup: repeated paragraph is kept once corpus-wide, first occurrence wins") {
+    val para = (1 to 32).map(i => s"w$i").mkString(" ")   // one exact chunk
+    val unique1 = (1 to 32).map(i => s"x$i").mkString(" ")
+    val unique2 = (1 to 32).map(i => s"y$i").mkString(" ")
+    // doc 1 = para + unique1, doc 2 = para + unique2 (chunk 0 collides),
+    // doc 3 = para alone (collides again)
+    val df = Seq((1L, s"$para $unique1"), (2L, s"$para $unique2"),
+      (3L, para)).toDF("doc_id", "text")
+    val got = TextOps.chunkDedup(df, chunkSize = 32).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array((1L, 2L, 2L), (2L, 2L, 1L), (3L, 1L, 0L)))
+  }
+
+  test("packSequences: contiguous layout law and boundary straddle") {
+    // per-partition law: offset+n_tokens of doc i lands exactly where
+    // doc i+1 starts (seq_id*budget + seq_offset accumulate contiguously)
+    val df = (1L to 50L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd",
+        ((1 to (i % 7 + 3).toInt).map(j => s"t$j")).mkString(" ")))
+      .toDF("doc_id", "part", "text")
+    val got = TextOps.packSequences(df, budget = 10L, Seq("part"), "doc_id",
+        size(split(col("text"), " ")))
+      .orderBy("part", "doc_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    for (g <- got.groupBy(_._1).values) {
+      val starts = g.map(t => t._3 * 10 + t._4)
+      // docs are laid end-to-end: next start = prev start + prev tokens
+      assert(starts.zip(g.map(_._2)).zip(starts.drop(1)).forall {
+        case ((s, n), s2) => s + n == s2 })
+      // straddling docs exist (budget 10 < some doc lengths sums) and the
+      // global token total is conserved: last start + last tokens = sum
+      assert(starts.head == 0L)
+      assert(starts.last + g.last._2 == g.map(_._2).sum)
+    }
+  }
+
+  test("ngramsAll counts occurrences (non-distinct), unlike shingles") {
+    val df = Seq("x x x x").toDF("text")
+    val all = df.select(TextOps.ngramsAll($"text", 3)).as[Seq[String]].head()
+    val dist = df.select(TextOps.shingles($"text", 3)).as[Seq[String]].head()
+    assert(all === Seq("x x x", "x x x"))
+    assert(dist === Seq("x x x"))
+  }
 }
