@@ -723,6 +723,45 @@ object TextOps {
         .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id")),
 
+    // ---- L5: per-doc TF-IDF top terms ---------------------------------------------
+    // tf and df are both map-side-partial hash aggregates over ONE exploded
+    // token pass; the doc-count side is a broadcast scalar. The per-doc
+    // top-3 runs through the TopKPerKey heap plan — the exchange carries at
+    // most 3 rows per doc per map partition instead of every (doc, term)
+    // pair (the window form shuffles the full tf matrix, which at 100 TB
+    // is corpus-sized). Order (tfidf DESC, term) is total per doc.
+    Q("q_tfidf_topk", Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id < 100),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf FROM r WHERE rn <= 3
+        |ORDER BY doc_id, tfidf DESC, term""".stripMargin),
+      (s, d) => {
+        val tok = Tables(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(cnt.as("tf"))
+        val dfT = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val n = tok.agg(countDistinct("doc_id").as("n"))
+        val scored = tf.join(dfT, "term")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+              .as("tfidf"))
+        graft.plans.TopK.perKey(scored, Seq("doc_id"),
+            Seq(col("tfidf").desc, col("term").asc), k = 3)
+          .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+      }),
+
     // ---- L5: PII/boilerplate redaction (emails/URLs -> placeholders) -----------------
     Q("q_redact", Some(
       s"""SELECT doc_id,

@@ -484,6 +484,26 @@ object VectorOps {
 
   val all: Seq[Q] = Seq(
 
+    // ---- L3+: per-label embedding centroids (class means / k-means step) -------
+    // posexplode + hash aggregate is the RIGHT 100 TB shape, not a custom
+    // vector UDAF: the x64 row explosion is compute-only (inside whole-stage
+    // codegen, before the exchange), and map-side partial aggregation means
+    // the shuffle carries only labels x dims x partitions partial sums —
+    // independent of corpus size. Oracle zips DuckDB's parallel unnest.
+    Q("q_embed_centroid", Some(
+      """WITH e AS (
+        |  SELECT label, unnest(range(0, len(embedding))) AS dim,
+        |         unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v), 5) AS c
+        |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin),
+      (s, d) => Tables(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(round(avg("v"), 5).as("c"))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("c"))
+        .orderBy("label", "dim")),
+
     // ---- L3: exact cosine top-5 for the first 10 vectors ---------------------
     Q("q_cosine_topk", Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -81,6 +81,27 @@ class TopKPerKeySpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("nope") && e.getMessage.contains("g, v"))
   }
 
+  test("text-pipeline queries route their top-k through the heap plan, not a window") {
+    // q_ngram_topk and q_tfidf_topk exist to show the bounded-exchange
+    // shape on corpus-sized key spaces — if a refactor silently falls back
+    // to row_number the queries still pass the oracle but lose the 100 TB
+    // story, so the physical plan is pinned here.
+    for (name <- Seq("q_ngram_topk", "q_tfidf_topk")) {
+      val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftTopKPerKeyFinal"), s"$name: $plan")
+      assert(plan.contains("GraftTopKPerKeyPartial"), s"$name: $plan")
+      assert(!plan.contains("Window"), s"$name must not window-sort: $plan")
+    }
+  }
+
+  test("quality-rule gate is a single scan with no exchange") {
+    val df = graft.llm.TextOps.qualityRules(
+      graft.query.Tables(spark, "/root/testdata/sf0.001", "documents"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must be shuffle-free: $plan")
+  }
+
   test("extensions-installed session plans the operator too") {
     // The strategy is injected by GraftExtensions for cluster deployments;
     // the library path installs it idempotently per session — installing
