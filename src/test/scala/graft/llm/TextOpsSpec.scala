@@ -251,6 +251,25 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ngramHashes: occurrence count and distinct cardinality match the string form") {
+    val df = Seq("a b c d e", "x x x x", "a b", "", "q w e q w e q w")
+      .toDF("text")
+    val got = df.select(
+        size(TextOps.ngramHashes($"text", 3)).as("n_occ"),
+        size(array_distinct(TextOps.ngramHashes($"text", 3))).as("n_dist"),
+        size(TextOps.ngramsAll($"text", 3)).as("s_occ"),
+        size(TextOps.shingles($"text", 3)).as("s_dist"))
+      .collect()
+    for (r <- got) {
+      assert(r.getInt(0) === math.max(r.getInt(2), 0), r.toString)
+      assert(r.getInt(1) === math.max(r.getInt(3), 0), r.toString)
+    }
+    // same text -> same hash sequence; different n-grams -> different hashes
+    val h = df.filter($"text" === "a b c d e")
+      .select(TextOps.ngramHashes($"text", 3)).as[Seq[Long]].head()
+    assert(h.length === 3 && h.distinct.length === 3)
+  }
+
   test("ngramsAll counts occurrences (non-distinct), unlike shingles") {
     val df = Seq("x x x x").toDF("text")
     val all = df.select(TextOps.ngramsAll($"text", 3)).as[Seq[String]].head()
