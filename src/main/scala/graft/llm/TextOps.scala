@@ -342,6 +342,13 @@ object TextOps {
     * Ratios round to 6 places so the oracle compare is ulp-proof.
     */
   def qualityRules(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val s = qualitySignals(textCol)
+    df.select(col("doc_id") +: s.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep", keepPredicate(name => col(name)))
+  }
+
+  /** The rounded per-doc signal expressions behind [[qualityRules]]. */
+  private def qualitySignals(textCol: String): Seq[(String, Column)] = {
     val w = words(col(textCol))
     val nW = size(w)
     val meanWordLen =
@@ -354,17 +361,29 @@ object TextOps {
         .cast("double") / (nW - 2))
     val symbolFrac = regexp_count(col(textCol), lit("[^a-zA-Z0-9 ]"))
       .cast("double") / length(col(textCol))
-    df.select(
-        col("doc_id"), nW.cast("long").as("n_words"),
-        round(meanWordLen, 6).as("mean_word_len"),
-        round(dupWordFrac, 6).as("dup_word_frac"),
-        round(dupTriFrac, 6).as("dup_trigram_frac"),
-        round(symbolFrac, 6).as("symbol_frac"))
-      .withColumn("keep",
-        col("n_words").between(30, 100000) &&
-        col("mean_word_len").between(2, 12) &&
-        col("dup_trigram_frac") <= 0.35 &&
-        col("symbol_frac") <= 0.05)
+    Seq(
+      "n_words" -> nW.cast("long"),
+      "mean_word_len" -> round(meanWordLen, 6),
+      "dup_word_frac" -> round(dupWordFrac, 6),
+      "dup_trigram_frac" -> round(dupTriFrac, 6),
+      "symbol_frac" -> round(symbolFrac, 6))
+  }
+
+  /** The gate verdict over named signals (columns or inline expressions). */
+  private def keepPredicate(sig: String => Column): Column =
+    sig("n_words").between(30, 100000) &&
+    sig("mean_word_len").between(2, 12) &&
+    sig("dup_trigram_frac") <= 0.35 &&
+    sig("symbol_frac") <= 0.05
+
+  /** [[qualityRules]]'s keep verdict as ONE boolean column — a stateless,
+    * schema-preserving filter usable anywhere a `Column` is (including
+    * Structured Streaming, where the select-shaped [[qualityRules]] would
+    * drop the caller's event-time/payload columns).
+    */
+  def qualityKeep(textCol: String = "text"): Column = {
+    val s = qualitySignals(textCol).toMap
+    keepPredicate(s)
   }
 
   /** L1 at paragraph grain: corpus-level exact chunk dedup (C4/CCNet-style

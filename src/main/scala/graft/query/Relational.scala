@@ -28,6 +28,14 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** One ANSI string both engines execute verbatim (q_scalar_subquery). */
+  private val ScalarSubqueryText =
+    """SELECT c_custkey,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+      |  coalesce((SELECT max(o_totalprice) FROM orders
+      |            WHERE o_custkey = c_custkey), 0.0) AS max_price
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- A4: scalar count -------------------------------------------------
@@ -268,6 +276,19 @@ object Relational {
         Tables(s, d, "orders").createOrReplaceTempView("orders")
         Tables(s, d, "customer").createOrReplaceTempView("customer")
         s.sql(SqlEntryText)
+      }),
+
+    // ---- SQL surface: correlated scalar subqueries --------------------------
+    // Catalyst can't execute a per-row subquery; RewriteCorrelatedScalar-
+    // Subquery decorrelates both into ONE aggregate-then-outer-join over
+    // orders — the 100 TB shape a user would otherwise hand-write. Same
+    // ANSI text runs on both engines (count subquery: empty group -> 0 by
+    // the COUNT bug guard; max subquery: empty group -> NULL -> coalesce).
+    Q("q_scalar_subquery", Some(ScalarSubqueryText),
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        Tables(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql(ScalarSubqueryText)
       }),
 
     // ---- J: full outer join — unmatched rows survive from BOTH sides -----------

@@ -87,6 +87,24 @@ object EventStream {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** L1+L5 in streaming form: the corpus-cleaning pipeline over a document
+    * STREAM — the batch operators compose with Structured Streaming
+    * unchanged. The quality gate (`TextOps.qualityKeep`) is a stateless
+    * codegen'd filter, so it costs nothing in state; exact dedup keys on
+    * `sha2(text)` (shuffle rows carry a 32-byte digest, not documents) and
+    * `dropDuplicatesWithinWatermark` evicts digests older than the
+    * watermark — state holds one lateness horizon of hashes, not corpus
+    * history. At 100 TB/day this is the always-on front door that feeds
+    * the batch near-dup stages.
+    */
+  def cleanDocStream(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", lateness: String = "1 hour"): DataFrame =
+    docs.withWatermark(tsCol, lateness)
+      .filter(graft.llm.TextOps.qualityKeep(textCol))
+      .withColumn("_text_sha", sha2(col(textCol), 256))
+      .dropDuplicatesWithinWatermark("_text_sha")
+      .drop("_text_sha")
+
   /** Per-user running profile kept in the state store. */
   case class UserState(user_id: Long, n_events: Long, last_type: String,
       last_ts: java.sql.Timestamp)

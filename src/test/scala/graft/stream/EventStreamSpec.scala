@@ -79,6 +79,29 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("cleanDocStream gates quality and dedups exact text within the horizon (L1+L5 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val goodText = (1 to 40).map(i => s"word$i").mkString(" ")
+    val degenerate = ("spam " * 60).trim           // trips dup-trigram rule
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.cleanDocStream(df)
+      .writeStream.format("memory").queryName("cleandocs")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-02-29 01:00:00"), goodText),
+        (2L, ts("2024-02-29 01:05:00"), goodText),    // exact dup -> dropped
+        (3L, ts("2024-02-29 01:10:00"), degenerate))  // gate -> dropped
+      q.processAllAvailable()
+      assert(spark.table("cleandocs").select("doc_id")
+        .as[Long].collect().toSeq === Seq(1L))
+      // schema is preserved (filter + dedup only): payload columns survive
+      assert(spark.table("cleandocs").columns.toSeq ===
+        Seq("doc_id", "ts", "text"))
+    } finally q.stop()
+  }
+
   test("userRunningStats accumulates per-key state across micro-batches (mapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
