@@ -76,6 +76,33 @@ object ScaleProbe {
       e.unpersist()
     }
 
+    // ---- round-3 text ops: gate / chunk-dedup / packing at growing size ----
+    // All three claim map-only or single-bounded-shuffle shapes; the probe
+    // checks wall-clock tracks corpus size ~linearly (no quadratic stage
+    // hiding behind the fixture scale).
+    for (copies <- Seq(1, 5, 10)) {
+      val d0 = graft.query.Tables(spark, sfDir, "documents")
+      val d = (0 until copies).map { c =>
+        d0.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+          concat(lit(s"copy$c "), col("text")).as("text"), col("lang"))
+      }.reduce(_ union _).localCheckpoint()
+      val n = d.count()
+      time(s"quality gate          n=$n") {
+        graft.llm.TextOps.qualityRules(d)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"chunk dedup           n=$n") {
+        graft.llm.TextOps.chunkDedup(d, 32)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"pack sequences        n=$n") {
+        graft.llm.TextOps.packSequences(d, 2048L, Seq("lang"), "doc_id",
+          size(split(col("text"), " ")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      d.unpersist()
+    }
+
     // ---- z-order + footer-stats skipping at growing file counts ------------
     // The question at scale isn't the layout cost (a one-time compaction
     // write) but whether the skip RATIO holds as files multiply and whether
