@@ -183,6 +183,118 @@ object VectorOps {
     out
   }
 
+  // ---- L2 incremental: near-dup state as a STORED signature table ----------
+  // The production dedup tick is "new batch vs. all of history". Re-running
+  // the self-join LSH over history every tick re-shingles the whole corpus;
+  // the incremental contract instead materializes per-doc MinHash
+  // signatures ONCE (64 longs/doc — the only state history contributes) and
+  // each tick (a) signs just its own rows, (b) band-joins against the
+  // stored signatures, (c) appends the survivors' signatures. History text
+  // is never touched again.
+
+  /** Per-doc MinHash signature table — the unit of incremental near-dup
+    * state, meant to be persisted via `TableStore.append`. Same signature
+    * construction as [[minhashPairsNative]]'s estimate path (the persist
+    * is the load-bearing CollapseProject barrier documented there).
+    */
+  def minhashSignatures(docs: DataFrame, nBands: Int = 8,
+      rowsPerBand: Int = 8): DataFrame = {
+    val nPerm = nBands * rowsPerBand
+    val (wh, hs) = TextOps.shingleHashesBarrier(docs, Seq("doc_id"), 3)
+    val hsDf = hs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = hsDf.select(col("doc_id"),
+      transform(sequence(lit(0), lit(nPerm - 1)),
+        i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
+      .localCheckpoint()
+    hsDf.unpersist()
+    wh.unpersist()
+    out
+  }
+
+  /** Banded LSH rows (doc_id, band_idx, band_hash) from a signature table. */
+  def minhashBands(sigs: DataFrame, nBands: Int = 8,
+      rowsPerBand: Int = 8): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        j => xxhash64(
+          slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand)), j))))
+      .toDF("doc_id", "band_idx", "band_hash")
+
+  /** Signature-estimate Jaccard: fraction of agreeing minhash components. */
+  private def sigJaccard(a: Column, b: Column, nPerm: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / nPerm
+
+  /** Near-dup pairs of NEW signatures against BASE signatures (cross, not
+    * self): band-bucket join on (band_idx, band_hash), then the estimate
+    * verify. Both shuffles carry longs; history contributes only its
+    * signature table. Output: (id_new, id_base, jaccard >= threshold).
+    */
+  def minhashPairsAgainst(newSigs: DataFrame, baseSigs: DataFrame,
+      threshold: Double, nBands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
+    val nPerm = nBands * rowsPerBand
+    val nb = minhashBands(newSigs, nBands, rowsPerBand)
+      .withColumnRenamed("doc_id", "id_new")
+    val bb = minhashBands(baseSigs, nBands, rowsPerBand)
+      .withColumnRenamed("doc_id", "id_base")
+    val cand = nb.join(bb, Seq("band_idx", "band_hash"))
+      .select("id_new", "id_base").distinct()
+    cand
+      .join(newSigs.select(col("doc_id").as("id_new"), col("sig").as("sig_a")),
+        "id_new")
+      .join(baseSigs.select(col("doc_id").as("id_base"), col("sig").as("sig_b")),
+        "id_base")
+      .select(col("id_new"), col("id_base"),
+        round(sigJaccard(col("sig_a"), col("sig_b"), nPerm), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Self-join near-dup pairs from a signature table (same contract as
+    * [[minhashPairsNative]]'s estimate path, starting from stored
+    * signatures instead of text).
+    */
+  def minhashPairsFromSigs(sigs: DataFrame, threshold: Double,
+      nBands: Int = 8, rowsPerBand: Int = 8, maxBucket: Int = 0): DataFrame = {
+    val nPerm = nBands * rowsPerBand
+    val candidates =
+      bucketPairs(minhashBands(sigs, nBands, rowsPerBand), maxBucket)
+    candidates
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(sigJaccard(col("sig_a"), col("sig_b"), nPerm), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The incremental dedup tick: keep the subset of `newDocs` that
+    * near-duplicates neither history (via `baseSigs`) nor an earlier doc of
+    * its own batch. Returns (kept docs, their signatures) — append the
+    * signatures to the store and history is up to date for the next tick.
+    * Policy: base hits drop first; remaining in-batch pairs resolve by
+    * connected components keeping the min id ([[TextOps.dedupClusters]]).
+    */
+  def dedupIncrement(newDocs: DataFrame, baseSigs: DataFrame,
+      threshold: Double = 0.5, nBands: Int = 8, rowsPerBand: Int = 8,
+      maxBucket: Int = 0): (DataFrame, DataFrame) = {
+    val newSigs = minhashSignatures(newDocs, nBands, rowsPerBand)
+    val baseHits = minhashPairsAgainst(newSigs, baseSigs, threshold,
+        nBands, rowsPerBand)
+      .select(col("id_new").as("doc_id")).distinct()
+    val afterBase = newSigs.join(baseHits, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val internal = minhashPairsFromSigs(afterBase, threshold,
+      nBands, rowsPerBand, maxBucket)
+    val clusterDrops = TextOps.dedupClusters(internal)
+      .filter(!col("keep")).select("doc_id")
+    // anti-join the DROP set (not join the kept-signature set): a doc too
+    // short to shingle has no signature, can near-dup nothing, and must be
+    // KEPT — it just contributes no state for future ticks
+    val dropped = baseHits.union(clusterDrops)
+    val keptDocs = newDocs.join(dropped, Seq("doc_id"), "left_anti")
+    val keptSigs = afterBase.join(clusterDrops, Seq("doc_id"), "left_anti")
+    (keptDocs, keptSigs)
+  }
+
   /** L3 scale path: approximate cosine ANN via random-projection LSH on
     * unit-normalized vectors (Euclidean distance on the unit sphere is a
     * monotone transform of cosine: d^2 = 2(1 - cos)).
@@ -533,6 +645,19 @@ object VectorOps {
       (s, d) => minhashPairsNative(Tables(s, d, "documents"), 0.5,
           maxBucket = 1000)
         .orderBy("id_a", "id_b")),
+
+    // ---- L2 incremental: new batch vs stored history signatures ----------------
+    // (engine-defined hashes: rows-only check; policy + short-doc handling
+    // unit-tested in VectorOpsSpec). Base = docs < 250 contribute ONLY
+    // their signature table; batch = docs >= 250.
+    Q("q_dedup_increment", None,
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val baseSigs = minhashSignatures(docs.filter(col("doc_id") < 250))
+        val (kept, _) = dedupIncrement(
+          docs.filter(col("doc_id") >= 250), baseSigs)
+        kept.select("doc_id").orderBy("doc_id")
+      }),
 
     // ---- L2: pairs -> connected components -> keep/drop decision ---------------
     // (the stage that actually dedups the corpus; approx pair source ->

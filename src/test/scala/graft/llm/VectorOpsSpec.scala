@@ -84,6 +84,34 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
     assert(uncapped.size === 190 + 1) // all boilerplate pairs + planted
   }
 
+  test("dedupIncrement: base hits drop, in-batch clusters resolve, short docs survive (L2 incremental)") {
+    val histText = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val base = Seq((1L, histText),
+      (2L, (100 to 150).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val baseSigs = VectorOps.minhashSignatures(base)
+    val batch = Seq(
+      (10L, histText + " x"),                                 // ~ history 1
+      (11L, (300 to 350).map(i => s"w$i").mkString(" ")),     // fresh
+      (12L, (400 to 450).map(i => s"v$i").mkString(" ")),     // in-batch pair a
+      (13L, (400 to 450).map(i => s"v$i").mkString(" ") + " y"), // pair b
+      (14L, "too short")                                      // no signature
+    ).toDF("doc_id", "text")
+    val (kept, keptSigs) = VectorOps.dedupIncrement(batch, baseSigs,
+      threshold = 0.5)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(11L, 12L, 14L))
+    // appended state: signatures of the kept SIGNABLE docs only
+    assert(keptSigs.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(11L, 12L))
+    // idempotence of the tick: appending keptSigs to history and re-running
+    // the same batch drops everything (every doc now matches history)
+    val hist2 = baseSigs.union(keptSigs)
+    val (kept2, _) = VectorOps.dedupIncrement(
+      batch.filter(col("doc_id") =!= 14L), hist2, threshold = 0.5)
+    assert(kept2.count() === 0L)
+  }
+
   test("native and MLlib minhash agree on the planted pair (cross-check)") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = Seq(
