@@ -391,12 +391,13 @@ object TextOps {
     * split into non-overlapping `chunkSize`-word windows; a chunk is kept
     * iff it is the first occurrence corpus-wide (order: doc_id, chunk_id).
     *
-    * 100 TB shape: the generator is map-only ([[chunkWords]]), then ONE
-    * shuffle — and it carries the 8-byte `xxhash64(chunk)`, never the
+    * 100 TB shape: the generator is map-only ([[chunkWords]]), then one
+    * CONTENT shuffle that carries the 8-byte `xxhash64(chunk)`, never the
     * chunk text (a 2^-64 collision merges two chunks; at that odds the
-    * shuffle-volume win is the right trade, same call as L1's sha2 note).
-    * Output: per-doc (n_chunks, n_kept) — the survivor histogram a
-    * cleaning job reports.
+    * shuffle-volume win is the right trade, same call as L1's sha2 note),
+    * plus a second cheap exchange of one ~16-byte row per chunk for the
+    * per-doc survivor counts (map-side partial). Output: per-doc
+    * (n_chunks, n_kept) — the survivor histogram a cleaning job reports.
     */
   def chunkDedup(df: DataFrame, chunkSize: Int): DataFrame = {
     val chunks = chunkWords(df, chunkSize, chunkSize)
