@@ -120,6 +120,50 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(w3 === w2)
   }
 
+  test("packSequences conservation: contiguous offsets, token totals preserved (L13 law)") {
+    // random doc lengths + random budgets: the concat-and-split layout must
+    // tile the per-partition token stream exactly (no gaps, no overlaps)
+    val doc = for {
+      part <- Gen.oneOf("p0", "p1")
+      n <- Gen.choose(1, 40)
+    } yield (part, n)
+    for ((rows, budget) <- samples(Gen.listOfN(30, doc), 4)
+        .zip(Seq(1L, 7L, 64L, 1000L))) {
+      val df = rows.zipWithIndex.map { case ((p, n), i) =>
+        (i.toLong, p, (1 to n).map(j => s"t$j").mkString(" ")) }
+        .toDF("doc_id", "part", "text")
+      val got = TextOps.packSequences(df, budget, Seq("part"), "doc_id",
+          size(split(col("text"), " ")))
+        .orderBy("part", "doc_id")
+        .select("part", "n_tokens", "seq_id", "seq_offset")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      for ((_, g) <- got.groupBy(_._1)) {
+        val starts = g.map(t => t._3 * budget + t._4)
+        assert(starts.head === 0L, s"budget=$budget")
+        assert(starts.zip(g.map(_._2)).zip(starts.drop(1)).forall {
+          case ((s, n), s2) => s + n == s2 }, s"budget=$budget")
+        assert(g.forall(t => t._4 >= 0 && t._4 < budget), s"budget=$budget")
+      }
+    }
+  }
+
+  test("chunkDedup conservation: kept <= chunks, duplicates drop exactly (L12 law)") {
+    // texts drawn from a tiny vocabulary so exact chunk collisions occur
+    val shortText = Gen.listOfN(6, Gen.oneOf("u", "v")).map(_.mkString(" "))
+    for (texts <- samples(Gen.listOfN(15, shortText), 5)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextOps.chunkDedup(df, chunkSize = 3)
+        .select("doc_id", "n_chunks", "n_kept")
+        .as[(Long, Long, Long)].collect()
+      assert(got.forall(r => r._3 >= 0 && r._3 <= r._2))
+      // global law: kept chunks = distinct chunk contents corpus-wide
+      val distinctChunks = TextOps.chunkWords(df, 3, 3)
+        .select("chunk").distinct().count()
+      assert(got.map(_._3).sum === distinctChunks)
+    }
+  }
+
   test("top-k-per-key ≡ window row_number on arbitrary data (O3 law)") {
     // duplicate-heavy values force tie-break correctness; tiny/huge k and
     // skewed key distributions probe the heap admission logic
