@@ -112,6 +112,39 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
     assert(kept2.count() === 0L)
   }
 
+  test("signature-store ticks: dedupIncrement + TableStore compose across batches (L17 e2e)") {
+    import graft.store.TableStore
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString + "/sigs"
+    val textA = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val textB = (100 to 150).map(i => s"w$i").mkString(" ")
+    val textC = (200 to 250).map(i => s"v$i").mkString(" ")
+    def tickDate(d: String) = to_date(lit(d))
+
+    // tick 1: empty history; in-batch near-dup pair (1, 2) resolves to 1
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch1 = Seq((1L, textA), (2L, textA + " z"), (3L, textB))
+      .toDF("doc_id", "text")
+    val (kept1, sigs1) = VectorOps.dedupIncrement(
+      batch1, VectorOps.minhashSignatures(empty))
+    assert(kept1.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L))
+    TableStore.append(sigs1.withColumn("date", tickDate("2024-02-29")), dir)
+
+    // tick 2: history read back from the store; 10 duplicates history's
+    // textA, 11 is fresh
+    val batch2 = Seq((10L, textA + " q"), (11L, textC)).toDF("doc_id", "text")
+    val base = TableStore.read(spark, dir).select("doc_id", "sig")
+    val (kept2, sigs2) = VectorOps.dedupIncrement(batch2, base)
+    assert(kept2.select("doc_id").as[Long].collect().toSeq === Seq(11L))
+    TableStore.append(sigs2.withColumn("date", tickDate("2024-03-01")), dir)
+
+    // the store now carries exactly the surviving signable corpus
+    assert(TableStore.read(spark, dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 11L))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("native and MLlib minhash agree on the planted pair (cross-check)") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = Seq(
