@@ -34,10 +34,11 @@ object ScaleProbe {
       r
     }
 
+    // generic over any extra columns (lang etc.): only id and text mutate
     def replicateDocs(docs: DataFrame, copies: Int): DataFrame =
       (0 until copies).map { c =>
-        docs.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
-          concat(lit(s"copy$c "), col("text")).as("text"))
+        docs.withColumn("doc_id", col("doc_id") + lit(c * 1000000L))
+          .withColumn("text", concat(lit(s"copy$c "), col("text")))
       }.reduce(_ union _)
 
     def replicateEmb(emb: DataFrame, copies: Int): DataFrame =
@@ -81,11 +82,8 @@ object ScaleProbe {
     // checks wall-clock tracks corpus size ~linearly (no quadratic stage
     // hiding behind the fixture scale).
     for (copies <- Seq(1, 5, 10)) {
-      val d0 = graft.query.Tables(spark, sfDir, "documents")
-      val d = (0 until copies).map { c =>
-        d0.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
-          concat(lit(s"copy$c "), col("text")).as("text"), col("lang"))
-      }.reduce(_ union _).localCheckpoint()
+      val d = replicateDocs(graft.query.Tables(spark, sfDir, "documents")
+        .select("doc_id", "text", "lang"), copies).localCheckpoint()
       val n = d.count()
       time(s"quality gate          n=$n") {
         graft.llm.TextOps.qualityRules(d)
@@ -96,7 +94,7 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       time(s"pack sequences        n=$n") {
-        graft.llm.TextOps.packSequences(d, 2048L, Seq("lang"), "doc_id",
+        graft.llm.TextOps.packSequences(d, 2048L, Seq("lang"), Seq("doc_id"),
           size(split(col("text"), " ")))
           .write.format("noop").mode("overwrite").save()
       }

@@ -28,13 +28,8 @@ object TextOps {
   /** Word n-gram shingles, distinct. Empty array when the document has
     * fewer than n words (Spark's `sequence(1,0)` would descend).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n))))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(ngramsAll(text, n))
 
   /** Per-row distinct 64-bit shingle hashes WITHOUT materializing shingle
     * strings: each word is hashed once (the persist is a load-bearing
@@ -373,6 +368,7 @@ object TextOps {
   private def keepPredicate(sig: String => Column): Column =
     sig("n_words").between(30, 100000) &&
     sig("mean_word_len").between(2, 12) &&
+    sig("dup_word_frac") <= 0.9 &&
     sig("dup_trigram_frac") <= 0.35 &&
     sig("symbol_frac") <= 0.05
 
@@ -413,11 +409,17 @@ object TextOps {
 
   /** L8+: deterministic concat-and-split sequence packing — the step that
     * turns a cleaned corpus into fixed-budget training sequences. Documents
-    * are laid end-to-end in (`partitionCols`, `orderCol`) order; each doc's
+    * are laid end-to-end in (`partitionCols`, `orderCols`) order; each doc's
     * start offset is the running token total before it, and it lands in
     * sequence `floor(start / budget)` at `start % budget` (docs straddle
     * boundaries, as concat-and-split tokenization does — no fragmentation,
     * 100% budget utilization, unlike first-fit).
+    *
+    * Determinism is the caller's contract, exactly as with `row_number`:
+    * `orderCols` must be a TOTAL order within each partition (a duplicate
+    * sort key leaves the tied docs' offsets engine-/run-dependent and the
+    * training sequences non-reproducible) — pass a unique id, or a
+    * tiebreak column after a coarser key.
     *
     * One shuffle on `partitionCols` + a per-partition sort (the window);
     * at 100 TB you pack per shard (source, date, file) rather than one
@@ -425,13 +427,14 @@ object TextOps {
     * of doc i = `start` of doc i+1 holds within every partition.
     */
   def packSequences(df: DataFrame, budget: Long,
-      partitionCols: Seq[String], orderCol: String,
+      partitionCols: Seq[String], orderCols: Seq[String],
       tokens: Column): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(orderCols.nonEmpty, "packSequences needs a total order")
     val before = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(col(orderCol))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select((partitionCols :+ orderCol).map(col) :+
+    df.select((partitionCols ++ orderCols).map(col) :+
         tokens.cast("long").as("n_tokens"): _*)
       .withColumn("start", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
       .withColumn("seq_id", floor(col("start") / budget).cast("long"))
@@ -722,6 +725,7 @@ object TextOps {
         |  round(symbol_frac, 6) AS symbol_frac,
         |  (n_words BETWEEN 30 AND 100000
         |   AND round(mean_word_len, 6) BETWEEN 2 AND 12
+        |   AND round(dup_word_frac, 6) <= 0.9
         |   AND round(dup_trigram_frac, 6) <= 0.35
         |   AND round(symbol_frac, 6) <= 0.05) AS keep
         |FROM m ORDER BY doc_id""".stripMargin),
@@ -764,14 +768,14 @@ object TextOps {
         |  start % 2048 AS seq_offset
         |FROM s ORDER BY doc_id""".stripMargin),
       (s, d) => packSequences(Tables(s, d, "documents"), budget = 2048L,
-          partitionCols = Seq("lang"), orderCol = "doc_id",
+          partitionCols = Seq("lang"), orderCols = Seq("doc_id"),
           tokens = size(words(col("text"))))
         .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
         .orderBy("doc_id")),
 
     // ---- L5: per-doc TF-IDF top terms ---------------------------------------------
-    // tf and df are both map-side-partial hash aggregates over ONE exploded
-    // token pass; the doc-count side is a broadcast scalar. The per-doc
+    // ONE exploded token pass builds tf; df and the doc count derive from
+    // tf's (doc, term) relation, never re-reading the corpus. The per-doc
     // top-3 runs through the TopKPerKey heap plan — the exchange carries at
     // most 3 rows per doc per map partition instead of every (doc, term)
     // pair (the window form shuffles the full tf matrix, which at 100 TB
@@ -795,9 +799,14 @@ object TextOps {
       (s, d) => {
         val tok = Tables(s, d, "documents").filter(col("doc_id") < 100)
           .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        // tf is the ONLY consumer of the exploded corpus; df and n derive
+        // from tf's much smaller (doc, term) relation (one row per pair, so
+        // count(*) per term == docs containing the term). The checkpoint
+        // stops Spark re-tokenizing the corpus for each derived aggregate.
         val tf = tok.groupBy("doc_id", "term").agg(cnt.as("tf"))
-        val dfT = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
-        val n = tok.agg(countDistinct("doc_id").as("n"))
+          .localCheckpoint()
+        val dfT = tf.groupBy("term").agg(cnt.as("df"))
+        val n = tf.agg(countDistinct("doc_id").as("n"))
         val scored = tf.join(dfT, "term")
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("term"),

@@ -110,14 +110,9 @@ object VectorOps {
     val hsDf = hsSrc
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = hsDf.select(col("doc_id"), col("sh"),
-      transform(sequence(lit(0), lit(nPerm - 1)),
-        i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
+      sigColumn(col("hs"), nPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        j => xxhash64(
-          slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand)), j))))
-      .toDF("doc_id", "band_idx", "band_hash")
+    val bands = minhashBands(sig.select("doc_id", "sig"), nBands, rowsPerBand)
     val candidates = bucketPairs(bands, maxBucket)
     // Verify candidates. Default: signature-estimate Jaccard (fraction of
     // agreeing minhash components) — candidate cost is 64 long compares,
@@ -138,9 +133,7 @@ object VectorOps {
           .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
           .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
           .select(col("id_a"), col("id_b"),
-            round(aggregate(zip_with(col("sig_a"), col("sig_b"),
-              (x, y) => when(x === y, 1).otherwise(0)),
-              lit(0), (acc, x) => acc + x).cast("double") / nPerm, 4)
+            round(sigJaccard(col("sig_a"), col("sig_b"), nPerm), 4)
               .as("jaccard"))
           .filter(col("jaccard") >= threshold)
     // the pair set is bounded by true-neighbor density — materialize it and
@@ -192,19 +185,27 @@ object VectorOps {
   // stored signatures, (c) appends the survivors' signatures. History text
   // is never touched again.
 
+  /** The nPerm derived-permutation minhash signature of a shingle-hash
+    * array — THE signature definition: [[minhashPairsNative]] and
+    * [[minhashSignatures]] both build from this one expression, so stored
+    * signature state can never drift from the self-join path.
+    */
+  private def sigColumn(hs: Column, nPerm: Int): Column =
+    transform(sequence(lit(0), lit(nPerm - 1)),
+      i => array_min(transform(hs, h => xxhash64(h, i))))
+
   /** Per-doc MinHash signature table — the unit of incremental near-dup
-    * state, meant to be persisted via `TableStore.append`. Same signature
-    * construction as [[minhashPairsNative]]'s estimate path (the persist
-    * is the load-bearing CollapseProject barrier documented there).
+    * state, meant to be persisted via `TableStore.append` (the persist
+    * is the load-bearing CollapseProject barrier documented in
+    * [[minhashPairsNative]]).
     */
   def minhashSignatures(docs: DataFrame, nBands: Int = 8,
       rowsPerBand: Int = 8): DataFrame = {
     val nPerm = nBands * rowsPerBand
     val (wh, hs) = TextOps.shingleHashesBarrier(docs, Seq("doc_id"), 3)
     val hsDf = hs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = hsDf.select(col("doc_id"),
-      transform(sequence(lit(0), lit(nPerm - 1)),
-        i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
+    val out = hsDf
+      .select(col("doc_id"), sigColumn(col("hs"), nPerm).as("sig"))
       .localCheckpoint()
     hsDf.unpersist()
     wh.unpersist()
@@ -229,14 +230,29 @@ object VectorOps {
     * self): band-bucket join on (band_idx, band_hash), then the estimate
     * verify. Both shuffles carry longs; history contributes only its
     * signature table. Output: (id_new, id_base, jaccard >= threshold).
+    *
+    * `maxBucket > 0` caps the HISTORY side of each band bucket at its
+    * `maxBucket` lowest ids — the cross-join analog of [[bucketPairs]]'
+    * star capping. A boilerplate family that floods one history bucket is
+    * represented by near-dups of the whole family, so a new doc landing
+    * there still verifies against representatives while the candidate
+    * fan-out stays ≤ maxBucket × the batch's band rows (instead of
+    * |bucket| × batch — the 10^12-pair blow-up).
     */
   def minhashPairsAgainst(newSigs: DataFrame, baseSigs: DataFrame,
-      threshold: Double, nBands: Int = 8, rowsPerBand: Int = 8): DataFrame = {
+      threshold: Double, nBands: Int = 8, rowsPerBand: Int = 8,
+      maxBucket: Int = 0): DataFrame = {
     val nPerm = nBands * rowsPerBand
     val nb = minhashBands(newSigs, nBands, rowsPerBand)
       .withColumnRenamed("doc_id", "id_new")
-    val bb = minhashBands(baseSigs, nBands, rowsPerBand)
+    val bb0 = minhashBands(baseSigs, nBands, rowsPerBand)
       .withColumnRenamed("doc_id", "id_base")
+    val bb =
+      if (maxBucket <= 0) bb0
+      else bb0
+        .withColumn("_rn", row_number().over(Window
+          .partitionBy("band_idx", "band_hash").orderBy("id_base")))
+        .filter(col("_rn") <= maxBucket).drop("_rn")
     val cand = nb.join(bb, Seq("band_idx", "band_hash"))
       .select("id_new", "id_base").distinct()
     cand
@@ -277,9 +293,12 @@ object VectorOps {
       threshold: Double = 0.5, nBands: Int = 8, rowsPerBand: Int = 8,
       maxBucket: Int = 0): (DataFrame, DataFrame) = {
     val newSigs = minhashSignatures(newDocs, nBands, rowsPerBand)
+    // materialized: referenced by both afterBase and the final anti-join —
+    // without the checkpoint the full history band-join re-executes
     val baseHits = minhashPairsAgainst(newSigs, baseSigs, threshold,
-        nBands, rowsPerBand)
+        nBands, rowsPerBand, maxBucket)
       .select(col("id_new").as("doc_id")).distinct()
+      .localCheckpoint()
     val afterBase = newSigs.join(baseHits, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val internal = minhashPairsFromSigs(afterBase, threshold,

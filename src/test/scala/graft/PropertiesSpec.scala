@@ -132,7 +132,7 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
       val df = rows.zipWithIndex.map { case ((p, n), i) =>
         (i.toLong, p, (1 to n).map(j => s"t$j").mkString(" ")) }
         .toDF("doc_id", "part", "text")
-      val got = TextOps.packSequences(df, budget, Seq("part"), "doc_id",
+      val got = TextOps.packSequences(df, budget, Seq("part"), Seq("doc_id"),
           size(split(col("text"), " ")))
         .orderBy("part", "doc_id")
         .select("part", "n_tokens", "seq_id", "seq_offset")

@@ -234,7 +234,7 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
       (i, if (i % 2 == 0) "even" else "odd",
         ((1 to (i % 7 + 3).toInt).map(j => s"t$j")).mkString(" ")))
       .toDF("doc_id", "part", "text")
-    val got = TextOps.packSequences(df, budget = 10L, Seq("part"), "doc_id",
+    val got = TextOps.packSequences(df, budget = 10L, Seq("part"), Seq("doc_id"),
         size(split(col("text"), " ")))
       .orderBy("part", "doc_id")
       .collect()
