@@ -513,27 +513,76 @@ object VectorOps {
     * job), so the full corpus is scanned exactly once, by the assignment.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 2, kmeansIters: Int = 2): DataFrame = {
-    val cents = ivfCentroids(corpus, nCells, kmeansIters)
-    def cellDots(v: Column): Column = array(cents.map { case (i, c) =>
+      nCells: Int = 16, nProbe: Int = 2, kmeansIters: Int = 2): DataFrame =
+    ivfQuery(buildIvfIndex(corpus, nCells, kmeansIters), queries, k, nProbe)
+
+  /** A built IVF index: driver-resident centroids + the corpus assignment
+    * table (neighbor_id, tv: double vector, cell). Production shape is
+    * build-once-query-many: [[writeIvfIndex]] persists `assignments`
+    * PARTITIONED BY cell, so a query batch's probed cells reach the
+    * parquet scan as partition filters and the unprobed corpus is never
+    * read.
+    */
+  final case class IvfIndex(
+      centroids: Seq[(Int, Seq[Double])], assignments: DataFrame)
+
+  private def cellDots(cents: Seq[(Int, Seq[Double])])(v: Column): Column =
+    array(cents.map { case (i, c) =>
       struct(dot(v, typedLit(c)).as("d"), lit(i).as("cell"))
     }: _*)
+
+  /** Train centroids on the bounded sample, then scan the corpus ONCE for
+    * the per-row argmax cell assignment (narrow codegen'd map — no shuffle,
+    * no join).
+    */
+  def buildIvfIndex(corpus: DataFrame, nCells: Int = 16,
+      kmeansIters: Int = 2): IvfIndex = {
+    val cents = ivfCentroids(corpus, nCells, kmeansIters)
     val v = toDouble(col("embedding"))
-    // corpus: argmax cell via array_max on (dot, cell) structs
     val assigned = corpus.select(col("vec_id").as("neighbor_id"), v.as("tv"),
-      array_max(cellDots(v)).getField("cell").as("cell"))
-    // queries: nProbe nearest cells each
+      array_max(cellDots(cents)(v)).getField("cell").as("cell"))
+    IvfIndex(cents, assigned)
+  }
+
+  /** Probe the `nProbe` nearest cells per query against a built (possibly
+    * store-loaded) index; rank exactly within the probed cells.
+    */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val v = toDouble(col("embedding"))
     val probed = queries.select(col("vec_id").as("query_id"), v.as("qv"),
       explode(transform(
-        slice(reverse(array_sort(cellDots(v))), 1, nProbe),
+        slice(reverse(array_sort(cellDots(index.centroids)(v))), 1, nProbe),
         s => s.getField("cell"))).as("cell"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    probed.join(assigned, Seq("cell"))
+    probed.join(index.assignments, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("tv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Persist an index: assignments partitioned by cell (probing = partition
+    * pruning), centroids as one tiny parquet.
+    */
+  def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
+    import index.assignments.sparkSession.implicits._
+    index.assignments.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assignments")
+    index.centroids.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    // normalize the partition column's position/type back to the built shape
+    val assigned = spark.read.parquet(s"$dir/assignments")
+      .select(col("neighbor_id"), col("tv"), col("cell").cast("int").as("cell"))
+    IvfIndex(cents, assigned)
   }
 
   /** Native signed-random-projection LSH for cosine near-dup pairs — pure

@@ -112,6 +112,29 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
     assert(kept2.count() === 0L)
   }
 
+  test("IVF index: store round-trip preserves results; probes prune partitions (L3 e2e)") {
+    val emb = graft.query.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val direct = VectorOps.ivfTopK(emb, queries, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    VectorOps.writeIvfIndex(VectorOps.buildIvfIndex(emb), dir)
+    val loaded = VectorOps.readIvfIndex(spark, dir)
+    val viaStore = VectorOps.ivfQuery(loaded, queries, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaStore === direct)
+    // layout contract: one parquet partition per cell...
+    val cells = new java.io.File(s"$dir/assignments").list()
+      .filter(_.startsWith("cell=")).toSeq
+    assert(cells.nonEmpty)
+    // ...so a cell probe is a partition FILTER at the scan, not a full read
+    val plan = loaded.assignments.filter(col("cell") === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("signature-store ticks: dedupIncrement + TableStore compose across batches (L17 e2e)") {
     import graft.store.TableStore
     val dir = java.nio.file.Files.createTempDirectory("sigstore").toString + "/sigs"
