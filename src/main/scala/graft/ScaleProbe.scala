@@ -101,6 +101,28 @@ object ScaleProbe {
       d.unpersist()
     }
 
+    // ---- incremental dedup: tick cost vs history size ----------------------
+    // The L17 claim: a tick costs O(batch signing + band hits); history
+    // contributes only a signature-table scan (64 longs/doc), so growing
+    // history 10x must not grow the tick 10x.
+    {
+      val batch = replicateDocs(graft.query.Tables(spark, sfDir, "documents")
+        .select("doc_id", "text"), 1)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .localCheckpoint()
+      for (copies <- Seq(1, 5, 10)) {
+        val hist = replicateDocs(graft.query.Tables(spark, sfDir, "documents")
+          .select("doc_id", "text"), copies)
+        val sigs = graft.llm.VectorOps.minhashSignatures(hist).localCheckpoint()
+        val nh = sigs.count()
+        time(s"dedup tick (batch=5k)  hist=$nh") {
+          val (kept, _) = graft.llm.VectorOps.dedupIncrement(
+            batch, sigs, maxBucket = 64)
+          kept.count()
+        }
+      }
+    }
+
     // ---- z-order + footer-stats skipping at growing file counts ------------
     // The question at scale isn't the layout cost (a one-time compaction
     // write) but whether the skip RATIO holds as files multiply and whether
