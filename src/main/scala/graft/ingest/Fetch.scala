@@ -40,12 +40,25 @@ object Fetch {
       retries: Int = 10, backoffMs: Long = 500L): DataFrame = {
     import spark.implicits._
     if (urls.isEmpty) return spark.emptyDataset[FetchStatus].toDF()
+    // the SESSION's Hadoop conf must reach the download tasks (S3A
+    // credentials/endpoints land there via CloudStorage — a bare
+    // `new Configuration()` on the executor would see none of it, and an
+    // s3a:// landing dir would fail auth on every attempt). Configuration
+    // isn't serializable — ship the entries, rebuild per task (same
+    // pattern as TableStore.footerStats).
+    import scala.jdk.CollectionConverters._
+    val confEntries = spark.sparkContext.hadoopConfiguration.iterator()
+      .asScala.map(e => (e.getKey, e.getValue)).toArray
     // EAGER: the map has side effects, and a lazy RDD-backed frame would
     // silently re-download every URL on each action a caller runs on the
     // status report. One execution, pinned; the result is #URLs rows.
     val statuses = spark.sparkContext
       .parallelize(urls, urls.size)
-      .map(u => fetchOne(u, landingDir, retries, backoffMs))
+      .map { u =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        fetchOne(u, landingDir, retries, backoffMs, conf)
+      }
       .collect()
     statuses.toSeq.toDF()
   }
@@ -59,15 +72,26 @@ object Fetch {
     download(spark, urls, landingDir, retries)
   }
 
+  /** A response that retrying cannot fix: 4xx other than request-timeout
+    * (408) and rate-limit (429). Fail-fast matters twice — a genuinely
+    * missing hour (404) must not burn the whole retry×backoff budget every
+    * tick, and the recorded error must DETERMINISTICALLY be the 404 (not
+    * whatever transient error the last attempt happened to hit) because
+    * `GhaPipeline` keys permanent-gap tombstoning off that string.
+    */
+  private class PermanentHttpError(msg: String)
+    extends java.io.IOException(msg)
+
   /** Runs on the executor: GET with retries, stream to `<landingDir>/<name>`
-    * through a temp file. Uses the Hadoop FS of the landing path, so local
-    * dirs in tests and HDFS/S3 in production behave identically.
+    * through a temp file. Uses the Hadoop FS of the landing path with the
+    * SESSION's shipped conf, so local dirs in tests and credentialed
+    * HDFS/S3 in production behave identically.
     */
   private def fetchOne(url: String, landingDir: String, retries: Int,
-      backoffMs: Long): FetchStatus = {
+      backoffMs: Long,
+      conf: org.apache.hadoop.conf.Configuration): FetchStatus = {
     import org.apache.hadoop.fs.Path
     val name = url.substring(url.lastIndexOf('/') + 1)
-    val conf = new org.apache.hadoop.conf.Configuration()
     val dst = new Path(landingDir, name)
     val fs = dst.getFileSystem(conf)
     var attempt = 0
@@ -83,6 +107,8 @@ object Fetch {
         val code = conn.getResponseCode
         if (code != 200) {
           conn.disconnect()
+          if (code >= 400 && code < 500 && code != 408 && code != 429)
+            throw new PermanentHttpError(s"HTTP $code for $url")
           throw new java.io.IOException(s"HTTP $code for $url")
         }
         val expected = conn.getContentLengthLong // -1 when server omits it
@@ -143,6 +169,8 @@ object Fetch {
         }
         return FetchStatus(url, dst.toString, total, attempt, ok = true, "")
       } catch {
+        case e: PermanentHttpError =>
+          return FetchStatus(url, "", 0L, attempt, ok = false, e.toString)
         case scala.util.control.NonFatal(e) =>
           lastErr = e.toString
           if (attempt < retries) Thread.sleep(math.min(backoffMs * attempt, 10000L))

@@ -36,12 +36,26 @@ object GhaPipeline {
     } finally raw.unpersist()
   }
 
-  /** Hourly maintenance: compact + vacuum every curated table
-    * (`preprocess.py:199-206`).
+  /** Bulk maintenance: compact + vacuum every curated table in full
+    * (`preprocess.py:199-206`) — the backfill/OPTIMIZE-everything path.
     */
   def compactAll(spark: SparkSession, storeDir: String): Unit =
     graft.schema.GhaSchemas.tableNames.foreach { t =>
       TableStore.compact(spark, s"$storeDir/$t",
+        Some(graft.schema.GhaSchemas.curated(t)))
+    }
+
+  /** Hourly maintenance: bin-pack only the date partitions the tick's
+    * batch touched. The full-table compact rewrites ALL of history into a
+    * new generation — O(table) every hour, which at 100 TB dwarfs the
+    * O(batch) tick it rides on (Delta's OPTIMIZE, the reference's analog
+    * at `preprocess.py:199-206`, only rewrites under-target file groups
+    * for the same reason).
+    */
+  def compactTouched(spark: SparkSession, storeDir: String,
+      dates: Seq[String]): Unit =
+    graft.schema.GhaSchemas.tableNames.foreach { t =>
+      TableStore.compactDates(spark, s"$storeDir/$t", dates,
         Some(graft.schema.GhaSchemas.curated(t)))
     }
 
@@ -66,21 +80,19 @@ object GhaPipeline {
     val repos = watch.groupBy("repo").agg(count(lit(1)).as("count"))
       .filter(col("count") > minWatches)
 
-    // commits mentioning the keyword in popular non-self repos (218-230)
-    val commitsOut = commit
-      .filter(!col("username").contains("bot"))
+    // commits mentioning the keyword in popular non-self repos (218-230).
+    // Row-local predicates are IncrementalViews' — the single definition
+    // both the batch and the view-maintenance paths share (they commute
+    // with the inner popularity join).
+    val commitsOut = IncrementalViews.commitFilter(commit, keyword)
       .join(repos, Seq("repo"))
-      .filter(lower(col("message")).contains(keyword))
       .select("username", "repo", "message", "count")
-      .filter(!col("repo").startsWith(keyword.trim + "/"))
       .orderBy(desc("count"), asc("username"), asc("message"))
 
     // comments mentioning the keyword (233-244)
-    val commentsOut = comment
+    val commentsOut = IncrementalViews.commentFilter(comment, keyword)
       .join(repos, Seq("repo"))
-      .filter(lower(col("comment")).contains(keyword))
       .select("username", "repo", "comment", "count")
-      .filter(!col("repo").startsWith(keyword.trim + "/"))
       .orderBy(desc("count"), asc("username"), asc("comment"))
 
     (commitsOut, commentsOut)
@@ -310,9 +322,18 @@ object GhaPipeline {
       val lastHour = hourly.last._1
       writeMarker(spark, s"$storeDir/_ingest_inflight",
         s"${hourly.head._1}|$lastHour")
-      ingestWith(spark, hourly.map(_._2), storeDir)(tables =>
-        IncrementalViews.maintainTick(spark, tables, mvDir, keyword))
-      compactAll(spark, storeDir)
+      // touched dates come from the batch DATA, not the hour range: an
+      // event's created_at (the partition value) can fall on the previous
+      // UTC date at an hour-file boundary
+      var touched = Set.empty[String]
+      ingestWith(spark, hourly.map(_._2), storeDir) { tables =>
+        IncrementalViews.maintainTick(spark, tables, mvDir, keyword)
+        touched = tables.valuesIterator.flatMap(df =>
+          df.select(org.apache.spark.sql.functions.col("date").cast("string"))
+            .distinct().collect().map(_.getString(0))).toSet
+      }
+      // maintenance stays O(batch): bin-pack only the touched partitions
+      compactTouched(spark, storeDir, touched.toSeq.sorted)
       val (commits, comments) = IncrementalViews.queryData(spark, mvDir, keyword)
       TableStore.overwrite(commits, s"$storeDir/results/commits")
       TableStore.overwrite(comments, s"$storeDir/results/comments")

@@ -45,16 +45,23 @@ object IncrementalViews {
     StructField("count", LongType)))
 
   /** Row-local commit-side predicates (`preprocess.py:218-230` minus the
-    * popularity join).
+    * popularity join). PUBLIC and shared with `GhaPipeline.queryData` —
+    * one definition, so the tested batch≡views equivalence cannot drift.
+    * The keyword lowers once here (the message side is lowercased per
+    * row; an uppercase keyword argument would otherwise match nothing,
+    * silently); the repo-prefix self-exclusion stays case-exact, matching
+    * the reference's literal startswith (`preprocess.py:224`).
     */
-  private def commitFilter(df: DataFrame, keyword: String): DataFrame = df
+  def commitFilter(df: DataFrame, keyword: String): DataFrame = df
     .filter(!col("username").contains("bot"))
-    .filter(lower(col("message")).contains(keyword))
+    .filter(lower(col("message")).contains(keyword.toLowerCase))
     .filter(!col("repo").startsWith(keyword.trim + "/"))
 
-  /** Row-local comment-side predicates (`preprocess.py:233-244`). */
-  private def commentFilter(df: DataFrame, keyword: String): DataFrame = df
-    .filter(lower(col("comment")).contains(keyword))
+  /** Row-local comment-side predicates (`preprocess.py:233-244`); shared
+    * with `GhaPipeline.queryData` like [[commitFilter]].
+    */
+  def commentFilter(df: DataFrame, keyword: String): DataFrame = df
+    .filter(lower(col("comment")).contains(keyword.toLowerCase))
     .filter(!col("repo").startsWith(keyword.trim + "/"))
 
   /** Fold one ingested batch into the views. `batch` is

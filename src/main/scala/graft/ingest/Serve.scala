@@ -88,6 +88,12 @@ object Serve {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // credential/scale parity with the reference's env push
+    // (preprocess.py:29-37, 254-257): the daemon is exactly the entry
+    // point those helpers exist for — without this call the AWS_* env
+    // vars never reach fs.s3a.* and an s3a:// store fails auth.
+    graft.store.CloudStorage.applyS3FromEnv(spark)
+    graft.store.CloudStorage.applyS3ScaleDefaults(spark)
     loop(spark, landingDir, storeDir, backfillStart, keyword,
       baseUrl = baseUrl)
   }

@@ -537,7 +537,7 @@ object VectorOps {
     */
   def buildIvfIndex(corpus: DataFrame, nCells: Int = 16,
       kmeansIters: Int = 2): IvfIndex = {
-    val cents = ivfCentroids(corpus, nCells, kmeansIters)
+    val cents = ivfCentroids(corpus, nCells, kmeansIters).toIndexedSeq
     val v = toDouble(col("embedding"))
     val assigned = corpus.select(col("vec_id").as("neighbor_id"), v.as("tv"),
       array_max(cellDots(cents)(v)).getField("cell").as("cell"))

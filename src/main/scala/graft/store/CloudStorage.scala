@@ -52,6 +52,16 @@ object CloudStorage {
     * Values follow the public Hadoop S3A performance documentation:
     * magic committer (no rename-based commits on S3), larger multipart
     * blocks, and bounded connection fan-out per executor.
+    *
+    * IMPORTANT: `fs.s3a.committer.name=magic` alone does NOT switch Spark
+    * SQL's parquet writes off the rename-based committer — the DataFrame
+    * writer picks its committer from `spark.sql.sources.commitProtocolClass`
+    * / `spark.sql.parquet.output.committer.class` and never consults the
+    * fs key. Those bindings live in the `spark-hadoop-cloud` module
+    * (`PathOutputCommitProtocol` + `BindingParquetOutputCommitter`), so
+    * they are applied only when that module is on the classpath (it is not
+    * in this offline build); without it the fs key is inert for SQL writes
+    * and S3 commits stay O(files) copy-renames.
     */
   def applyS3ScaleDefaults(spark: SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -68,5 +78,20 @@ object CloudStorage {
       "fs.s3a.connection.maximum" -> "96",
       "fs.s3a.fast.upload" -> "true"
     ).foreach { case (k, v) => if (!operatorSet(k)) conf.set(k, v) }
+    // bind the SQL writer to the cloud committer iff spark-hadoop-cloud is
+    // present — setting the class names without the jar would break every
+    // parquet write with ClassNotFoundException
+    val protocol = "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    val binding =
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+    val cloudModulePresent =
+      try { Class.forName(protocol); true }
+      catch { case _: ClassNotFoundException => false }
+    if (cloudModulePresent) {
+      if (spark.conf.getOption("spark.sql.sources.commitProtocolClass").isEmpty)
+        spark.conf.set("spark.sql.sources.commitProtocolClass", protocol)
+      if (spark.conf.getOption("spark.sql.parquet.output.committer.class").isEmpty)
+        spark.conf.set("spark.sql.parquet.output.committer.class", binding)
+    }
   }
 }

@@ -32,7 +32,14 @@ import org.apache.spark.sql.types.StructType
   * still be scanning.
   *
   * Single-WRITER assumption stays (the reference serves exactly one flow,
-  * `preprocess.py:277-280`); generations make concurrent READERS safe.
+  * `preprocess.py:277-280`); generations make concurrent readers safe
+  * ACROSS THE COMPACTION SWAP specifically. Appends (and the in-place
+  * partition rewrites of `compactDates`/`upsertPartitions`) publish into
+  * the live generation through the committer's per-file renames, so a
+  * reader listing the table mid-commit can see a torn batch — the
+  * tx-log-free trade; Delta's log is what makes appends atomic there.
+  * Readers needing append atomicity read behind the ingest high-water
+  * marker (`GhaPipeline`), which advances only after the batch commits.
   * Pre-generation flat layouts (`dir/date=...`) remain readable and
   * appendable; their first compaction migrates them to `g0`.
   */
@@ -343,6 +350,28 @@ object TableStore {
     val cur = currentGeneration(spark, dir)
     val srcDir = cur.map(_._2).getOrElse(dir)
     val nextN = cur.map(_._1 + 1).getOrElse(0)
+    // Crash hygiene FIRST: a compaction attempt that died mid-write left an
+    // UNCOMMITTED generation dir (no _SUCCESS). For a generational table
+    // that's just dead bytes, but for a legacy flat table it is fatal:
+    // srcDir == dir, and partition discovery over dir now sees date= dirs
+    // at two depths ("Conflicting directory structures") — wedging reads
+    // and every compaction retry until the leftover goes. Single-writer is
+    // the documented contract, so anything uncommitted is ours to reclaim.
+    locally {
+      val f = fs(spark, dir)
+      val root = new Path(dir)
+      if (f.exists(root)) {
+        val committed = cur.map(_._1).getOrElse(-1)
+        f.listStatus(root).foreach { s =>
+          if (s.isDirectory) s.getPath.getName match {
+            case GenName(n) if n.toInt > committed &&
+                !f.exists(new Path(s.getPath, "_SUCCESS")) =>
+              f.delete(s.getPath, true)
+            case _ => ()
+          }
+        }
+      }
+    }
     // ONE recursive listing drives everything: the before-count AND the
     // per-date byte totals (keyed by the unescaped partition value, so an
     // escaped char in a dir name still matches the column's string form)
@@ -380,20 +409,38 @@ object TableStore {
       vacuum(spark, dir, keepFrom = nextN - 1)
       return (before, listParquet(spark, tgt).size.toLong)
     }
-    // bucket counts joined in as a broadcast — a literal when-chain over
-    // thousands of dates would bloat the plan. Internal columns carry an
-    // improbable prefix: a user table with a column of the same name would
-    // otherwise be silently overwritten and dropped from the output.
+    // Static mode regardless of session conf: the fresh generation dir
+    // must get its committer-written _SUCCESS, which makes it visible.
+    binPack(spark, df, bucketsFor)
+      .write.mode("overwrite").partitionBy("date")
+      .option("partitionOverwriteMode", "static").parquet(tgt)
+    vacuum(spark, dir, keepFrom = nextN - 1)
+    (before, listParquet(spark, tgt).size.toLong)
+  }
+
+  /** Deterministic per-date hash bin-packing (shared by [[compact]] and
+    * [[compactDates]]): spread each date's rows across its bucket count so
+    * `partitionBy("date")` emits ~target-sized files, one per bucket.
+    *
+    * Bucket counts join in as a broadcast — a literal when-chain over
+    * thousands of dates would bloat the plan. Internal columns carry an
+    * improbable prefix: a user table with a column of the same name would
+    * otherwise be silently overwritten and dropped from the output.
+    *
+    * The bucket key must be DETERMINISTIC under task retry: a recomputed
+    * map task must assign every row the same bucket already-fetched
+    * reducer output saw, or the retry silently duplicates/loses rows (the
+    * classic repartition-by-rand corruption). Hash the row's own columns
+    * (skipping unhashable map types); byte-identical duplicate rows then
+    * share a bucket, which skews only degenerate all-duplicate dates.
+    */
+  private def binPack(spark: SparkSession, df: DataFrame,
+      bucketsFor: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
     val dCol = "__graft_compact_d"; val nbCol = "__graft_compact_nb"
     val bCol = "__graft_compact_b"
     val nbDf = broadcast(spark
       .createDataFrame(bucketsFor.toSeq).toDF(dCol, nbCol))
-    // The bucket key must be DETERMINISTIC under task retry: a recomputed
-    // map task must assign every row the same bucket already-fetched
-    // reducer output saw, or the retry silently duplicates/loses rows (the
-    // classic repartition-by-rand corruption). Hash the row's own columns
-    // (skipping unhashable map types); byte-identical duplicate rows then
-    // share a bucket, which skews only degenerate all-duplicate dates.
     val hashCols = df.schema.fields
       .filter(f => hashableType(f.dataType)).map(f => df.col(f.name))
     val rowKey = if (hashCols.isEmpty) lit(0L) else xxhash64(hashCols: _*)
@@ -406,15 +453,84 @@ object TableStore {
     // small scale merges all buckets back into one task and silently
     // undoes the bin-packing (2x the bucket count keeps same-date hash
     // collisions — which merge two buckets into one bigger file — rare).
-    // Static mode regardless of session conf: the fresh generation dir
-    // must get its committer-written _SUCCESS, which makes it visible.
+    val totalBuckets = math.max(1L, bucketsFor.values.sum)
     bucketed.repartition((totalBuckets * 2).min(20000).toInt,
         col("date"), col(bCol))
       .drop(dCol, nbCol, bCol)
+  }
+
+  /** Delta-OPTIMIZE-shaped INCREMENTAL maintenance: bin-pack ONLY `dates`,
+    * rewriting those partitions in place (staged write, then dynamic
+    * partition overwrite) inside the current generation. The hourly tick
+    * passes just the dates its batch touched, so per-tick maintenance is
+    * O(touched partitions) — rewriting the whole table into a new
+    * generation every hour would make the tick O(history), which is
+    * exactly what Delta's OPTIMIZE avoids by rewriting only under-target
+    * file groups. The table-wide [[compact]] remains the full-OPTIMIZE /
+    * re-layout (z-order) path with its reader-safe generation swap.
+    *
+    * Guarantees (weaker than the generation swap, same as [[append]] /
+    * [[upsertPartitions]]): a reader listing a TOUCHED partition during
+    * the publish can see it torn; a crash between the partition deletes
+    * and renames of the publish commit can lose the touched partitions'
+    * compacted form (the staged copy is cleaned, not recovered — the data
+    * itself is re-ingestable from the landing dir per the pipeline's
+    * crash contract). Untouched partitions are never at risk.
+    *
+    * A legacy flat table (no committed generation) falls back to the full
+    * [[compact]] — the one-time generational migration.
+    */
+  def compactDates(spark: SparkSession, dir: String, dates: Seq[String],
+      schema: Option[StructType] = None,
+      targetFileBytes: Long = 512L * 1024 * 1024): (Long, Long) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    if (dates.isEmpty) return (0L, 0L)
+    val cur = currentGeneration(spark, dir)
+    if (cur.isEmpty) return compact(spark, dir, schema, targetFileBytes)
+    val dataDir = cur.get._2
+    val f = fs(spark, dir)
+    // NOT dot/underscore-prefixed: Spark's file index treats those as
+    // hidden and would refuse to read the staged files back. The name
+    // can't collide with generation dirs (GenName) or date= partitions,
+    // and readers only ever resolve through currentGeneration.
+    val stage = new Path(dir, "compact_stage.tmp")
+    if (f.exists(stage)) f.delete(stage, true) // crash leftover
+    val partDirs = dates.distinct
+      .map(d => new Path(dataDir, s"date=$d"))
+      .filter(f.exists(_)).map(_.toString)
+    if (partDirs.isEmpty) return (0L, 0L)
+    val files = partDirs.flatMap(p => listParquetStatus(spark, p))
+    val before = files.size.toLong
+    val DateSeg = ".*/date=([^/]+)/.*".r
+    val bucketsFor: Map[String, Long] = files
+      .flatMap { case (p, len) => p match {
+        case DateSeg(d) => Some(unescapePath(d) -> len)
+        case _ => None
+      }}
+      .groupMapReduce(_._1)(_._2)(_ + _)
+      .view.mapValues(b =>
+        math.max(1L, (b + targetFileBytes - 1) / targetFileBytes))
+      .toMap
+    // DataFrameReader is MUTABLE — each read needs its own instance or the
+    // first read's basePath option leaks into the second and fails it
+    def reader() = schema.fold(spark.read)(s => spark.read.schema(s))
+    val df = reader().option("basePath", dataDir).parquet(partDirs: _*)
+    // stage OUTSIDE the generation dir (readers of the generation never
+    // see it), then publish with a no-shuffle dynamic overwrite — never
+    // overwrite files a running job is reading from
+    binPack(spark, df, bucketsFor)
       .write.mode("overwrite").partitionBy("date")
-      .option("partitionOverwriteMode", "static").parquet(tgt)
-    vacuum(spark, dir, keepFrom = nextN - 1)
-    (before, listParquet(spark, tgt).size.toLong)
+      .option("partitionOverwriteMode", "static").parquet(stage.toString)
+    reader().parquet(stage.toString)
+      .write.mode("overwrite").partitionBy("date")
+      .option("partitionOverwriteMode", "dynamic").parquet(dataDir)
+    f.delete(stage, true)
+    // dynamic-overwrite commits move partition dirs but write no top-level
+    // _SUCCESS; the generation's visibility marker must survive
+    val marker = new Path(dataDir, "_SUCCESS")
+    if (!f.exists(marker)) f.create(marker).close()
+    val after = partDirs.map(p => listParquetStatus(spark, p).size.toLong).sum
+    (before, after)
   }
 
   /** Types `xxhash64` can hash (maps are rejected by Spark's HashExpression). */

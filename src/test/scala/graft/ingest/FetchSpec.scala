@@ -97,18 +97,33 @@ class FetchSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("retry exhaustion is recorded, not thrown; no half file left behind") {
+  test("permanent 404 fails FAST (one attempt, deterministic error); no half file left behind") {
     withServer(Map.empty) { base =>
       val dir = tmpDir()
       val st = Fetch.download(spark, Seq(s"$base/2024-02-29-4.json.gz"),
         s"$dir/landing", retries = 3, backoffMs = 1L).collect().head
       assert(!st.getAs[Boolean]("ok"))
-      assert(st.getAs[Int]("attempts") === 3)
+      // retrying can't fix a 404 — one attempt, not the whole budget, and
+      // the recorded error is GUARANTEED to carry the 404 (the permanent-
+      // gap tombstone in GhaPipeline keys off that string)
+      assert(st.getAs[Int]("attempts") === 1)
       assert(st.getAs[String]("error").contains("404"))
       // atomic temp+rename: a failed URL leaves nothing for the scan to trip on
       val landing = new java.io.File(s"$dir/landing")
       assert(!landing.exists() ||
         landing.listFiles().forall(!_.getName.endsWith(".json.gz")))
+    }
+  }
+
+  test("transient 5xx exhaustion burns the full retry budget, recorded not thrown") {
+    withServer(Map("/2024-02-29-6.json.gz" -> gzip(Fixture.good.head)),
+      flaky = Set("/2024-02-29-6.json.gz"), flakyFailures = 99) { base =>
+      val dir = tmpDir()
+      val st = Fetch.download(spark, Seq(s"$base/2024-02-29-6.json.gz"),
+        s"$dir/landing", retries = 3, backoffMs = 1L).collect().head
+      assert(!st.getAs[Boolean]("ok"))
+      assert(st.getAs[Int]("attempts") === 3) // 5xx stays retryable
+      assert(st.getAs[String]("error").contains("503"))
     }
   }
 

@@ -56,6 +56,34 @@ class TableStoreSpec extends AnyFunSuite with SparkFixture {
     assert(TableStore.dataFiles(spark, dir).size === 2)
   }
 
+  test("compactDates bin-packs only the touched partitions; untouched files never move") {
+    val dir = tmpDir() + "/t"
+    (1 to 4).foreach { k =>
+      TableStore.append(mkBatch("2024-01-01", k * 100 until k * 100 + 5), dir)
+      TableStore.append(mkBatch("2024-01-02", k * 100 until k * 100 + 5), dir)
+    }
+    TableStore.compact(spark, dir) // establish a generation
+    // re-fragment one date only
+    (1 to 3).foreach { k =>
+      TableStore.append(mkBatch("2024-01-02", k * 1000 until k * 1000 + 5), dir)
+    }
+    val rowsBefore = TableStore.read(spark, dir).count()
+    val untouchedBefore = TableStore.dataFiles(spark, dir)
+      .filter(_.contains("date=2024-01-01")).toSet
+    val gen = TableStore.currentGeneration(spark, dir).get._1
+    val (before, after) = TableStore.compactDates(spark, dir,
+      Seq("2024-01-02"))
+    assert(before >= 4 && after === 1) // compacted file + appends -> 1
+    // same generation (in-place maintenance, not a swap); rows preserved
+    assert(TableStore.currentGeneration(spark, dir).get._1 === gen)
+    assert(TableStore.read(spark, dir).count() === rowsBefore)
+    // the untouched partition's files are byte-for-byte the same paths
+    assert(TableStore.dataFiles(spark, dir)
+      .filter(_.contains("date=2024-01-01")).toSet === untouchedBefore)
+    // absent dates are a no-op
+    assert(TableStore.compactDates(spark, dir, Seq("1999-01-01")) === ((0L, 0L)))
+  }
+
   test("compact bin-packs to the target file size: hot partitions split, small ones stay single") {
     val dir = tmpDir() + "/t"
     TableStore.append(mkBatch("2024-01-01", 0 until 2000), dir)
