@@ -29,9 +29,17 @@ object Extended {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightVal: String): DataFrame = {
+    // the carried value rides inside a STRUCT: `last(ignoreNulls)` must
+    // skip left rows (no right row) but NOT a matched right row whose
+    // VALUE happens to be null — a bare nullable column can't tell those
+    // apart, and the window would reach past the true most-recent match
+    // to an older non-null one (row-level divergence from ASOF JOIN)
+    val rvType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "v", right.schema(rightVal).dataType)))
     val l = left.withColumn("_side", lit(0))
-      .withColumn("_rv", lit(null).cast(right.schema(rightVal).dataType))
-    val r = right.withColumn("_rv", col(rightVal))
+      .withColumn("_rv", lit(null).cast(rvType))
+    val r = right.withColumn("_rv", struct(col(rightVal).as("v")))
       .select(left.columns.map {
         case c if c == key || c == ts => col(c)
         case c => lit(null).cast(left.schema(c).dataType).as(c)
@@ -41,9 +49,10 @@ object Extended {
     val w = Window.partitionBy(key).orderBy(col(ts).asc, col("_side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r.select(l.columns.map(col): _*))
-      .withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 0 && col("_asof").isNotNull)
-      .drop("_side", "_rv")
+      .withColumn("_match", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0 && col("_match").isNotNull)
+      .withColumn("_asof", col("_match").getField("v"))
+      .drop("_side", "_rv", "_match")
   }
 
   private val bandEdges = Seq(

@@ -12,6 +12,13 @@ object Tables {
   /** Read a testdata table. `events.ts` is parquet TIMESTAMP(NANOS), which
     * Spark only reads via `nanosAsLong` — normalized here to a micros
     * `TimestampType` so every downstream operator sees a real timestamp.
+    *
+    * NOTE the flag is SESSION-wide and stays set: any later read of a
+    * nanos-timestamp parquet in the same session gets LongType instead of
+    * the default analysis error. Engine entry points (Verify/Bench/tests)
+    * set it at session build anyway — this fallback only exists for ad-hoc
+    * sessions, and scoping it around a lazy DataFrame is not safe (the
+    * conf is consulted again at execution).
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {

@@ -127,7 +127,11 @@ object EventStream {
           val sorted = rows.toSeq.sortBy(_._3.getTime)
           val prev = state.getOption
             .getOrElse(UserState(uid, 0L, "", new java.sql.Timestamp(0)))
+          // "latest" must compare against the STATE's timestamp, not just
+          // within the batch: a micro-batch of only late events would
+          // otherwise move the profile backwards in time
           val latest = sorted.lastOption
+            .filter(_._3.getTime >= prev.last_ts.getTime)
           val next = UserState(uid, prev.n_events + sorted.size,
             latest.map(_._2).getOrElse(prev.last_type),
             latest.map(_._3).getOrElse(prev.last_ts))
@@ -147,30 +151,58 @@ object EventStream {
     * open/close semantics (here: a session closes when a later event
     * arrives more than `gapMs` after it; the still-open tail stays in the
     * state store across micro-batches).
+    *
+    * An EVENT-TIME TIMEOUT (driven by the `lateness` watermark) closes the
+    * final session of a key that simply stops producing — without it every
+    * user's last session is never emitted and its state entry lives
+    * forever, which at 100 TB/day means unbounded state growth. Late
+    * events that still land inside the open session extend it with
+    * min/max, never backwards (a late event must not rewind the session
+    * end below an already-seen later event).
     */
   def closedSessions(spark: SparkSession, events: DataFrame,
-      gapMs: Long = 5 * 60 * 1000L): Dataset[ClosedSession] = {
+      gapMs: Long = 5 * 60 * 1000L,
+      lateness: String = "1 hour"): Dataset[ClosedSession] = {
     import spark.implicits._
     events.selectExpr("user_id", "ts")
+      .withWatermark("ts", lateness)
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rows, state: GroupState[OpenSession]) =>
-          val times = rows.map(_._2.getTime).toSeq.sorted
-          var open = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-          for (t <- times) open match {
-            case None => open = Some(OpenSession(uid, t, t, 1L))
-            case Some(o) if t - o.last_ts < gapMs =>
-              open = Some(o.copy(last_ts = t, n_events = o.n_events + 1))
-            case Some(o) =>
-              closed += ClosedSession(uid, new java.sql.Timestamp(o.start_ts),
-                new java.sql.Timestamp(o.last_ts), o.n_events)
-              open = Some(OpenSession(uid, t, t, 1L))
+          if (state.hasTimedOut) {
+            // watermark passed last_ts + gap with no new event: the open
+            // session can never be extended again — flush and evict
+            val o = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid,
+              new java.sql.Timestamp(o.start_ts),
+              new java.sql.Timestamp(o.last_ts), o.n_events))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            for (t <- times) open match {
+              case None => open = Some(OpenSession(uid, t, t, 1L))
+              case Some(o) if t - o.last_ts < gapMs =>
+                open = Some(o.copy(
+                  start_ts = math.min(o.start_ts, t),
+                  last_ts = math.max(o.last_ts, t),
+                  n_events = o.n_events + 1))
+              case Some(o) =>
+                closed += ClosedSession(uid, new java.sql.Timestamp(o.start_ts),
+                  new java.sql.Timestamp(o.last_ts), o.n_events)
+                open = Some(OpenSession(uid, t, t, 1L))
+            }
+            open.foreach { o =>
+              state.update(o)
+              // must stay above the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(math.max(o.last_ts + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
           }
-          open.foreach(state.update)
-          closed.iterator
       }
   }
 
@@ -195,6 +227,9 @@ object EventStream {
       case "comment" => Extract.comments(parsed)
       case "watch"   => Extract.watches(parsed)
       case "fork"    => Extract.forks(parsed)
+      case other => throw new IllegalArgumentException(
+        s"unknown curated table '$other' — one of: commit, create, pr, " +
+        "comment, watch, fork")
     }
     curated.writeStream
       .format("parquet")

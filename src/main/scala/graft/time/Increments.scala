@@ -60,6 +60,10 @@ object Increments {
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith("date="))
+      // the null-date partition sorts AFTER every real date ('_' > '9');
+      // picking it would read max(created_at) over null rows -> watermark
+      // None -> full re-backfill with duplicated history
+      .filter(_ != "date=__HIVE_DEFAULT_PARTITION__")
     try {
       if (dates.nonEmpty)
         // read ONLY the latest partition dir; basePath keeps `date` a column
@@ -102,9 +106,16 @@ object Increments {
     */
   def hourlyUrls(spark: SparkSession, start: String, stop: String): DataFrame =
     spark.range(1)
-      .select(explode(sequence(
-        to_timestamp(lit(start)), to_timestamp(lit(stop)),
-        expr("INTERVAL 1 HOUR"))).as("h"))
+      // caught-up ticks produce an INVERTED range (nextRange returns
+      // start > stop when there is nothing to ingest); that must be an
+      // empty work list, not sequence()'s "illegal boundaries" error —
+      // `when` evaluates only the taken branch, so the sequence never
+      // sees the inverted bounds
+      .select(explode(when(
+        to_timestamp(lit(start)) <= to_timestamp(lit(stop)),
+        sequence(to_timestamp(lit(start)), to_timestamp(lit(stop)),
+          expr("INTERVAL 1 HOUR")))
+        .otherwise(array().cast("array<timestamp>"))).as("h"))
       .select(concat(
         lit("https://data.gharchive.org/"),
         date_format(col("h"), "yyyy-MM-dd-"),

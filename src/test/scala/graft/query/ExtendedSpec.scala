@@ -38,6 +38,21 @@ class ExtendedSpec extends AnyFunSuite with SparkFixture {
     assert(Extended.asofJoin(left, right, "user_id", "ts", "rts").count() === 1)
   }
 
+  test("asofJoin: a most-recent right row with a NULL value is the match, not skipped") {
+    // true ASOF JOIN semantics: the 11:00 row matches even though its
+    // value is null — skipping it (bare-column ignoreNulls) would wrongly
+    // reach back to 09:00's value
+    val left = Seq((1L, 5L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (5L, ts("2024-01-01 09:00:00"), "old"),
+      (5L, ts("2024-01-01 11:00:00"), null)
+    ).toDF("user_id", "ts", "v")
+    val out = Extended.asofJoin(left, right, "user_id", "ts", "v")
+      .select($"event_id", $"_asof").as[(Long, Option[String])].collect()
+    assert(out.toSeq === Seq((1L, None)))
+  }
+
   test("asofJoin is one shuffle: no join operator in the plan") {
     val left = Seq((1L, 5L, ts("2024-01-01 10:00:00")))
       .toDF("event_id", "user_id", "ts")

@@ -191,6 +191,74 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("closedSessions: watermark timeout flushes the idle final session and evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.closedSessions(spark,
+      mem.toDF().select($"user_id", $"ts"), lateness = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("closedflush")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts("2024-02-29 01:00:00"), "a", 1))
+      q.processAllAvailable()
+      assert(spark.table("closedflush").count() === 0)
+      // another USER's event pushes the watermark far past 01:05 + gap:
+      // user 1 produces nothing more, yet their session must still close
+      mem.addData(Ev(ts("2024-02-29 03:00:00"), "a", 2))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-02-29 03:00:01"), "a", 2)) // tick to fire timeout
+      q.processAllAvailable()
+      val rows = spark.table("closedflush")
+        .select($"user_id", date_format($"session_end", "HH:mm").as("e"))
+        .as[(Long, String)].collect().toSet
+      assert(rows.contains((1L, "01:00")))
+    } finally q.stop()
+  }
+
+  test("closedSessions: a late in-gap event extends the session, never rewinds it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.closedSessions(spark,
+      mem.toDF().select($"user_id", $"ts"))
+      .toDF().writeStream.format("memory").queryName("closedlate")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts("2024-02-29 01:00:00"), "a", 1),
+        Ev(ts("2024-02-29 01:04:00"), "a", 1))
+      q.processAllAvailable()
+      // LATE event inside the open session: must not move last_ts back to
+      // 01:01 (a rewind would let the 01:08 closer split the session)
+      mem.addData(Ev(ts("2024-02-29 01:01:00"), "a", 1))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-02-29 01:30:00"), "a", 1)) // closes it
+      q.processAllAvailable()
+      val rows = spark.table("closedlate")
+        .select(date_format($"session_start", "HH:mm").as("s"),
+          date_format($"session_end", "HH:mm").as("e"), $"n_events")
+        .as[(String, String, Long)].collect().toSeq
+      assert(rows === Seq(("01:00", "01:04", 3L)))
+    } finally q.stop()
+  }
+
+  test("userRunningStats: a late-only micro-batch never rewinds the latest-event profile") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val stats = EventStream.userRunningStats(spark, mem.toDF())
+    val q = stats.toDF().writeStream.format("memory").queryName("lateprofile")
+      .outputMode("update").start()
+    try {
+      mem.addData(Ev(ts("2024-02-29 10:00:00"), "purchase", 1))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-02-29 09:00:00"), "view", 1)) // late
+      q.processAllAvailable()
+      val row = spark.table("lateprofile").orderBy($"n_events".desc)
+        .select($"n_events", $"last_type",
+          date_format($"last_ts", "HH:mm").as("t"))
+        .as[(Long, String, String)].head()
+      assert(row === ((2L, "purchase", "10:00"))) // counted, not rewound
+    } finally q.stop()
+  }
+
   test("ingestStream AvailableNow: NDJSON landing dir -> curated parquet, incremental (T1/T4)") {
     val base = Paths.get("/root/repo/target/tmp")
     Files.createDirectories(base)

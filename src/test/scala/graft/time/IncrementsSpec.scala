@@ -55,6 +55,32 @@ class IncrementsSpec extends AnyFunSuite with SparkFixture {
     assert(!urls.exists(_.contains("-00.json"))) // hour is not zero-padded
   }
 
+  test("hourlyUrls: a caught-up (inverted) range is an empty work list, not an error") {
+    // nextRange deliberately returns start > stop when there is nothing to
+    // ingest; the composed fetch path must no-op, not crash in sequence()
+    val urls = Increments
+      .hourlyUrls(spark, "2024-01-01 14:00:00", "2024-01-01 13:00:00")
+      .as[String].collect()
+    assert(urls.isEmpty)
+  }
+
+  test("watermark ignores the null-date partition (__HIVE_DEFAULT_PARTITION__)") {
+    val dir = "/root/repo/target/tmp/wm_hive_" + System.nanoTime()
+    val df = Seq(("2024-02-29 02:30:00", "2024-02-29"))
+      .toDF("s", "d")
+      .select(to_timestamp($"s").as("created_at"), to_date($"d").as("date"))
+    graft.store.TableStore.append(df, dir)
+    // a null date (external writer / guard bypass) creates the Hive default
+    // partition, which sorts lexicographically AFTER every real date
+    val nullDate = Seq(("2024-02-29 05:00:00"))
+      .toDF("s")
+      .select(to_timestamp($"s").as("created_at"),
+        lit(null).cast("date").as("date"))
+    graft.store.TableStore.append(nullDate, dir)
+    assert(Increments.watermark(spark, dir).get.toInstant
+      === Instant.parse("2024-02-29T02:30:00Z"))
+  }
+
   test("watermark scans ONLY the latest date partition (metadata-cheap at scale)") {
     val dir = "/root/repo/target/tmp/wm_part_" + System.nanoTime()
     val df = Seq(
