@@ -91,7 +91,9 @@ object Extract {
       try_to_timestamp(col("payload.pull_request.created_at"))
         .as("pr_created_at"),
       createdAt, dateCol),
-    "username", "repo", "action", "number", "created_at")
+    // pr_created_at IS required: the reference's fromisoformat(None)
+    // raises and skips the record (preprocess.py:69-71)
+    "username", "repo", "action", "number", "pr_created_at", "created_at")
 
   /** IssueCommentEvent handler (`preprocess.py:78-91`). */
   def comments(raw: DataFrame): DataFrame = nullGuard(
@@ -104,14 +106,22 @@ object Extract {
       col("payload.comment.body").as("comment"),
       col("payload.comment.author_association").as("association"),
       createdAt, dateCol),
-    "username", "repo", "number", "comment", "created_at")
+    // issue_created_at required (fromisoformat crash, preprocess.py:83-85);
+    // comment NOT required — the reference keeps a comment whose body is a
+    // JSON null (dict access returns None without raising). A missing
+    // `comment` KEY would crash the reference, but after projection Spark
+    // can't tell missing-key from null-value; we align with the
+    // null-value case, the one real payloads exhibit
+    "username", "repo", "number", "issue_created_at", "created_at")
 
   /** WatchEvent handler (`preprocess.py:94-100`). */
   def watches(raw: DataFrame): DataFrame = nullGuard(
     ofType(raw, "WatchEvent").select(
       username, repo, col("payload.action").as("action"),
       createdAt, dateCol),
-    "username", "repo", "created_at")
+    // action required: the reference KeyErrors on a WatchEvent without
+    // payload.action (preprocess.py:97)
+    "username", "repo", "action", "created_at")
 
   /** ForkEvent handler (`preprocess.py:103-108`). */
   def forks(raw: DataFrame): DataFrame = nullGuard(

@@ -40,8 +40,15 @@ object TextOps {
     * themselves are needed (exact-Jaccard verify, q_ngram_jaccard).
     * Output: `keep` columns + `hs: array<bigint>`; rows with < n words drop.
     */
-  def shingleHashes(df: DataFrame, keep: Seq[String], n: Int): DataFrame =
-    shingleHashesBarrier(df, keep, n)._2
+  def shingleHashes(df: DataFrame, keep: Seq[String], n: Int): DataFrame = {
+    // convenience form: materialize, then release the barrier — returning
+    // the lazy frame would leak one MEMORY_AND_DISK block per call (the
+    // barrier variant exists so callers can manage that lifetime)
+    val (wh, hs) = shingleHashesBarrier(df, keep, n)
+    val out = hs.localCheckpoint()
+    wh.unpersist()
+    out
+  }
 
   /** [[shingleHashes]] plus the persisted barrier frame, so callers that
     * materialize their final result can `unpersist()` the intermediate
@@ -100,6 +107,11 @@ object TextOps {
     xxhash64(split(text, " "))
 
   private val STOPWORDS = Seq("the", "a")
+
+  /** [[STOPWORDS]] as a SQL IN-list, interpolated into the oracle twins so
+    * the two sides can never drift (editing the list updates both).
+    */
+  private val StopwordsSql = STOPWORDS.map(w => s"'$w'").mkString(", ")
 
   // PII/boilerplate patterns valid in BOTH Java regex (Spark) and RE2
   // (DuckDB oracle) — no backrefs, no lookaround
@@ -164,9 +176,9 @@ object TextOps {
     val (whBarrier, hs) = shingleHashesBarrier(docs, Seq("source"), 3)
     val hsDf = hs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perDoc = hsDf
-      .select(col("source"),
-        transform(sequence(lit(0), lit(nPerm - 1)),
-          i => array_min(transform(col("hs"), h => xxhash64(h, i)))).as("sig"))
+      // THE signature definition (VectorOps.sigColumn) — an inline copy
+      // here could drift from the signatures the dedup paths persist
+      .select(col("source"), VectorOps.sigColumn(col("hs"), nPerm).as("sig"))
       .as[(String, Seq[Long])]
     val perSource = perDoc.groupByKey(_._1)
       .agg(new MinHashUnionAgg(nPerm).toColumn.name("sig"))
@@ -297,9 +309,18 @@ object TextOps {
     */
   def ngramsAll(text: Column, n: Int): Column = {
     val w = words(text)
-    when(size(w) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
+    // shifted zip_with folds, exactly like [[ngramHashes]]: the word array
+    // only ever appears as a zip ARGUMENT (evaluated ~n times per row),
+    // never captured inside a lambda — `slice(w, i, n)` inside a transform
+    // re-evaluates the split once per n-gram POSITION, O(words^2) per doc.
+    // concat_ws skips the null padding zip_with adds past the shorter
+    // array, so the junk tail is short grams the final slice drops.
+    val folded = (2 to n).foldLeft(w) { (acc, j) =>
+      zip_with(acc,
+        slice(w, lit(j), greatest(size(w) - (j - 1), lit(1))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    slice(folded, lit(1), greatest(size(w) - (n - 1), lit(0)))
   }
 
   /** 64-bit n-gram hashes (one per occurrence, order-preserved) WITHOUT
@@ -446,29 +467,22 @@ object TextOps {
     * set — benchmark decontamination for a training pipeline.
     *
     * 100 TB shape: ONE corpus scan feeding a broadcast anti-join against
-    * the distinct eval texts (eval suites are MBs, not TBs). The bloom
-    * filter of the eval set rides the JOIN CONDITION as a guard: it has
-    * no false negatives, so a bloom-negative row provably matches nothing
-    * and the exact string comparison is skipped for the overwhelming
-    * majority of rows. Note the deliberate single-scan trade-off: a
-    * two-branch split (bloom-negative rows bypass the join entirely)
-    * would read the corpus twice — at this scale the scan IS the cost, so
-    * the join stays in-line. For an eval set too large to broadcast,
-    * filter candidates by bloom into a persisted frame first and
-    * anti-join only those (two passes, candidates shuffle).
+    * the distinct eval texts (eval suites are MBs, not TBs) — each corpus
+    * row costs one hash probe of the broadcast table, which is already
+    * the cheapest per-row test there is. (An earlier version also rode a
+    * bloom filter in the join condition; a residual predicate on a hash
+    * join only evaluates on rows whose key ALREADY matched, so the bloom
+    * could never skip anything and just cost two extra eval-set jobs.)
+    * For an eval set too large to broadcast, a bloom pre-filter earns its
+    * keep as a separate pass: broadcast the bloom, keep bloom-negative
+    * rows outright (no false negatives), and shuffle only the ~1% of
+    * candidate rows into the exact anti-join.
     */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,
       textCol: String): DataFrame = {
-    val spark = corpus.sparkSession
-    val n = math.max(evalSet.count(), 1L)
-    val bloom = evalSet.stat.bloomFilter(textCol, n, 0.01)
-    val b = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => s != null && b.value.mightContain(s))
     val evalTexts = broadcast(
       evalSet.select(col(textCol).as("__eval_text")).distinct())
-    corpus.join(evalTexts,
-      col(textCol) === col("__eval_text") && mightContain(col(textCol)),
-      "left_anti")
+    corpus.join(evalTexts, col(textCol) === col("__eval_text"), "left_anti")
   }
 
   val all: Seq[Q] = Seq(
@@ -556,10 +570,9 @@ object TextOps {
           .orderBy("id_a", "id_b")
       }),
 
-    // ---- L2: eval-set decontamination (bloom prefilter + exact verify) ---------
-    // The oracle is the plain NOT EXISTS anti-join — hash-equality proves
-    // the bloom layer loses nothing. q_decontaminate uses a 10%-of-corpus
-    // eval slice so both the definite-keep and verify paths carry rows.
+    // ---- L2: eval-set decontamination (broadcast anti-join) ---------------------
+    // The oracle is the plain NOT EXISTS anti-join. The 10%-of-corpus eval
+    // slice keeps both the match and keep paths populated.
     Q("q_decontaminate", Some(
       """SELECT d.doc_id FROM documents d WHERE NOT EXISTS (
         |  SELECT 1 FROM documents e
@@ -617,7 +630,7 @@ object TextOps {
     Q("q_lang_id", Some(
       s"""SELECT doc_id,
         |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
-        |         w -> w IN ('the', 'a'))) AS DOUBLE)
+        |         w -> w IN ($StopwordsSql))) AS DOUBLE)
         |       / len(string_split(text, ' ')) > 0.02
         |       THEN 'en_like' ELSE 'other' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin),
@@ -634,10 +647,10 @@ object TextOps {
 
     // ---- L5: quality scoring (length / stopword / word-length ratios) ---------------
     Q("q_quality_score", Some(
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |  CAST(len(list_filter(string_split(text, ' '),
-        |       w -> w IN ('the', 'a'))) AS DOUBLE)
+        |       w -> w IN ($StopwordsSql))) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS stop_ratio,
         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS mean_word_len
@@ -675,11 +688,11 @@ object TextOps {
     // the gate; dedup is the single hash shuffle; counts are map-side
     // partial. Rows: the per-source survivor histogram.
     Q("q_corpus_clean", Some(
-      """WITH scored AS (
+      s"""WITH scored AS (
         |  SELECT doc_id, source, text,
         |    len(string_split(text, ' ')) AS n_words,
         |    CAST(len(list_filter(string_split(text, ' '),
-        |         w -> w IN ('the', 'a'))) AS DOUBLE)
+        |         w -> w IN ($StopwordsSql))) AS DOUBLE)
         |      / len(string_split(text, ' ')) AS stop_ratio
         |  FROM documents),
         |kept AS (

@@ -190,7 +190,7 @@ object VectorOps {
     * [[minhashSignatures]] both build from this one expression, so stored
     * signature state can never drift from the self-join path.
     */
-  private def sigColumn(hs: Column, nPerm: Int): Column =
+  private[llm] def sigColumn(hs: Column, nPerm: Int): Column =
     transform(sequence(lit(0), lit(nPerm - 1)),
       i => array_min(transform(hs, h => xxhash64(h, i))))
 
@@ -320,8 +320,16 @@ object VectorOps {
     */
   private def unitFeatures(df: DataFrame): DataFrame = {
     val v = toDouble(col("embedding"))
-    df.select(col("vec_id"),
-      array_to_vector(transform(v, x => x / l2norm(v))).as("features"))
+    val n = l2norm(v)
+    // the norm rides in as a zip_with ARGUMENT (array_repeat), evaluated
+    // once per row — captured inside a transform lambda it would
+    // re-evaluate per ELEMENT, the O(dim^2) HOF trap this module documents.
+    // Zero-norm vectors have no direction and would turn into all-null
+    // arrays that crash array_to_vector: skip them (one bad row must not
+    // fail the job).
+    df.filter(n > 0).select(col("vec_id"),
+      array_to_vector(zip_with(v, array_repeat(n, size(v)),
+        (x, d) => x / d)).as("features"))
   }
 
   private def brpLsh = new BucketedRandomProjectionLSH()

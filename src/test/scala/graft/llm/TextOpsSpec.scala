@@ -187,8 +187,7 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
       .select("doc_id").as[Long].collect().toSet
     val expected = (1L to 200L).filter(_ % 7 != 0).toSet
     assert(kept === expected)
-    // bloom false positives must be resolved by the exact verify, never
-    // dropped: a corpus with NO real matches survives intact
+    // a corpus with NO real matches must survive intact
     val cleanOnly = corpus.filter(!col("text").startsWith("leaked"))
     val kept2 = TextOps.decontaminate(cleanOnly, evalSet, "text").count()
     assert(kept2 === cleanOnly.count())
