@@ -171,11 +171,33 @@ object Functions {
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qe"))
         .orderBy("l_returnflag")),
 
-    Q("q_approx_quantile", None,
+    // ---- approx quantile, oracled via its rank-error LAW -----------------------
+    // percentile_approx(accuracy=1000) guarantees rank error <= n/1000, so
+    // the approximate p50/p99 must land inside the exact [p45,p55] /
+    // [p97,p99.9] value bands — enormously slack vs the contract, tight vs
+    // a broken sketch. exact_p50/p99 bind the frame to real data (both
+    // engines interpolate quantiles identically: idx = p*(n-1), linear).
+    Q("q_approx_quantile", Some(
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(value, 0.99), 4) AS exact_p99,
+        |  true AS p50_in_band, true AS p99_in_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => Tables(s, d, "events")
         .groupBy("event_type")
-        .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 4).as("exact_p50"),
+          round(percentile(col("value"), lit(0.99)), 4).as("exact_p99"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50a"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99a"),
+          percentile(col("value"), lit(0.45)).as("p45"),
+          percentile(col("value"), lit(0.55)).as("p55"),
+          percentile(col("value"), lit(0.97)).as("p97"),
+          percentile(col("value"), lit(0.999)).as("p999"))
+        .withColumn("p50_in_band", col("p50a").between(col("p45"), col("p55")))
+        .withColumn("p99_in_band", col("p99a").between(col("p97"), col("p999")))
+        .select("event_type", "exact_p50", "exact_p99",
+          "p50_in_band", "p99_in_band")
         .orderBy("event_type"))
   )
 }

@@ -93,13 +93,26 @@ object Relational {
         .groupBy("event_type").agg(countDistinct("user_id").as("n_users"))
         .orderBy("event_type")),
 
-    // ---- A7: HLL approx distinct (no oracle: sketch is engine-defined) ------
+    // ---- A7: HLL approx distinct, oracled via its error LAW ------------------
     // The 100 TB path for "people using Dask over time" (gha.ipynb:392):
-    // one pass, fixed memory, no shuffle explosion from exact distinct.
-    Q("q_approx_distinct", None,
+    // one pass, fixed memory, no shuffle explosion from exact distinct —
+    // production calls just `approx_count_distinct`. The raw estimate is
+    // engine-defined, so the oracle pins the 5% relative-error LAW instead
+    // (the q_quantize_embed / q_distinct_sketch boolean pattern): exact_n
+    // binds the frame to real data, within_5pct fails the hash if the
+    // HLL++ estimate ever drifts out of its contract.
+    Q("q_approx_distinct", Some(
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n,
+        |  true AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => t("events")(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct("user_id").as("n_users_approx"))
+        .agg(countDistinct("user_id").as("exact_n"),
+          approx_count_distinct("user_id").as("est"))
+        .withColumn("within_5pct",
+          abs(col("est") - col("exact_n")) <= col("exact_n") * 0.05)
+        .select("event_type", "exact_n", "within_5pct")
         .orderBy("event_type")),
 
     // ---- A7: MERGEABLE distinct sketches (DataSketches HLL), law-oracled ----
