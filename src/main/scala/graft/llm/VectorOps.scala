@@ -75,41 +75,36 @@ object VectorOps {
     * MinHashLSH join is OR-only across tables and floods candidates).
     * Candidates then verify with EXACT Jaccard on their shingle sets.
     *
+    * Default banding is 16 bands x 4 rows (same 64 permutations): recall at
+    * j=0.8 is 1 - 2e-4 vs 0.77 for 8x8 — the driver fixture's true pairs
+    * all sit at j >= 0.8, so the emitted pair set EQUALS the exact all-pairs
+    * ground truth and the q_dedup_* oracles can be real DuckDB brute-force
+    * twins. The cost: dissimilar pairs (j <= 0.3) become candidates at ~12%
+    * instead of ~0.5% — they are discarded by the verify stage.
+    *
     * At 100 TB: the only shuffles are (band_idx, band_hash) — a few longs
-    * per doc — and the candidate-pair joins back to shingle sets; no
+    * per doc — and the candidate-pair joins back to shingle-hash sets; no
     * all-pairs stage anywhere. `maxBucket` is the skew guard for hot
     * buckets (see [[bucketPairs]]).
     */
   def minhashPairsNative(docs: DataFrame, threshold: Double,
-      nBands: Int = 8, rowsPerBand: Int = 8,
+      nBands: Int = 16, rowsPerBand: Int = 4,
       exactVerify: Boolean = false, maxBucket: Int = 0): DataFrame = {
     val nPerm = nBands * rowsPerBand
     val n = 3
-    val par = docs.sparkSession.sparkContext.defaultParallelism
     // `hs` = per-doc distinct 64-bit shingle hashes. The nPerm permutations
-    // re-hash these 8-byte longs, never the text. Persists are load-bearing,
-    // not cache niceties: without a materialization barrier, CollapseProject
-    // inlines the aliased array into the consuming lambda and the producing
-    // pass re-executes once per element — measured ~60x slower at 5k docs.
-    // The repartition spreads the CPU-bound hash stage across all cores
-    // regardless of input file layout.
-    val (whBarrier, hsSrc) = if (exactVerify) {
-      // exact-Jaccard verify needs the shingle *strings*, so build + hash them
-      val sh = docs.select(col("doc_id"),
-        TextOps.shingles(col("text"), n).as("sh"))
-        .filter(size(col("sh")) > 0)
-      (None: Option[DataFrame], sh.repartition(par)
-        .select(col("doc_id"), col("sh"),
-          transform(col("sh"), s => xxhash64(s)).as("hs")))
-    } else {
-      // estimate path never materializes shingle strings (TextOps.shingleHashes)
-      val (b, hs) = TextOps.shingleHashesBarrier(docs, Seq("doc_id"), n)
-      (Some(b), hs.select(col("doc_id"),
-        lit(null).cast("array<string>").as("sh"), col("hs")))
-    }
+    // re-hash these 8-byte longs, never the text — and the exact verify
+    // intersects them too (Jaccard over distinct hash sets == Jaccard over
+    // shingle-string sets modulo 2^-64 collisions; q_ngram_jaccard proves
+    // the parity against DuckDB's string-built sets). Shingle strings are
+    // never materialized on any path. Persists are load-bearing, not cache
+    // niceties: without a materialization barrier, CollapseProject inlines
+    // the aliased array into the consuming lambda and the producing pass
+    // re-executes once per element — measured ~60x slower at 5k docs.
+    val (whBarrier, hsSrc) = TextOps.shingleHashesBarrier(docs, Seq("doc_id"), n)
     val hsDf = hsSrc
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = hsDf.select(col("doc_id"), col("sh"),
+    val sig = hsDf.select(col("doc_id"), col("hs"),
       sigColumn(col("hs"), nPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = minhashBands(sig.select("doc_id", "sig"), nBands, rowsPerBand)
@@ -119,14 +114,14 @@ object VectorOps {
     // independent of document size, which is what survives when near-dup
     // clusters are large (all-pairs-within-bucket is quadratic in cluster
     // size; the per-pair constant must be tiny). exactVerify joins back to
-    // the shingle sets for true Jaccard — the high-precision last pass.
+    // the shingle-hash sets for true Jaccard — the high-precision last pass.
     val verified =
       if (exactVerify)
         candidates
-          .join(sig.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-          .join(sig.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .join(sig.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+          .join(sig.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
           .select(col("id_a"), col("id_b"),
-            round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+            round(TextOps.jaccard(col("hs_a"), col("hs_b")), 4).as("jaccard"))
           .filter(col("jaccard") >= threshold)
       else
         candidates
@@ -141,7 +136,7 @@ object VectorOps {
     val out = verified.localCheckpoint()
     sig.unpersist()
     hsDf.unpersist()
-    whBarrier.foreach(_.unpersist())
+    whBarrier.unpersist()
     out
   }
 
@@ -199,8 +194,8 @@ object VectorOps {
     * is the load-bearing CollapseProject barrier documented in
     * [[minhashPairsNative]]).
     */
-  def minhashSignatures(docs: DataFrame, nBands: Int = 8,
-      rowsPerBand: Int = 8): DataFrame = {
+  def minhashSignatures(docs: DataFrame, nBands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
     val nPerm = nBands * rowsPerBand
     val (wh, hs) = TextOps.shingleHashesBarrier(docs, Seq("doc_id"), 3)
     val hsDf = hs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -213,8 +208,8 @@ object VectorOps {
   }
 
   /** Banded LSH rows (doc_id, band_idx, band_hash) from a signature table. */
-  def minhashBands(sigs: DataFrame, nBands: Int = 8,
-      rowsPerBand: Int = 8): DataFrame =
+  def minhashBands(sigs: DataFrame, nBands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame =
     sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         j => xxhash64(
@@ -240,7 +235,7 @@ object VectorOps {
     * |bucket| × batch — the 10^12-pair blow-up).
     */
   def minhashPairsAgainst(newSigs: DataFrame, baseSigs: DataFrame,
-      threshold: Double, nBands: Int = 8, rowsPerBand: Int = 8,
+      threshold: Double, nBands: Int = 16, rowsPerBand: Int = 4,
       maxBucket: Int = 0): DataFrame = {
     val nPerm = nBands * rowsPerBand
     val nb = minhashBands(newSigs, nBands, rowsPerBand)
@@ -270,7 +265,7 @@ object VectorOps {
     * signatures instead of text).
     */
   def minhashPairsFromSigs(sigs: DataFrame, threshold: Double,
-      nBands: Int = 8, rowsPerBand: Int = 8, maxBucket: Int = 0): DataFrame = {
+      nBands: Int = 16, rowsPerBand: Int = 4, maxBucket: Int = 0): DataFrame = {
     val nPerm = nBands * rowsPerBand
     val candidates =
       bucketPairs(minhashBands(sigs, nBands, rowsPerBand), maxBucket)
@@ -290,7 +285,7 @@ object VectorOps {
     * connected components keeping the min id ([[TextOps.dedupClusters]]).
     */
   def dedupIncrement(newDocs: DataFrame, baseSigs: DataFrame,
-      threshold: Double = 0.5, nBands: Int = 8, rowsPerBand: Int = 8,
+      threshold: Double = 0.5, nBands: Int = 16, rowsPerBand: Int = 4,
       maxBucket: Int = 0): (DataFrame, DataFrame) = {
     val newSigs = minhashSignatures(newDocs, nBands, rowsPerBand)
     // materialized: referenced by both afterBase and the final anti-join —
@@ -716,17 +711,71 @@ object VectorOps {
           .orderBy("query_id", "rank")
       }),
 
-    // ---- L2: banded MinHash-LSH near-dup pairs (approx: rows-only check) ------
-    Q("q_dedup_minhash", None,
+    // ---- L2: banded MinHash-LSH near-dup pairs, GROUND-TRUTH oracled -----------
+    // The oracle is DuckDB's exact all-pairs word-3-gram Jaccard over the
+    // whole table — brute force is feasible at oracle scale (500 docs =
+    // 124,750 pairs). The Spark side stays the LSH scale path (no all-pairs
+    // stage); it matches the brute-force twin because 16x4 banding has
+    // ~unit recall at the fixture's j >= 0.8 true pairs and the verify
+    // stage computes EXACT Jaccard on candidates (hash-set form).
+    Q("q_dedup_minhash", Some(
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        |  FROM documents)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin),
       (s, d) => minhashPairsNative(Tables(s, d, "documents"), 0.5,
-          maxBucket = 1000)
+          exactVerify = true, maxBucket = 1000)
         .orderBy("id_a", "id_b")),
 
     // ---- L2 incremental: new batch vs stored history signatures ----------------
-    // (engine-defined hashes: rows-only check; policy + short-doc handling
-    // unit-tested in VectorOpsSpec). Base = docs < 250 contribute ONLY
-    // their signature table; batch = docs >= 250.
-    Q("q_dedup_increment", None,
+    // Base = docs < 250 contribute ONLY their signature table; batch =
+    // docs >= 250. The tick itself stays estimate-verified (history text is
+    // never re-shingled — that IS the incremental contract), yet the kept
+    // set is ground-truth oracled: the fixture's true pairs sit at
+    // j >= 0.8 and everything else at j < 0.3, both many sigma from the
+    // 0.5 decision line of a 64-perm estimate, so the estimate decision
+    // provably equals DuckDB's exact brute-force derivation below
+    // (base-hit drop, then min-id survives each in-batch component).
+    Q("q_dedup_increment", Some(
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5),
+        |base_hit AS (
+        |  SELECT DISTINCT greatest(id_a, id_b) AS id FROM p
+        |  WHERE least(id_a, id_b) < 250 AND greatest(id_a, id_b) >= 250),
+        |ip AS (
+        |  SELECT id_a, id_b FROM p
+        |  WHERE id_a >= 250 AND id_b >= 250
+        |    AND id_a NOT IN (SELECT id FROM base_hit)
+        |    AND id_b NOT IN (SELECT id FROM base_hit)),
+        |e AS (SELECT id_a AS u, id_b AS v FROM ip
+        |      UNION SELECT id_b, id_a FROM ip),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+        |drops AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 250
+        |  AND doc_id NOT IN (SELECT id FROM base_hit)
+        |  AND doc_id NOT IN (SELECT id FROM drops)
+        |ORDER BY doc_id""".stripMargin),
       (s, d) => {
         val docs = Tables(s, d, "documents")
         val baseSigs = minhashSignatures(docs.filter(col("doc_id") < 250))
@@ -736,12 +785,34 @@ object VectorOps {
       }),
 
     // ---- L2: pairs -> connected components -> keep/drop decision ---------------
-    // (the stage that actually dedups the corpus; approx pair source ->
-    // rows-only check, transitivity proven in TextOpsSpec)
-    Q("q_dedup_resolve", None,
+    // The stage that actually dedups the corpus. Oracle: DuckDB recomputes
+    // the exact >= 0.5 Jaccard pair graph brute-force and resolves
+    // components via a RECURSIVE transitive-closure CTE with min-label
+    // cluster ids — a fully independent reimplementation of the
+    // pointer-doubling propagation (TextOps.dedupClusters) it checks.
+    Q("q_dedup_resolve", Some(
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
       (s, d) => TextOps.dedupClusters(
         minhashPairsNative(Tables(s, d, "documents"), 0.5,
-          maxBucket = 1000))
+          exactVerify = true, maxBucket = 1000))
         .orderBy("doc_id")),
 
     // ---- L3: IVF-bucketed ANN (approx: rows-only check) ------------------------
