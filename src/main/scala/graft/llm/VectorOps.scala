@@ -815,22 +815,86 @@ object VectorOps {
           exactVerify = true, maxBucket = 1000))
         .orderBy("doc_id")),
 
-    // ---- L3: IVF-bucketed ANN (approx: rows-only check) ------------------------
-    Q("q_ann_ivf", None,
+    // ---- L3: IVF-bucketed ANN, oracled via its RECALL law -----------------------
+    // The approximate neighbor list is engine-defined, so the declared
+    // frame is the recall harness instead: per query, the exact top-1
+    // neighbor (DuckDB recomputes it brute force — binds the frame to real
+    // data) plus a recall@5 >= 0.8 boolean for the IVF result against the
+    // exact top-5. The fixture embeddings are near-uniform on the sphere
+    // (no cluster structure for the coarse quantizer to exploit), so
+    // probing half the cells yields measured recall@5 of 0.8-1.0 per
+    // query; the law pins that floor.
+    Q("q_ann_ivf", Some(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * t.v[i]))
+        |    / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(t.v, x -> x * x)))) AS cos
+        |  FROM q, e t WHERE q.vec_id <> t.vec_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        |      FROM p)
+        |SELECT query_id, neighbor_id AS exact_top1, true AS recall_ok
+        |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin),
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
-          .withColumn("cosine", round(col("cos"), 3))
-          .select("query_id", "neighbor_id", "rank", "cosine")
-          .orderBy("query_id", "rank")
+        val queries = emb.filter(col("vec_id") < 10)
+        val exact = bruteForceTopK(emb, queries, 5).localCheckpoint()
+        val approx = ivfTopK(emb, queries, 5, nProbe = 8)
+        val hits = exact.select("query_id", "neighbor_id")
+          .join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(cnt.as("hits"))
+        exact.filter(col("rank") === 1)
+          .select(col("query_id"), col("neighbor_id").as("exact_top1"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("exact_top1"),
+            (coalesce(col("hits"), lit(0L)) >= 4).as("recall_ok"))
+          .orderBy("query_id")
       }),
 
-    // ---- L3: LSH-bucketed ANN (approx: rows-only check) ------------------------
-    Q("q_ann_lsh", None,
+    // ---- L3: LSH-bucketed ANN, oracled via its RECALL law -----------------------
+    // Same harness shape for the threshold-join form: n_exact = the true
+    // neighbor count at cos >= 0.2 (DuckDB recomputes it; the nearest
+    // fixture cosine is 2.5e-4 from the threshold, so engine FP drift can
+    // never flip membership), recall_ok = the MLlib BRP-LSH join found at
+    // least 80% of them (measured per-query recall: 0.88-1.0).
+    Q("q_ann_lsh", Some(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.vec_id AS query_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * t.v[i]))
+        |    / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(t.v, x -> x * x)))) AS cos
+        |  FROM q, e t WHERE q.vec_id <> t.vec_id)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok
+        |FROM p WHERE cos >= 0.2 GROUP BY query_id ORDER BY query_id""".stripMargin),
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        annCosine(emb, emb.filter(col("vec_id") < 10), 0.2)
-          .orderBy("query_id", "neighbor_id")
+        val queries = emb.filter(col("vec_id") < 10)
+        val q = queries.select(col("vec_id").as("query_id"),
+          toDouble(col("embedding")).as("qv"))
+        val t = emb.select(col("vec_id").as("neighbor_id"),
+          toDouble(col("embedding")).as("tv"))
+        val exact = t.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+          .filter(cosine(col("qv"), col("tv")) >= 0.2)
+          .select("query_id", "neighbor_id")
+          .localCheckpoint()
+        val found = annCosine(emb, queries, 0.2)
+          .select("query_id", "neighbor_id")
+        val hits = exact.join(found, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(cnt.as("hits"))
+        exact.groupBy("query_id").agg(cnt.as("n_exact"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_exact"),
+            (coalesce(col("hits"), lit(0L)).cast("double")
+              >= col("n_exact") * 0.8).as("recall_ok"))
+          .orderBy("query_id")
       }),
 
     // ---- L4/L3: int8 embedding quantization, oracled via its error LAW ---------
@@ -888,12 +952,44 @@ object VectorOps {
       }),
 
     // ---- L2 on embeddings: near-duplicate vectors via native sign-LSH ----------
-    // (threshold tuned to the synthetic fixture's cosine range: max pairwise
-    // cosine is ~0.45, so 0.35 marks the "suspiciously close" tail; output
-    // cosines are EXACT — LSH only prunes the candidate set)
-    Q("q_embed_neardup", None,
-      (s, d) => cosinePairsNative(Tables(s, d, "embeddings"), 0.35,
-        maxBucket = 1000)
-        .orderBy("id_a", "id_b"))
+    // GROUND-TRUTH oracled through a planted-near-dup harness: the fixture
+    // has no natural high-cosine pairs (max ~0.6), so the corpus is the
+    // embeddings UNION a deterministically jittered copy of each vector
+    // (component i scaled by 1 + 0.001*(i%7 - 3) — pure double arithmetic,
+    // bit-identical in both engines). True pairs at threshold 0.9 are then
+    // exactly the 1-per-vector planted copies (cos ~ 0.9999995, found by
+    // sign-LSH with certainty: bit-flip probability 3e-4, all-8-bands-miss
+    // ~2e-21) while natural pairs stay below 0.62. The oracle recomputes
+    // all-pairs cosine brute force over the derived corpus. Output cosines
+    // are EXACT — LSH only prunes the candidate set.
+    Q("q_embed_neardup", Some(
+      """WITH e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, v FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(generate_series(1, len(v)),
+        |    i -> v[i] * (1 + 0.001 * ((i - 1) % 7 - 3))) FROM e0),
+        |u AS (SELECT vec_id, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_sum(list_transform(generate_series(1, len(a.v)),
+        |            i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val base = emb.select(col("vec_id"),
+          toDouble(col("embedding")).as("embedding"))
+        val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0) + lit(0.001) * (i % 7 - 3)))
+            .as("embedding"))
+        cosinePairsNative(base.union(planted), 0.9, maxBucket = 1000)
+          .orderBy("id_a", "id_b")
+      })
   )
 }
