@@ -296,31 +296,50 @@ object Multimodal {
           sha2(col("media"), 256).as("sha"))
         .orderBy("doc_id")),
 
-    // ---- L4: REAL image decode + resize (JDK codec; rows-only checks) ----------
+    // ---- L4: REAL image decode + resize (JDK codec), oracled via fixture laws --
     // thumbnail direction (16 -> 8): upscaling 16x16 noise to model-input
     // widths deflate-encodes ~150 KB of incompressible pixels per image —
-    // measured 60x the cost for nothing demonstrated
-    Q("q_multimodal_resize", None,
+    // measured 60x the cost for nothing demonstrated.
+    // The payload generator's geometry (16x16 RGB per doc) is the ground
+    // truth DuckDB re-states per doc_id; the Spark side must RE-DERIVE it
+    // by actually decoding the PNG bytes through the codec — a broken
+    // encode/decode/resize path cannot reproduce the frame. Re-encoded
+    // byte sizes are codec-version-defined, so they ride as >0 booleans.
+    Q("q_multimodal_resize", Some(
+      """SELECT doc_id, 16 AS width, 16 AS height, 8 AS target_w,
+        |  8 AS target_h, true AS scaled_ok
+        |FROM documents ORDER BY doc_id""".stripMargin),
       (s, d) => resizeFeatures(s,
         imagePayload(s, Tables(s, d, "documents")), targetW = 8)
         .toDF()
-        .select("doc_id", "width", "height", "target_w", "target_h",
-          "scaled_bytes")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("target_w"), col("target_h"),
+          (col("decode_ok") && col("scaled_bytes") > 0).as("scaled_ok"))
         .orderBy("doc_id")),
 
-    Q("q_multimodal_decode", None,
+    Q("q_multimodal_decode", Some(
+      """SELECT 3 AS channels, true AS decode_ok,
+        |  CAST(count(*) AS BIGINT) AS n, 16 AS max_width, 16 AS max_height
+        |FROM documents""".stripMargin),
       (s, d) => {
         val feats = decodeFeatures(s,
           imagePayload(s, Tables(s, d, "documents")))
         feats.toDF()
           .groupBy("channels", "decode_ok")
-          .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
+          .agg(count(lit(1)).as("n"),
             max("width").as("max_width"), max("height").as("max_height"))
           .orderBy("channels")
       }),
 
-    // ---- L4: REAL audio decode (WAV PCM; rows-only check) ----------------------
-    Q("q_multimodal_audio", None,
+    // ---- L4: REAL audio decode (WAV PCM), oracled via fixture laws -------------
+    // sample_rate/n_samples/duration_ms are the generator's spec (8 kHz,
+    // 200 ms => 1600 samples) that only a correct RIFF walk re-derives
+    // from the bytes; rms_ok pins the decoded PCM to the sine's A/sqrt(2)
+    // (= 8485.28; measured decode deviation <= 0.52, bound 5).
+    Q("q_multimodal_audio", Some(
+      """SELECT doc_id, 8000 AS sample_rate, CAST(1600 AS BIGINT) AS n_samples,
+        |  CAST(200 AS BIGINT) AS duration_ms, true AS rms_ok
+        |FROM documents ORDER BY doc_id""".stripMargin),
       (s, d) => {
         import s.implicits._
         val audio = Tables(s, d, "documents").select(col("doc_id")).as[Long]
@@ -329,7 +348,9 @@ object Multimodal {
           .toDF("doc_id", "media")
         audioFeatures(s, audio).toDF()
           .filter(col("decode_ok"))
-          .select("doc_id", "sample_rate", "n_samples", "duration_ms", "rms")
+          .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+            col("duration_ms"),
+            (abs(col("rms") - 12000.0 / math.sqrt(2.0)) <= 5.0).as("rms_ok"))
           .orderBy("doc_id")
       }),
 

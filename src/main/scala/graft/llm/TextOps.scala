@@ -555,18 +555,37 @@ object TextOps {
           .orderBy("id_a", "id_b")
       }),
 
-    // ---- L2: SimHash near-dup pairs (engine-defined hash: rows-only check) ----
-    Q("q_simhash", None,
+    // ---- L2: SimHash over the near-dup pair graph, oracled via its LAW ---------
+    // SimHash bits are engine-defined, so the frame pairs them with ground
+    // truth the oracle CAN recompute: the exact >= 0.5 Jaccard pairs (the
+    // same brute-force twin as q_dedup_minhash) carry their exact Jaccard
+    // plus the law boolean that near-duplicate texts collide to nearby
+    // SimHashes (hamming <= 20 of 64 — measured max on the fixture pairs
+    // is 12; a random pair centers at 32). The pair source is the LSH
+    // scale path, not all-pairs.
+    Q("q_simhash", Some(
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        |  FROM documents)
+        |SELECT id_a, id_b, jaccard, true AS hamming_ok FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin),
       (s, d) => {
-        val sh = Tables(s, d, "documents").filter(col("doc_id") < 300)
-          .select(col("doc_id"), simhash64("text").as("sim"))
-        val a = sh.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
-        val b = sh.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
-        a.join(b, col("id_a") < col("id_b"))
-          .withColumn("hamming",
-            expr("bit_count(sim_a ^ sim_b)").cast("long"))
-          .filter(col("hamming") <= 4)
-          .select("id_a", "id_b", "hamming")
+        val docs = Tables(s, d, "documents")
+        val pairs = graft.llm.VectorOps.minhashPairsNative(docs, 0.5,
+          exactVerify = true, maxBucket = 1000)
+        val sh = docs.select(col("doc_id"), simhash64("text").as("sim"))
+        pairs
+          .join(sh.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            (expr("bit_count(sim_a ^ sim_b)") <= 20).as("hamming_ok"))
           .orderBy("id_a", "id_b")
       }),
 
@@ -585,18 +604,81 @@ object TextOps {
       }),
 
     // ---- U∅/L2: cross-source contamination via composed minhash signatures ------
-    // (engine-defined hash: rows-only check; the Aggregator is the §2.10
-    // custom-aggregate surface)
-    Q("q_source_contamination", None,
-      (s, d) => sourceContamination(s, Tables(s, d, "documents"))
-        .orderBy("src_a", "src_b")),
+    // The Aggregator (§2.10 custom-aggregate surface) produces engine-
+    // defined union signatures, so the frame carries ground truth next to
+    // the estimate: exact_jac is the true shingle-set Jaccard between the
+    // two sources, computed DISTRIBUTED on the Spark side (distinct
+    // (source, shingle-hash) rows -> per-shingle source pairing -> |A∩B|,
+    // with |A∪B| = |A|+|B|-|A∩B|; shuffles carry 8-byte hashes, never
+    // shingle sets) and recomputed brute-force by DuckDB. est_ok pins the
+    // estimator law |est - exact| <= 0.15 (64 perms => sigma <= 1/16;
+    // measured max deviation on the fixture is 0.085).
+    Q("q_source_contamination", Some(
+      """WITH s AS (
+        |  SELECT source, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) AS sh
+        |  FROM documents),
+        |d AS (SELECT DISTINCT source, sh FROM s),
+        |c AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS ni
+        |      FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT ca.source AS src_a, cb.source AS src_b,
+        |  round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+        |        / (ca.n + cb.n - coalesce(i.ni, 0)), 4) AS exact_jac,
+        |  true AS est_ok
+        |FROM c ca JOIN c cb ON ca.source < cb.source
+        |LEFT JOIN i ON i.src_a = ca.source AND i.src_b = cb.source
+        |ORDER BY src_a, src_b""".stripMargin),
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val est = sourceContamination(s, docs)
+        val perSource = shingleHashes(docs, Seq("source"), 3)
+          .select(col("source"), explode(col("hs")).as("h")).distinct()
+          .localCheckpoint()
+        val counts = perSource.groupBy("source").agg(cnt.as("n"))
+        val inter = perSource.as("a").join(perSource.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(cnt.as("ni"))
+        val exact = counts.as("ca").join(counts.as("cb"),
+            col("ca.source") < col("cb.source"))
+          .select(col("ca.source").as("src_a"), col("cb.source").as("src_b"),
+            col("ca.n").as("n_a"), col("cb.n").as("n_b"))
+          .join(inter, Seq("src_a", "src_b"), "left")
+          .select(col("src_a"), col("src_b"),
+            (coalesce(col("ni"), lit(0L)).cast("double")
+              / (col("n_a") + col("n_b") - coalesce(col("ni"), lit(0L))))
+              .as("jac"))
+        exact.join(est, Seq("src_a", "src_b"))
+          .select(col("src_a"), col("src_b"),
+            round(col("jac"), 4).as("exact_jac"),
+            (abs(col("est_jaccard") - col("jac")) <= 0.15).as("est_ok"))
+          .orderBy("src_a", "src_b")
+      }),
 
-    // ---- L5: document fingerprint (engine-defined hash: rows-only check) -------
-    Q("q_fingerprint", None,
+    // ---- L5: document fingerprint, oracled via its LAWS -------------------------
+    // The 64-bit value is engine-defined; its CONTRACT is not: equal token
+    // sequences <=> equal fingerprints. fp_unique pins injectivity on the
+    // fixture (all 500 texts distinct => all 500 fingerprints distinct — a
+    // collision or nondeterminism breaks the hash match); order_sensitive
+    // pins the <= direction per row against ground truth DuckDB computes
+    // from the token sequences themselves: the fingerprint of the REVERSED
+    // token stream differs exactly when reversal changes the sequence
+    // (single-word and palindromic docs must collide, nothing else may).
+    Q("q_fingerprint", Some(
+      """SELECT doc_id, true AS fp_unique,
+        |  list_reverse(string_split(text, ' ')) <> string_split(text, ' ')
+        |    AS order_sensitive
+        |FROM documents ORDER BY doc_id""".stripMargin),
       (s, d) => Tables(s, d, "documents")
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-        .groupBy("fp").agg(min("doc_id").as("doc_id"), cnt.as("n_same"))
-        .select("doc_id", "fp", "n_same")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+          xxhash64(reverse(words(col("text")))).as("fp_rev"))
+        .withColumn("fp_unique",
+          count(lit(1)).over(Window.partitionBy("fp")) === 1)
+        .withColumn("order_sensitive", col("fp") =!= col("fp_rev"))
+        .select("doc_id", "fp_unique", "order_sensitive")
         .orderBy("doc_id")),
 
     // ---- L5: term-frequency top-k -----------------------------------------------

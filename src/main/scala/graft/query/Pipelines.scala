@@ -77,10 +77,18 @@ object Pipelines {
       }),
 
     // ---- S6-S9 e2e: append-partitioned write, compact, vacuum --------------------
-    // Returns one row of storage facts (no DuckDB twin — file counts are a
-    // storage property, not a query result). Asserts the Delta-OPTIMIZE
-    // analog: many small per-batch files collapse to one per date partition.
-    Q("q_compact", None,
+    // Returns one row of storage facts, oracled against the SOURCE table:
+    // DuckDB recomputes the partition count and row count the compacted
+    // store must preserve; the file-count facts (a storage property DuckDB
+    // cannot see) ride along as law booleans asserting the Delta-OPTIMIZE
+    // analog — many small per-batch files collapse to one per date
+    // partition, losing no rows.
+    Q("q_compact", Some(
+      """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+        |         AS n_partitions,
+        |       CAST(count(*) AS BIGINT) AS rows,
+        |       true AS files_reduced, true AS one_file_per_partition
+        |FROM events""".stripMargin),
       (s, d) => {
         import s.implicits._
         val base = java.nio.file.Paths.get("/root/repo/target/tmp")
@@ -95,8 +103,8 @@ object Pipelines {
           val nParts = TableStore.read(s, tmp).select("date").distinct().count()
           val (before, after) = TableStore.compact(s, tmp)
           val rows = TableStore.read(s, tmp).count()
-          Seq((nParts, before, after, rows, after == nParts))
-            .toDF("n_partitions", "files_before", "files_after", "rows",
+          Seq((nParts, rows, before > after, after == nParts))
+            .toDF("n_partitions", "rows", "files_reduced",
               "one_file_per_partition")
         } finally {
           // every action above already ran — the temp store is disposable
