@@ -258,13 +258,186 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
   }
 
-  /** Per-frame sample of a video payload: one output row per sampled frame
-    * — the 1→N generator shape every frame-level pipeline needs. The
-    * demuxer is a STUB (no video container parser ships with the JDK):
-    * 256-byte windows stand in for frames; the iterator-to-iterator
-    * flatMap contract is the real part.
+  // ---- video: REAL ISO-BMFF (MP4) demux — pure-JDK box walk ------------------
+  // A video container's frame boundaries live in the moov/trak/mdia/minf/
+  // stbl sample tables: stsz (per-sample sizes), stsc (samples-per-chunk
+  // runs), stco/co64 (chunk file offsets). Walking them is pure byte-level
+  // parsing — no codec needed to locate and slice frame payloads, which is
+  // exactly what a frame-sampling pipeline does before handing bytes to a
+  // decoder.
+
+  /** Number of frames the fixture MP4 for doc `id` carries (4..10). */
+  def mp4FrameCount(id: Long): Int = (4 + (id % 7)).toInt
+
+  /** Size of frame `i` in the fixture (exercises per-sample stsz). */
+  def mp4FrameSize(i: Int): Int = 100 + 8 * (i % 5)
+
+  private def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + payload.length) // MP4 is big-endian
+    b.putInt(8 + payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+    b.array()
+  }
+
+  private def fullBox(tag: String, payload: Array[Byte]): Array[Byte] =
+    box(tag, Array[Byte](0, 0, 0, 0) ++ payload) // version 0, flags 0
+
+  /** A real, minimal ISO-BMFF file for doc `id`: ftyp + mdat (frame
+    * payloads, each stamped `FRM!` + its index) + moov with a full sample
+    * table. Frames split across TWO chunks so stsc expansion is exercised,
+    * with real absolute file offsets in stco. [[demuxMp4]] must re-derive
+    * every frame boundary from the tables alone.
     */
-  case class FrameMeta(doc_id: Long, frame_idx: Int, byte_offset: Long)
+  def mp4Bytes(id: Long): Array[Byte] = {
+    val n = mp4FrameCount(id)
+    val sizes = (0 until n).map(mp4FrameSize)
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+        "isom".getBytes("US-ASCII"))
+    val frames = (0 until n).map { i =>
+      val f = ByteBuffer.allocate(sizes(i))
+      f.put("FRM!".getBytes("US-ASCII")).putInt(i)
+      // deterministic filler derived from (id, i)
+      (8 until sizes(i)).foreach(j =>
+        f.put(((id * 31 + i * 7 + j) & 0x7f).toByte))
+      f.array()
+    }
+    val mdat = box("mdat", frames.flatten.toArray)
+    // chunk 1 = first ceil(n/2) samples, chunk 2 = the rest
+    val c1 = (n + 1) / 2
+    val chunk1Off = ftyp.length + 8 // mdat payload start
+    val chunk2Off = chunk1Off + sizes.take(c1).sum
+    val stsd = fullBox("stsd", {
+      val entry = box("mp4v", new Array[Byte](8)) // 6 reserved + 2 dataref
+      ByteBuffer.allocate(4 + entry.length).putInt(1).put(entry).array()
+    })
+    val stts = fullBox("stts",
+      ByteBuffer.allocate(12).putInt(1).putInt(n).putInt(512).array())
+    val stsc = fullBox("stsc", {
+      val b = ByteBuffer.allocate(4 + 2 * 12).putInt(2)
+      b.putInt(1).putInt(c1).putInt(1)      // first_chunk=1: c1 samples
+      b.putInt(2).putInt(n - c1).putInt(1)  // first_chunk=2: the rest
+      b.array()
+    })
+    val stsz = fullBox("stsz", {
+      val b = ByteBuffer.allocate(8 + 4 * n).putInt(0).putInt(n)
+      sizes.foreach(b.putInt)
+      b.array()
+    })
+    val stco = fullBox("stco",
+      ByteBuffer.allocate(12).putInt(2).putInt(chunk1Off).putInt(chunk2Off)
+        .array())
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdhd = fullBox("mdhd",
+      ByteBuffer.allocate(20).putInt(0).putInt(0).putInt(1000)
+        .putInt(n * 512).putInt(0x55c40000).array())
+    val hdlr = fullBox("hdlr",
+      new Array[Byte](4) ++ "vide".getBytes("US-ASCII") ++ new Array[Byte](13))
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val tkhd = fullBox("tkhd", new Array[Byte](80))
+    val trak = box("trak", tkhd ++ mdia)
+    val mvhd = fullBox("mvhd", new Array[Byte](96))
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** One demuxed frame: its index, absolute byte offset, and size. */
+  final case class Mp4Frame(idx: Int, offset: Long, size: Int)
+
+  /** Walk the ISO-BMFF box tree and expand the sample tables into per-frame
+    * (offset, size) — the REAL demux: nothing about the fixture layout is
+    * assumed; boundaries come from stsz/stsc/stco (or co64) alone. The
+    * first video track's stbl wins. Malformed input yields Nil (media P4:
+    * one bad payload must not fail the batch).
+    */
+  def demuxMp4(bytes: Array[Byte]): Seq[Mp4Frame] =
+    try {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      // children of [from, until): returns (tag, payloadFrom, payloadUntil)
+      def children(from: Int, until: Int): Seq[(String, Int, Int)] = {
+        val out = Seq.newBuilder[(String, Int, Int)]
+        var p = from
+        while (p + 8 <= until) {
+          val size = buf.getInt(p)
+          val tag = new String(bytes, p + 4, 4, "US-ASCII")
+          if (size < 8 || p + size > until) return out.result()
+          out += ((tag, p + 8, p + size))
+          p += size
+        }
+        out.result()
+      }
+      def child(from: Int, until: Int, tag: String): Option[(Int, Int)] =
+        children(from, until).collectFirst { case (`tag`, f, u) => (f, u) }
+      def path(from: Int, until: Int, tags: String*): Option[(Int, Int)] =
+        tags.foldLeft(Option((from, until))) { case (acc, t) =>
+          acc.flatMap { case (f, u) => child(f, u, t) }
+        }
+      val stbl = path(0, bytes.length,
+        "moov", "trak", "mdia", "minf", "stbl").getOrElse(return Nil)
+      val (sf, su) = stbl
+      // stsz: version/flags, fixed_size, count, [sizes]
+      val sizes: IndexedSeq[Int] = child(sf, su, "stsz").map { case (f, _) =>
+        val fixed = buf.getInt(f + 4)
+        val count = buf.getInt(f + 8)
+        if (fixed != 0) IndexedSeq.fill(count)(fixed)
+        else (0 until count).map(i => buf.getInt(f + 12 + 4 * i))
+      }.getOrElse(return Nil)
+      // stco (32-bit) or co64 (64-bit): chunk offsets
+      val chunkOffs: IndexedSeq[Long] =
+        child(sf, su, "stco").map { case (f, _) =>
+          val c = buf.getInt(f + 4)
+          (0 until c).map(i => buf.getInt(f + 8 + 4 * i).toLong & 0xffffffffL)
+        }.orElse(child(sf, su, "co64").map { case (f, _) =>
+          val c = buf.getInt(f + 4)
+          (0 until c).map(i => buf.getLong(f + 8 + 8 * i))
+        }).getOrElse(return Nil)
+      // stsc: (first_chunk, samples_per_chunk, desc) runs -> per-chunk count
+      val stscRuns: IndexedSeq[(Int, Int)] = child(sf, su, "stsc")
+        .map { case (f, _) =>
+          val c = buf.getInt(f + 4)
+          (0 until c).map(i =>
+            (buf.getInt(f + 8 + 12 * i), buf.getInt(f + 12 + 12 * i)))
+        }.getOrElse(return Nil)
+      def samplesInChunk(chunk1Based: Int): Int =
+        stscRuns.takeWhile(_._1 <= chunk1Based).lastOption.map(_._2)
+          .getOrElse(0)
+      val out = Seq.newBuilder[Mp4Frame]
+      var sample = 0
+      var chunk = 0
+      while (chunk < chunkOffs.length && sample < sizes.length) {
+        var off = chunkOffs(chunk)
+        var k = 0
+        val inChunk = samplesInChunk(chunk + 1)
+        while (k < inChunk && sample < sizes.length) {
+          out += Mp4Frame(sample, off, sizes(sample))
+          off += sizes(sample)
+          sample += 1
+          k += 1
+        }
+        chunk += 1
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** The (doc_id, media) MP4 fixture — same born-distributed shape as
+    * [[imagePayload]].
+    */
+  def videoPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(id => (id, mp4Bytes(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Per-frame sample of a video payload: one output row per sampled frame
+    * — the 1→N generator shape every frame-level pipeline needs, fed by
+    * the REAL sample-table demux. `payload_ok` proves each demuxed offset
+    * actually landed on a frame: the bytes there must carry the `FRM!`
+    * stamp and the frame's own index.
+    */
+  case class FrameMeta(doc_id: Long, frame_idx: Int, byte_offset: Long,
+      frame_size: Int, payload_ok: Boolean)
 
   def sampleFrames(spark: SparkSession, withMedia: DataFrame,
       stride: Int): Dataset[FrameMeta] = {
@@ -272,10 +445,15 @@ object Multimodal {
     withMedia.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        // ??? <- real demuxer goes here (frame boundaries from container)
-        val nFrames = math.max(1, bytes.length / 256)
-        (0 until nFrames by stride).iterator
-          .map(i => FrameMeta(id, i, i.toLong * 256))
+        demuxMp4(bytes).iterator
+          .filter(_.idx % stride == 0)
+          .map { f =>
+            val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+            val ok = f.offset + 8 <= bytes.length &&
+              new String(bytes, f.offset.toInt, 4, "US-ASCII") == "FRM!" &&
+              b.getInt(f.offset.toInt + 4) == f.idx
+            FrameMeta(id, f.idx, f.offset, f.size, ok)
+          }
       })
   }
 
@@ -354,12 +532,24 @@ object Multimodal {
           .orderBy("doc_id")
       }),
 
-    // ---- L4: frame sampling (demux stubbed; 1->N generator shape real) ---------
-    Q("q_multimodal_frames", None,
+    // ---- L4: frame sampling via the REAL MP4 sample-table demux ----------------
+    // Ground truth: the fixture builder writes 4 + doc_id%7 frames of size
+    // 100 + 8*(i%5) — DuckDB re-states that spec per doc; the Spark side
+    // must RE-DERIVE every boundary by walking stsz/stsc/stco, and
+    // payload_ok proves each offset landed on the frame's own stamp.
+    Q("q_multimodal_frames", Some(
+      """SELECT doc_id,
+        |  CAST(unnest(range(0, 4 + doc_id % 7, 2)) AS INT) AS frame_idx,
+        |  CAST(100 + 8 * (unnest(range(0, 4 + doc_id % 7, 2)) % 5) AS INT)
+        |    AS frame_size,
+        |  true AS payload_ok
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id, frame_idx""".stripMargin),
       (s, d) => sampleFrames(s,
-        withBinaryPayload(Tables(s, d, "documents").filter(col("doc_id") < 100)),
+        videoPayload(s, Tables(s, d, "documents").filter(col("doc_id") < 100)),
         stride = 2)
         .toDF()
+        .select("doc_id", "frame_idx", "frame_size", "payload_ok")
         .orderBy("doc_id", "frame_idx"))
   )
 }

@@ -91,4 +91,57 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(feats.forall(_.decode_ok))
     assert(feats.map(_.doc_id).toSet === (1L to 20L).toSet)
   }
+
+  test("mp4 demux re-derives every frame boundary from the sample tables") {
+    for (id <- Seq(0L, 3L, 6L)) {
+      val bytes = Multimodal.mp4Bytes(id)
+      val frames = Multimodal.demuxMp4(bytes)
+      val n = Multimodal.mp4FrameCount(id)
+      assert(frames.length === n)
+      assert(frames.map(_.idx) === (0 until n))
+      frames.foreach { f =>
+        assert(f.size === Multimodal.mp4FrameSize(f.idx))
+        // the offset must land on the frame's own stamp
+        assert(new String(bytes, f.offset.toInt, 4, "US-ASCII") === "FRM!")
+        val b = java.nio.ByteBuffer.wrap(bytes)
+        assert(b.getInt(f.offset.toInt + 4) === f.idx)
+      }
+      // frames are contiguous within each of the two chunks, not one run:
+      // chunk 2's first frame restarts at the stco offset, which the
+      // builder placed immediately after chunk 1 — so offsets here are
+      // strictly increasing overall
+      assert(frames.map(_.offset) === frames.map(_.offset).sorted)
+    }
+  }
+
+  test("mp4 demux: fixed-size stsz and co64 chunk offsets parse too") {
+    import java.nio.ByteBuffer
+    def box(tag: String, p: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(8 + p.length).putInt(8 + p.length)
+        .put(tag.getBytes("US-ASCII")).put(p).array()
+    def full(tag: String, p: Array[Byte]): Array[Byte] =
+      box(tag, Array[Byte](0, 0, 0, 0) ++ p)
+    // 3 fixed 32-byte samples in one chunk addressed via co64
+    val payload = Array.tabulate(96)(_.toByte)
+    val mdat = box("mdat", payload)
+    val stsz = full("stsz",
+      ByteBuffer.allocate(8).putInt(32).putInt(3).array())
+    val stsc = full("stsc",
+      ByteBuffer.allocate(16).putInt(1).putInt(1).putInt(3).putInt(1).array())
+    val co64 = full("co64",
+      ByteBuffer.allocate(12).putInt(1).putLong(8L).array())
+    val stbl = box("stbl", stsz ++ stsc ++ co64)
+    val moov = box("moov", box("trak", box("mdia", box("minf", stbl))))
+    val frames = Multimodal.demuxMp4(mdat ++ moov)
+    assert(frames.map(f => (f.idx, f.offset, f.size)) ===
+      Seq((0, 8L, 32), (1, 40L, 32), (2, 72L, 32)))
+  }
+
+  test("mp4 demux tolerates malformed input (media P4)") {
+    assert(Multimodal.demuxMp4(Array[Byte]()) === Nil)
+    assert(Multimodal.demuxMp4("not an mp4 at all".getBytes) === Nil)
+    // truncated mid-moov: a box claiming to run past the buffer
+    val good = Multimodal.mp4Bytes(1L)
+    assert(Multimodal.demuxMp4(good.take(good.length / 2)) === Nil)
+  }
 }
