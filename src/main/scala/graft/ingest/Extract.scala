@@ -119,9 +119,13 @@ object Extract {
     ofType(raw, "WatchEvent").select(
       username, repo, col("payload.action").as("action"),
       createdAt, dateCol),
-    // action required: the reference KeyErrors on a WatchEvent without
-    // payload.action (preprocess.py:97)
-    "username", "repo", "action", "created_at")
+    // `action` deliberately NOT in the guard — same policy as `comment`:
+    // the reference KeyErrors only on a MISSING payload.action key
+    // (preprocess.py:97) but keeps a JSON-null value (dict access returns
+    // None without raising), and after projection Spark cannot tell
+    // missing-key from null-value, so the null-value reading wins for
+    // both handlers consistently
+    "username", "repo", "created_at")
 
   /** ForkEvent handler (`preprocess.py:103-108`). */
   def forks(raw: DataFrame): DataFrame = nullGuard(

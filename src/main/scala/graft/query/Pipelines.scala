@@ -124,7 +124,6 @@ object Pipelines {
         |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 20 AND 120
         |ORDER BY event_id""".stripMargin),
       (s, d) => {
-        import s.implicits._
         val base = java.nio.file.Paths.get("/root/repo/target/tmp")
         Files.createDirectories(base)
         val tmpRoot = Files.createTempDirectory(base, "graft_zorder")
@@ -143,12 +142,14 @@ object Pipelines {
           val pruned = TableStore.readPruned(s, tmp, Seq(
             TableStore.ColRange("user_id", 3, 9),
             TableStore.ColRange("value", 20, 120)))
+          // localCheckpoint (eager): materializes the result to executor
+          // storage BEFORE the finally deletes the temp store, with no
+          // driver round-trip — the result frame stays distributed
           pruned.df
             .filter(col("user_id").between(3, 9) && col("value").between(20, 120))
             .select("event_id", "user_id", "value")
             .orderBy("event_id")
-            .as[(Long, Long, Double)].collect().toSeq
-            .toDF("event_id", "user_id", "value")
+            .localCheckpoint()
         } finally {
           org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
           ()

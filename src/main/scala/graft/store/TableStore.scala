@@ -45,10 +45,40 @@ import org.apache.spark.sql.types.StructType
   */
 object TableStore {
 
+  /** A second writer holds the claim on the generation this writer needed.
+    * The loser fails CLEANLY before touching any file — the store is never
+    * torn by an overlapping tick + backfill (the optimistic-concurrency
+    * analog of a Delta commit conflict, `preprocess.py:169-175`).
+    */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val GenName = "^g(\\d+)$".r
+
+  /** Atomically claim the right to write generation `n` via a create-
+    * exclusive lock file (`g<n>.claim`). Generation writers claim BEFORE
+    * touching anything; the claim is removed on commit and reclaimed by
+    * age when a claimant crashed mid-write (`staleMs` — the standard
+    * lock-file staleness escape; a crashed writer blocks retries only
+    * until the timeout). Returns false when another live writer holds it.
+    */
+  private def claimGeneration(f: FileSystem, dir: String, n: Int,
+      staleMs: Long): Boolean = {
+    val p = new Path(dir, s"g$n.claim")
+    try {
+      val st = f.getFileStatus(p)
+      if (System.currentTimeMillis - st.getModificationTime > staleMs)
+        f.delete(p, false)
+    } catch { case _: java.io.FileNotFoundException => () }
+    try { f.create(p, false).close(); true }
+    catch { case _: java.io.IOException => false }
+  }
+
+  private def releaseClaim(f: FileSystem, dir: String, n: Int): Unit =
+    f.delete(new Path(dir, s"g$n.claim"), false)
 
   /** Current (generation number, data dir): the highest `g<N>` subdir with a
     * committed `_SUCCESS`. None for legacy flat layouts and missing tables.
@@ -137,15 +167,20 @@ object TableStore {
     * result date-partitioned so later appends can target it.
     */
   def overwriteVersioned(df: DataFrame, dir: String,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      staleLockMs: Long = 30L * 60 * 1000): Unit = {
     val spark = df.sparkSession
     val nextN = currentGeneration(spark, dir).map(_._1 + 1).getOrElse(0)
+    if (!claimGeneration(fs(spark, dir), dir, nextN, staleLockMs))
+      throw new ConcurrentWriteException(
+        s"another writer holds the claim for $dir/g$nextN")
     val tgt = s"$dir/g$nextN"
     val w = df.write.mode("overwrite")
       .option("partitionOverwriteMode", "static")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tgt)
     vacuum(spark, dir, keepFrom = nextN - 1)
+    releaseClaim(fs(spark, dir), dir, nextN)
   }
 
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -198,8 +233,92 @@ object TableStore {
   /** Inclusive numeric range predicate for file-level data skipping. */
   final case class ColRange(name: String, lo: Double, hi: Double)
 
-  /** A pruned read plus the skipping evidence for observability/tests. */
-  final case class PrunedRead(df: DataFrame, filesKept: Int, filesTotal: Int)
+  /** A pruned read plus the skipping evidence for observability/tests.
+    * `statsSource` records where the min/max came from: "sidecar" (the
+    * `_stats` table written at compact time) or "footers" (the per-query
+    * distributed footer pass — the fallback for never-compacted data).
+    */
+  final case class PrunedRead(df: DataFrame, filesKept: Int, filesTotal: Int,
+      statsSource: String = "footers")
+
+  /** Sidecar location: a SIBLING of the generation dir (`stats_g<N>` next
+    * to `g<N>`) — Spark's file index treats `_`/`.`-prefixed paths as
+    * hidden and refuses to read them back, and anything INSIDE the
+    * generation would pollute its partition discovery. The table root is
+    * never itself the target of a data read once generations exist, so a
+    * sibling is invisible to readers and swaps/vacuums with its
+    * generation. Legacy flat layouts have no sidecar (guarded by the
+    * GenName check at use sites).
+    */
+  private def statsPath(dataDir: String): Path = {
+    val p = new Path(dataDir)
+    new Path(p.getParent, s"stats_${p.getName}")
+  }
+
+  private def isGenerationDir(dataDir: String): Boolean =
+    GenName.matches(new Path(dataDir).getName)
+
+  /** Write the `_stats` sidecar for every data file under `dataDir`: one
+    * row per (file, numeric column) with its min/max — the Delta
+    * add-action-stats analog (`preprocess.py:181-186`), computed ONCE at
+    * compact time from the footers just written, so [[readPruned]] plans
+    * against a single tiny parquet instead of re-reading O(files) footers
+    * on every query. Paths are stored RELATIVE to the generation dir (the
+    * sidecar survives a directory move). Visibility follows the sidecar's
+    * own `_SUCCESS`: readers seeing a half-written sidecar fall back to
+    * footers.
+    */
+  private def writeStatsSidecar(spark: SparkSession, dataDir: String): Unit = {
+    import spark.implicits._
+    val f = fs(spark, dataDir)
+    val qualBase = f.makeQualified(new Path(dataDir)).toString
+    val files = listParquet(spark, dataDir)
+    // every column that can carry numeric footer stats — cheap to probe
+    // from one footer; an empty table simply writes an empty sidecar
+    val stats = footerStats(spark, files, allCols = true)
+    val rows: Seq[(String, String, Double, Double)] = stats.toSeq.flatMap {
+      case (file, cols) =>
+        val rel = f.makeQualified(new Path(file)).toString
+          .stripPrefix(qualBase).stripPrefix("/")
+        cols.toSeq.map { case (c, (mn, mx)) => (rel, c, mn, mx) }
+    }
+    rows.toDF("file", "col", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(statsPath(dataDir).toString)
+  }
+
+  /** Refresh the sidecar rows for `dates` only (after a [[compactDates]]
+    * partition rewrite): keep other files' rows, re-derive the touched
+    * partitions' rows from their new footers — O(touched) footer reads,
+    * never O(table).
+    */
+  private def updateStatsSidecar(spark: SparkSession, dataDir: String,
+      dates: Seq[String]): Unit = {
+    import spark.implicits._
+    val f = fs(spark, dataDir)
+    val sp = statsPath(dataDir)
+    val qualBase = f.makeQualified(new Path(dataDir)).toString
+    val touched = dates.map(d => s"date=$d/").toSet
+    val existing: Seq[(String, String, Double, Double)] =
+      if (isGenerationDir(dataDir) && f.exists(new Path(sp, "_SUCCESS")))
+        spark.read.parquet(sp.toString)
+          .as[(String, String, Double, Double)].collect().toSeq
+          .filterNot { case (rel, _, _, _) =>
+            touched.exists(rel.startsWith)
+          }
+      else Seq.empty
+    val touchedFiles = dates
+      .flatMap(d => listParquet(spark, s"$dataDir/date=$d"))
+    val fresh = footerStats(spark, touchedFiles, allCols = true)
+      .toSeq.flatMap { case (file, cols) =>
+        val rel = f.makeQualified(new Path(file)).toString
+          .stripPrefix(qualBase).stripPrefix("/")
+        cols.toSeq.map { case (c, (mn, mx)) => (rel, c, mn, mx) }
+      }
+    // brief non-visibility window during the overwrite (no _SUCCESS):
+    // concurrent readers fall back to footers, never a torn sidecar
+    (existing ++ fresh).toDF("file", "col", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(sp.toString)
+  }
 
   /** File-level data skipping from parquet footer stats — the engine-side
     * half of Delta data skipping (Delta reads min/max from its tx log; a
@@ -218,8 +337,45 @@ object TableStore {
       schema: Option[StructType] = None): PrunedRead = {
     val dataDir = resolveDataDir(spark, dir)
     val files = listParquet(spark, dataDir)
+    val f = fs(spark, dataDir)
+    val sp = statsPath(dataDir)
+    val (kept, statsSource) =
+      if (isGenerationDir(dataDir) && f.exists(new Path(sp, "_SUCCESS")))
+        try {
+          // PLAN AGAINST THE SIDECAR: one tiny parquet read; the only
+          // driver-resident state is the DROPPED-file list (and the kept
+          // list the read plan needs anyway) — never a per-file stats map,
+          // and no footer is opened on the query path.
+          import org.apache.spark.sql.functions.{col => c, lit}
+          val st = spark.read.parquet(sp.toString)
+          val dropCond = ranges.map(r =>
+            c("col") === r.name && (c("mx") < r.lo || c("mn") > r.hi))
+            .reduceOption(_ || _).getOrElse(lit(false))
+          val dropped = st.filter(dropCond).select("file").distinct()
+            .collect().iterator.map(row =>
+              f.makeQualified(new Path(dataDir, row.getString(0))).toString)
+            .toSet
+          (files.filterNot(dropped), "sidecar")
+        } catch { case scala.util.control.NonFatal(_) =>
+          // sidecar being rewritten under us — fall back to footers
+          (keptByFooters(spark, files, ranges), "footers")
+        }
+      else (keptByFooters(spark, files, ranges), "footers")
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val df =
+      if (files.isEmpty) reader.parquet(dataDir)
+      else if (kept.isEmpty)
+        reader.option("basePath", dataDir).parquet(files.head)
+          .where(org.apache.spark.sql.functions.lit(false))
+      else reader.option("basePath", dataDir).parquet(kept: _*)
+    PrunedRead(df, kept.size, files.size, statsSource)
+  }
+
+  /** The no-sidecar fallback: distributed footer pass over every file. */
+  private def keptByFooters(spark: SparkSession, files: Seq[String],
+      ranges: Seq[ColRange]): Seq[String] = {
     val stats = footerStats(spark, files, ranges.map(_.name))
-    val kept = files.filter { f =>
+    files.filter { f =>
       val fileStats = stats.getOrElse(f, Map.empty)
       ranges.forall { r =>
         fileStats.get(r.name) match {
@@ -228,24 +384,19 @@ object TableStore {
         }
       }
     }
-    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
-    val df =
-      if (files.isEmpty) reader.parquet(dataDir)
-      else if (kept.isEmpty)
-        reader.option("basePath", dataDir).parquet(files.head)
-          .where(org.apache.spark.sql.functions.lit(false))
-      else reader.option("basePath", dataDir).parquet(kept: _*)
-    PrunedRead(df, kept.size, files.size)
   }
 
   /** Per-file `col → (min, max)` over the footers of `files`, read in
     * parallel tasks (a 100 TB table's stats pass is O(files) footer reads
     * spread over the cluster — the same stats Delta materializes in its
-    * log, gathered lazily here).
+    * log; [[writeStatsSidecar]] materializes them ONCE at compact time and
+    * this pass remains only for never-compacted data). `allCols = true`
+    * records every column with usable stats (the sidecar build).
     */
   private def footerStats(spark: SparkSession, files: Seq[String],
-      cols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
-    if (files.isEmpty || cols.isEmpty) return Map.empty
+      cols: Seq[String] = Nil, allCols: Boolean = false)
+      : Map[String, Map[String, (Double, Double)]] = {
+    if (files.isEmpty || (cols.isEmpty && !allCols)) return Map.empty
     val colSet = cols.toSet
     // the SESSION's Hadoop conf must reach the tasks (S3A credentials /
     // endpoints land there via CloudStorage.configure; a bare
@@ -269,7 +420,7 @@ object TableStore {
           for (b <- r.getFooter.getBlocks.asScala;
                c <- b.getColumns.asScala) {
             val name = c.getPath.toDotString
-            if (colSet.contains(name)) {
+            if (allCols || colSet.contains(name)) {
               val st = c.getStatistics
               val range: Option[(Double, Double)] =
                 if (st == null || st.isEmpty) Some(keep) // no stats → keep file
@@ -305,19 +456,28 @@ object TableStore {
   private def listParquet(spark: SparkSession, dir: String): Seq[String] =
     listParquetStatus(spark, dir).map(_._1)
 
-  /** Recursive (path, bytes) of every parquet data file under `dir`. */
+  /** Recursive (path, bytes) of every parquet DATA file under `dir` —
+    * files inside hidden (`_`/`.`-prefixed) subdirs such as the `_stats`
+    * sidecar are metadata, not data, exactly as Spark's own file index
+    * treats them.
+    */
   private def listParquetStatus(spark: SparkSession, dir: String)
       : Seq[(String, Long)] = {
     val f = fs(spark, dir)
     val p = new Path(dir)
     if (!f.exists(p)) Seq.empty
     else {
+      val rootDepth = p.toUri.getPath.split("/").count(_.nonEmpty)
       val it = f.listFiles(p, true)
       val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
       while (it.hasNext) {
         val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
-          out += ((s.getPath.toString, s.getLen))
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+          val segs = s.getPath.toUri.getPath.split("/").filter(_.nonEmpty)
+          val hidden = segs.drop(rootDepth)
+            .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+          if (!hidden) out += ((s.getPath.toString, s.getLen))
+        }
       }
       out.toSeq
     }
@@ -344,12 +504,21 @@ object TableStore {
       schema: Option[StructType] = None,
       targetFileBytes: Long = 512L * 1024 * 1024,
       zorderBy: Seq[String] = Nil,
-      zorderBits: Int = 6): (Long, Long) = {
+      zorderBits: Int = 6,
+      staleLockMs: Long = 30L * 60 * 1000): (Long, Long) = {
     import org.apache.spark.sql.functions._
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
     val cur = currentGeneration(spark, dir)
     val srcDir = cur.map(_._2).getOrElse(dir)
     val nextN = cur.map(_._1 + 1).getOrElse(0)
+    // CAS the generation number BEFORE touching anything: an overlapping
+    // tick + manual backfill both computing g<N+1> must not interleave
+    // writes into the same directory — the loser aborts cleanly here.
+    if (!claimGeneration(fs(spark, dir), dir, nextN, staleLockMs))
+      throw new ConcurrentWriteException(
+        s"another writer holds the claim for $dir/g$nextN " +
+          "(concurrent compaction/overwrite; stale claims expire after " +
+          s"${staleLockMs}ms)")
     // Crash hygiene FIRST: a compaction attempt that died mid-write left an
     // UNCOMMITTED generation dir (no _SUCCESS). For a generational table
     // that's just dead bytes, but for a legacy flat table it is fatal:
@@ -406,7 +575,9 @@ object TableStore {
         .drop(zCol)
         .write.mode("overwrite").partitionBy("date")
         .option("partitionOverwriteMode", "static").parquet(tgt)
+      writeStatsSidecar(spark, tgt)
       vacuum(spark, dir, keepFrom = nextN - 1)
+      releaseClaim(fs(spark, dir), dir, nextN)
       return (before, listParquet(spark, tgt).size.toLong)
     }
     // Static mode regardless of session conf: the fresh generation dir
@@ -414,7 +585,9 @@ object TableStore {
     binPack(spark, df, bucketsFor)
       .write.mode("overwrite").partitionBy("date")
       .option("partitionOverwriteMode", "static").parquet(tgt)
+    writeStatsSidecar(spark, tgt)
     vacuum(spark, dir, keepFrom = nextN - 1)
+    releaseClaim(fs(spark, dir), dir, nextN)
     (before, listParquet(spark, tgt).size.toLong)
   }
 
@@ -471,11 +644,18 @@ object TableStore {
     *
     * Guarantees (weaker than the generation swap, same as [[append]] /
     * [[upsertPartitions]]): a reader listing a TOUCHED partition during
-    * the publish can see it torn; a crash between the partition deletes
-    * and renames of the publish commit can lose the touched partitions'
-    * compacted form (the staged copy is cleaned, not recovered — the data
-    * itself is re-ingestable from the landing dir per the pipeline's
-    * crash contract). Untouched partitions are never at risk.
+    * the publish can see it mid-swap. DURABILITY however matches the
+    * generation swap: the staged copy is committed (its own `_SUCCESS`)
+    * before the first destination byte is touched and retained until
+    * every partition rename has landed, so a crash anywhere inside the
+    * publish is recovered by re-publishing from stage on the next call
+    * ([[recoverStage]]) — committed curated history is never lost.
+    * Untouched partitions are never at risk.
+    *
+    * The publish itself is per-partition `delete old; rename staged in` —
+    * filesystem renames, not a second Spark write: the staged bin-packed
+    * files land EXACTLY as staged (a re-read would re-split them at
+    * `spark.sql.files.maxPartitionBytes` and undo the packing).
     *
     * A legacy flat table (no committed generation) falls back to the full
     * [[compact]] — the one-time generational migration.
@@ -494,7 +674,7 @@ object TableStore {
     // can't collide with generation dirs (GenName) or date= partitions,
     // and readers only ever resolve through currentGeneration.
     val stage = new Path(dir, "compact_stage.tmp")
-    if (f.exists(stage)) f.delete(stage, true) // crash leftover
+    recoverStage(spark, f, stage, dataDir)
     val partDirs = dates.distinct
       .map(d => new Path(dataDir, s"date=$d"))
       .filter(f.exists(_)).map(_.toString)
@@ -511,27 +691,57 @@ object TableStore {
       .view.mapValues(b =>
         math.max(1L, (b + targetFileBytes - 1) / targetFileBytes))
       .toMap
-    // DataFrameReader is MUTABLE — each read needs its own instance or the
-    // first read's basePath option leaks into the second and fails it
-    def reader() = schema.fold(spark.read)(s => spark.read.schema(s))
-    val df = reader().option("basePath", dataDir).parquet(partDirs: _*)
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val df = reader.option("basePath", dataDir).parquet(partDirs: _*)
     // stage OUTSIDE the generation dir (readers of the generation never
-    // see it), then publish with a no-shuffle dynamic overwrite — never
-    // overwrite files a running job is reading from
+    // see it); the static-mode committer writes stage/_SUCCESS LAST, which
+    // is what marks the stage publishable/recoverable
     binPack(spark, df, bucketsFor)
       .write.mode("overwrite").partitionBy("date")
       .option("partitionOverwriteMode", "static").parquet(stage.toString)
-    reader().parquet(stage.toString)
-      .write.mode("overwrite").partitionBy("date")
-      .option("partitionOverwriteMode", "dynamic").parquet(dataDir)
-    f.delete(stage, true)
-    // dynamic-overwrite commits move partition dirs but write no top-level
-    // _SUCCESS; the generation's visibility marker must survive
-    val marker = new Path(dataDir, "_SUCCESS")
-    if (!f.exists(marker)) f.create(marker).close()
+    publishStage(spark, f, stage, dataDir)
     val after = partDirs.map(p => listParquetStatus(spark, p).size.toLong).sum
     (before, after)
   }
+
+  /** Swap every staged `date=` dir into the generation via rename, keep
+    * the generation's visibility marker, refresh the sidecar for the
+    * touched dates, and only then drop the stage. Idempotent: each
+    * partition is either still in stage (publish it) or already renamed
+    * in (done) — safe to re-run after a crash at any point.
+    */
+  private def publishStage(spark: SparkSession, f: FileSystem, stage: Path,
+      dataDir: String): Unit = {
+    val staged = f.listStatus(stage)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+    staged.foreach { sd =>
+      val dst = new Path(dataDir, sd.getPath.getName)
+      if (f.exists(dst)) f.delete(dst, true)
+      require(f.rename(sd.getPath, dst),
+        s"publish rename failed: ${sd.getPath} -> $dst")
+    }
+    // dynamic-partition-style publishes write no top-level _SUCCESS; the
+    // generation's visibility marker must survive
+    val marker = new Path(dataDir, "_SUCCESS")
+    if (!f.exists(marker)) f.create(marker).close()
+    updateStatsSidecar(spark, dataDir,
+      staged.toSeq.map(s =>
+        unescapePath(s.getPath.getName.stripPrefix("date="))))
+    f.delete(stage, true)
+  }
+
+  /** Crash recovery for [[compactDates]]: a leftover COMMITTED stage
+    * (`_SUCCESS` present) still holds every partition whose rename did not
+    * land — re-publish it; an uncommitted stage is a dead half-write —
+    * drop it (the source partitions were never touched).
+    */
+  private def recoverStage(spark: SparkSession, f: FileSystem, stage: Path,
+      dataDir: String): Unit =
+    if (f.exists(stage)) {
+      if (f.exists(new Path(stage, "_SUCCESS")))
+        publishStage(spark, f, stage, dataDir)
+      else f.delete(stage, true)
+    }
 
   /** Types `xxhash64` can hash (maps are rejected by Spark's HashExpression). */
   private def hashableType(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -567,11 +777,19 @@ object TableStore {
     val f = fs(spark, dir)
     val root = new Path(dir)
     if (!f.exists(root)) return
+    val ClaimName = "^g(\\d+)\\.claim$".r
+    val StatsName = "^stats_g(\\d+)$".r
     f.listStatus(root).foreach { s =>
       if (s.isDirectory) s.getPath.getName match {
         case GenName(n) if n.toInt < keepFrom => f.delete(s.getPath, true)
+        case StatsName(n) if n.toInt < keepFrom => f.delete(s.getPath, true)
         case name if name.startsWith("date=") && keepFrom >= 0 =>
           f.delete(s.getPath, true)
+        case _ => ()
+      }
+      else s.getPath.getName match {
+        // claims of long-committed generations are garbage
+        case ClaimName(n) if n.toInt < keepFrom => f.delete(s.getPath, false)
         case _ => ()
       }
     }

@@ -182,19 +182,41 @@ object EventStream {
           } else {
             val times = rows.map(_._2.getTime).toSeq.sorted
             var open = state.getOption
+            // builder for LATE sessions: events inside the watermark but
+            // more than a gap BEFORE the open session's start belong to an
+            // earlier session of their own — merging them would rewind
+            // start_ts arbitrarily far back and inflate the session span.
+            // Only events landing within a gap of [start, last] extend the
+            // open session. Late events sessionize among themselves with
+            // the same gap rule and close at batch end (nothing after them
+            // can be within a gap: the open session starts > gap later).
+            var late: Option[OpenSession] = None
             val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            def emit(o: OpenSession): ClosedSession =
+              ClosedSession(uid, new java.sql.Timestamp(o.start_ts),
+                new java.sql.Timestamp(o.last_ts), o.n_events)
             for (t <- times) open match {
               case None => open = Some(OpenSession(uid, t, t, 1L))
+              case Some(o) if t < o.start_ts - gapMs =>
+                late match {
+                  case Some(l) if t - l.last_ts < gapMs =>
+                    late = Some(l.copy(last_ts = math.max(l.last_ts, t),
+                      n_events = l.n_events + 1))
+                  case Some(l) =>
+                    closed += emit(l)
+                    late = Some(OpenSession(uid, t, t, 1L))
+                  case None => late = Some(OpenSession(uid, t, t, 1L))
+                }
               case Some(o) if t - o.last_ts < gapMs =>
                 open = Some(o.copy(
                   start_ts = math.min(o.start_ts, t),
                   last_ts = math.max(o.last_ts, t),
                   n_events = o.n_events + 1))
               case Some(o) =>
-                closed += ClosedSession(uid, new java.sql.Timestamp(o.start_ts),
-                  new java.sql.Timestamp(o.last_ts), o.n_events)
+                closed += emit(o)
                 open = Some(OpenSession(uid, t, t, 1L))
             }
+            late.foreach(l => closed += emit(l))
             open.foreach { o =>
               state.update(o)
               // must stay above the current watermark or Spark rejects it

@@ -98,6 +98,14 @@ class ExtractSpec extends AnyFunSuite with SparkFixture {
     assert(Extract.forks(raw).count() === 1)
   }
 
+  test("watch with JSON-null action is KEPT (same policy as null comment)") {
+    val nullAction =
+      """{"type":"WatchEvent","actor":{"login":"nil"},"repo":{"name":"r"},"created_at":"2024-02-29T01:10:00Z","payload":{"action":null}}"""
+    val w = Extract.watches(Extract.parseRaw(lines(Fixture.all :+ nullAction)))
+    assert(w.filter($"username" === "nil").count() === 1)
+    assert(w.filter($"username" === "nil").head().getAs[String]("action") == null)
+  }
+
   test("garbage timestamp drops the row, not the batch (P4 under ANSI mode)") {
     val c = Extract.commits(raw)
     // the batch survived (other rows intact) and only tsbad is gone

@@ -180,4 +180,132 @@ class TableStoreSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Option[Double], String)].collect().toSeq
     assert(after === back)
   }
+
+  test("concurrent generation writers: the second claimant loses CLEANLY") {
+    val dir = tmpDir() + "/race"
+    (1 to 3).foreach(k =>
+      TableStore.append(mkBatch("2024-01-01", k * 10 until k * 10 + 5), dir))
+    // writer A holds the claim on the next generation (g0: never compacted)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(dir, "g1.claim"), false).close()
+    val rows = TableStore.read(spark, dir).count()
+    // writer B (this thread) must abort before touching ANY file
+    intercept[TableStore.ConcurrentWriteException] {
+      TableStore.compact(spark, dir)
+    }
+    // store untorn: same generation, same rows, no g1 debris
+    assert(TableStore.read(spark, dir).count() === rows)
+    assert(TableStore.generations(spark, dir) === Seq(0))
+    // A crashed without committing: after the staleness window the claim
+    // is reclaimable and compaction proceeds
+    f.delete(new org.apache.hadoop.fs.Path(dir, "g1.claim"), false)
+    val (before, after) = TableStore.compact(spark, dir)
+    assert(before > after && TableStore.read(spark, dir).count() === rows)
+    // ... and the successful writer released its own claim
+    assert(!f.exists(new org.apache.hadoop.fs.Path(dir, "g1.claim")))
+  }
+
+  test("stale claims expire: a crashed writer blocks only until the timeout") {
+    val dir = tmpDir() + "/stale"
+    TableStore.append(mkBatch("2024-01-01", 0 until 10), dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(dir, "g1.claim"), false).close()
+    Thread.sleep(30)
+    // with a tiny staleness window the leftover claim is reclaimed
+    val (before, after) = TableStore.compact(spark, dir, staleLockMs = 10L)
+    assert(before >= after)
+    assert(TableStore.read(spark, dir).count() === 10)
+  }
+
+  test("compact writes a _stats sidecar and readPruned plans against it") {
+    val dir = tmpDir() + "/sc"
+    (1 to 4).foreach(k =>
+      TableStore.append(
+        (k * 100 until k * 100 + 20)
+          .map(i => (i.toLong, java.sql.Date.valueOf("2024-01-01")))
+          .toDF("id", "date"), dir))
+    // pre-compact: no sidecar -> the footer fallback carries the pruning
+    val pr0 = TableStore.readPruned(spark, dir,
+      Seq(TableStore.ColRange("id", 100, 119)))
+    assert(pr0.statsSource === "footers")
+    assert(pr0.filesKept < pr0.filesTotal)
+    val expected = pr0.df.filter($"id".between(100, 119)).count()
+    // z-order layout keeps per-file id ranges tight, so the sidecar has
+    // something to prove (hash bin-packing scatters ids across files —
+    // ZOrderSpec covers that conservative case)
+    TableStore.compact(spark, dir, zorderBy = Seq("id"),
+      targetFileBytes = 1024)
+    val pr = TableStore.readPruned(spark, dir,
+      Seq(TableStore.ColRange("id", 100, 119)))
+    assert(pr.statsSource === "sidecar")
+    assert(pr.filesKept < pr.filesTotal) // sidecar stats actually skip files
+    assert(pr.df.filter($"id".between(100, 119)).count() === expected)
+  }
+
+  test("compactDates keeps the sidecar fresh for the touched partitions") {
+    val dir = tmpDir() + "/scd"
+    def batch(day: String, ids: Range) =
+      ids.map(i => (i.toLong, java.sql.Date.valueOf(day))).toDF("id", "date")
+    TableStore.append(batch("2024-01-01", 0 until 50), dir)
+    TableStore.append(batch("2024-01-02", 1000 until 1050), dir)
+    TableStore.compact(spark, dir, targetFileBytes = 1024)
+    // new data lands in one partition; its files are NOT in the sidecar yet
+    TableStore.append(batch("2024-01-02", 2000 until 2050), dir)
+    TableStore.compactDates(spark, dir, Seq("2024-01-02"),
+      targetFileBytes = 1024)
+    val pr = TableStore.readPruned(spark, dir,
+      Seq(TableStore.ColRange("id", 2000, 2049)))
+    assert(pr.statsSource === "sidecar")
+    // pruning still sees through to the rewritten files: day-1 files skip,
+    // and the new rows are all present
+    assert(pr.filesKept < pr.filesTotal)
+    assert(pr.df.filter($"id" >= 2000).count() === 50)
+    // untouched partition rows intact
+    assert(TableStore.read(spark, dir).count() === 150)
+  }
+
+  test("compactDates publish is crash-recoverable from the retained stage") {
+    val dir = tmpDir() + "/crash"
+    def batch(day: String, ids: Range) =
+      ids.map(i => (i.toLong, java.sql.Date.valueOf(day))).toDF("id", "date")
+    TableStore.append(batch("2024-01-01", 0 until 40), dir)
+    TableStore.compact(spark, dir)
+    TableStore.append(batch("2024-01-01", 100 until 140), dir)
+    // simulate the worst crash point: stage fully committed, then the
+    // publish died AFTER deleting the old partition and BEFORE renaming
+    // the staged one in — the pre-fix path would have lost the partition
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = TableStore.resolveDataDir(spark, dir)
+    val stage = new org.apache.hadoop.fs.Path(dir, "compact_stage.tmp")
+    // build a committed stage exactly like compactDates does
+    spark.read.option("basePath", dataDir)
+      .parquet(s"$dataDir/date=2024-01-01")
+      .write.mode("overwrite").partitionBy("date")
+      .option("partitionOverwriteMode", "static").parquet(stage.toString)
+    assert(f.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")))
+    f.delete(new org.apache.hadoop.fs.Path(dataDir, "date=2024-01-01"), true)
+    // the partition is gone from the live generation... but the next
+    // maintenance call recovers it from the stage before doing new work
+    TableStore.compactDates(spark, dir, Seq("2024-01-01"))
+    assert(TableStore.read(spark, dir).count() === 80)
+    assert(!f.exists(stage)) // stage dropped only after the publish landed
+  }
+
+  test("an uncommitted stage (no _SUCCESS) is discarded, source untouched") {
+    val dir = tmpDir() + "/halfstage"
+    def batch(day: String, ids: Range) =
+      ids.map(i => (i.toLong, java.sql.Date.valueOf(day))).toDF("id", "date")
+    TableStore.append(batch("2024-01-01", 0 until 30), dir)
+    TableStore.compact(spark, dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(dir, "compact_stage.tmp")
+    f.mkdirs(new org.apache.hadoop.fs.Path(stage, "date=2024-01-01"))
+    TableStore.compactDates(spark, dir, Seq("2024-01-01"))
+    assert(TableStore.read(spark, dir).count() === 30)
+    assert(!f.exists(stage))
+  }
 }

@@ -240,6 +240,32 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("closedSessions: an in-watermark event a full gap BEFORE the open session becomes its own session, not a rewind") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.closedSessions(spark,
+      mem.toDF().select($"user_id", $"ts"))
+      .toDF().writeStream.format("memory").queryName("closedfarlate")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts("2024-02-29 01:20:00"), "a", 1),
+        Ev(ts("2024-02-29 01:22:00"), "a", 1))
+      q.processAllAvailable()
+      // 01:00 is inside the 1h watermark but 20 min before the open
+      // session's start: merging would rewind start_ts to 01:00 and
+      // report a 22-minute session that never happened
+      mem.addData(Ev(ts("2024-02-29 01:00:00"), "a", 1))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-02-29 01:40:00"), "a", 1)) // closes 01:20-22
+      q.processAllAvailable()
+      val rows = spark.table("closedfarlate")
+        .select(date_format($"session_start", "HH:mm").as("s"),
+          date_format($"session_end", "HH:mm").as("e"), $"n_events")
+        .as[(String, String, Long)].collect().toSeq.sorted
+      assert(rows === Seq(("01:00", "01:00", 1L), ("01:20", "01:22", 2L)))
+    } finally q.stop()
+  }
+
   test("userRunningStats: a late-only micro-batch never rewinds the latest-event profile") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
