@@ -45,6 +45,14 @@ object Bench {
       // queries that persist() intermediates would otherwise hand their
       // cache to the second run and min-of-two would report warm-cache time
       spark.catalog.clearCache()
+      // localCheckpoint blocks are NOT released by clearCache — they live
+      // until their RDD is garbage-collected and the ContextCleaner drops
+      // the blocks. Across 100+ queries the leaked blocks fill the unified
+      // memory pool and the later (shuffle-heavy) queries run against
+      // starved execution memory: measured 2.4 s -> 25 s for
+      // q_dedup_resolve at position ~90 of the run. An explicit GC between
+      // queries keeps each measurement independent of its predecessors.
+      System.gc()
       org.apache.spark.graft.CoreBridge.drainListenerBus(spark.sparkContext)
       val sh0 = shuffleBytes.get(); val in0 = inputBytes.get()
       val t0 = System.nanoTime()
