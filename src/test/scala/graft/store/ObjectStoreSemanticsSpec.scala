@@ -1,0 +1,154 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.ingest.GhaPipeline
+
+/** The store protocols exercised against OBJECT-STORE semantics
+  * ([[NonAtomicRenameFs]]: rename = copy-then-delete, with crash windows) —
+  * the sandbox stand-in for the reference's S3 deployment
+  * (`/root/reference/preprocess.py:30,144-147`). What these tests pin:
+  * nothing in TableStore/GhaPipeline silently assumes an atomic rename or
+  * POSIX directory, so the same code drives `s3a://` via
+  * `CloudStorage.applyS3FromEnv` without a correctness cliff.
+  */
+class ObjectStoreSemanticsSpec extends AnyFunSuite with SparkFixture {
+
+  private def mockDir(prefix: String): String = {
+    val base = Paths.get("/root/repo/target/tmp")
+    Files.createDirectories(base)
+    val d = Files.createTempDirectory(base, prefix).toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock3.impl", classOf[NonAtomicRenameFs].getName)
+    s"mock3://$d"
+  }
+
+  private def commentLine(user: String, h: Int) =
+    s"""{"type":"IssueCommentEvent","actor":{"login":"$user"},"repo":{"name":"r/x"},"created_at":"2024-02-29T0$h:30:00Z","payload":{"issue":{"number":1,"title":"t","created_at":"2024-02-29T01:00:00Z","user":{"login":"x"}},"comment":{"body":"b","author_association":"NONE"}}}"""
+
+  test("append → compact → prune → vacuum all run through non-atomic renames") {
+    NonAtomicRenameFs.reset()
+    val dir = mockDir("objstore_")
+    val tbl = s"$dir/events_t"
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 400).map(i =>
+        (i.toLong, (i % 7).toLong, (i % 100).toDouble,
+          java.sql.Date.valueOf(s"2024-03-0${i % 4 + 1}")))
+      .toDF("event_id", "user_id", "value", "date")
+    TableStore.append(df.repartition(4), tbl)
+    TableStore.append(df.repartition(4), tbl) // second batch: 800 rows total
+    assert(TableStore.read(spark, tbl).count() === 800)
+
+    val (before, after) = TableStore.compact(spark, tbl)
+    assert(before > after)
+    assert(TableStore.read(spark, tbl).count() === 800)
+    // the swap committed a fresh generation on the mock store
+    assert(TableStore.currentGeneration(spark, tbl).map(_._1) === Some(1))
+
+    // pruned read plans against the sidecar written during compact
+    val pruned = TableStore.readPruned(spark, tbl,
+      Seq(TableStore.ColRange("user_id", 2, 2)))
+    assert(pruned.statsSource === "sidecar")
+    assert(pruned.df.filter(col("user_id") === 2).count() ===
+      df.filter(col("user_id") === 2).count() * 2)
+
+    // a second compact vacuums g0; the current generation serves reads
+    TableStore.compact(spark, tbl)
+    assert(TableStore.generations(spark, tbl) === Seq(1, 2))
+    assert(TableStore.read(spark, tbl).count() === 800)
+    // sanity: the mock FS actually handled this table's traffic
+    assert(NonAtomicRenameFs.renames.get() > 0)
+  }
+
+  test("a generation visible mid-copy (no _SUCCESS yet) is never read") {
+    NonAtomicRenameFs.reset()
+    val dir = mockDir("objstore_gate_")
+    val tbl = s"$dir/t"
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 50).map(i => (i.toLong, java.sql.Date.valueOf("2024-03-01")))
+      .toDF("event_id", "date")
+    TableStore.append(df, tbl)
+    assert(TableStore.read(spark, tbl).count() === 50)
+
+    // simulate the copy phase of a non-atomic publish: g1 exists and even
+    // holds data files, but its _SUCCESS has not landed — an object-store
+    // lister WILL surface this dir to readers mid-swap
+    val local = tbl.stripPrefix("mock3://")
+    val g0 = Paths.get(local, "g0")
+    val g1 = Paths.get(local, "g1")
+    Files.createDirectories(g1)
+    val dateDir = Files.createDirectories(g1.resolve("date=2024-03-01"))
+    Files.list(g0.resolve("date=2024-03-01")).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        Files.copy(p, dateDir.resolve(p.getFileName))
+    }
+    // readers must stay on g0 — the half-copied g1 is invisible
+    assert(TableStore.currentGeneration(spark, tbl).map(_._1) === Some(0))
+    assert(TableStore.read(spark, tbl).count() === 50)
+  }
+
+  test("ingest ticks on an object store: crash windows stay exactly-once") {
+    NonAtomicRenameFs.reset()
+    val dir = mockDir("objstore_tick_")
+    val store = s"$dir/store"
+    // landing stays on the plain local FS (a separate system in production)
+    val landingBase = Paths.get("/root/repo/target/tmp")
+    val landing = Files.createTempDirectory(landingBase, "objstore_land_")
+      .toString
+    Files.write(Paths.get(s"$landing/2024-02-29-1.json"),
+      commentLine("u1", 1).getBytes)
+    val backfill = Instant.parse("2024-02-29T01:00:00Z")
+
+    // tick 1 commits hour 1 through the mock store
+    GhaPipeline.incrementalRun(spark, landing, store,
+      Instant.parse("2024-02-29T02:10:00Z"), backfill)
+    assert(TableStore.read(spark, s"$store/comment",
+      graft.schema.GhaSchemas.curated("comment")).count() === 1)
+
+    // crash window A: the hwm marker's delete-dst-then-copy-dies shape —
+    // the NEXT tick's hwm swap fails before any byte lands
+    Files.write(Paths.get(s"$landing/2024-02-29-2.json"),
+      commentLine("u2", 2).getBytes)
+    NonAtomicRenameFs.failPathContains = "_ingest_hwm"
+    NonAtomicRenameFs.failMode = "before-copy"
+    intercept[java.io.IOException] {
+      GhaPipeline.incrementalRun(spark, landing, store,
+        Instant.parse("2024-02-29T03:10:00Z"), backfill)
+    }
+    // the dead tick left its inflight marker; data for hour 2 is in but
+    // unacknowledged. The retry must roll back and re-ingest exactly once.
+    NonAtomicRenameFs.reset()
+    GhaPipeline.incrementalRun(spark, landing, store,
+      Instant.parse("2024-02-29T03:10:00Z"), backfill)
+    val spark2 = spark
+    import spark2.implicits._
+    assert(TableStore.read(spark, s"$store/comment",
+        graft.schema.GhaSchemas.curated("comment"))
+      .select("username").as[String].collect().sorted.toSeq ===
+      Seq("u1", "u2"))
+
+    // crash window B: copy landed, delete never ran (the S3 crash
+    // signature) — hwm IS visible, inflight survives; recovery must notice
+    // the batch committed and not double-ingest
+    Files.write(Paths.get(s"$landing/2024-02-29-3.json"),
+      commentLine("u3", 3).getBytes)
+    NonAtomicRenameFs.failPathContains = "_ingest_hwm"
+    NonAtomicRenameFs.failMode = "after-copy"
+    intercept[java.io.IOException] {
+      GhaPipeline.incrementalRun(spark, landing, store,
+        Instant.parse("2024-02-29T04:10:00Z"), backfill)
+    }
+    NonAtomicRenameFs.reset()
+    GhaPipeline.incrementalRun(spark, landing, store,
+      Instant.parse("2024-02-29T04:10:00Z"), backfill)
+    assert(TableStore.read(spark, s"$store/comment",
+        graft.schema.GhaSchemas.curated("comment"))
+      .select("username").as[String].collect().sorted.toSeq ===
+      Seq("u1", "u2", "u3"))
+  }
+}
