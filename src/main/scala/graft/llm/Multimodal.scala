@@ -13,9 +13,10 @@ import graft.query.Tables
   * `binary` columns with typed metadata alongside.
   *
   * Image decode/resize are REAL (`javax.imageio` ships with the JDK: PNG /
-  * JPEG / BMP — no external codec needed, headless-safe), and audio decode
-  * is REAL for RIFF/WAV PCM (pure header + sample parsing). Only video
-  * demuxing stays a clearly-marked STUB (no container parser in the JDK).
+  * JPEG / BMP — no external codec needed, headless-safe), audio decode
+  * is REAL for RIFF/WAV PCM (pure header + sample parsing), and video
+  * demux is a REAL pure-JDK ISO-BMFF box walk (stsz/stsc/stco sample
+  * tables expanded to per-frame offsets; see the `demuxMp4` scaladoc).
   * Everything Spark-side is the production shape either way: binary column
   * representation, typed feature schemas, and partition-preserving
   * iterator-to-iterator `mapPartitions` kernels (the Scala analog of
