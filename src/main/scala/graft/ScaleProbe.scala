@@ -28,6 +28,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     def time[A](name: String)(f: => A): A = {
+      // same hygiene as Bench: localCheckpoint blocks from earlier stages
+      // are only freed at GC; without this the later (bigger) stages run
+      // against starved execution memory and the probe reports memory
+      // pressure, not the operator's scaling behavior
+      System.gc()
       val t0 = System.nanoTime()
       val r = f
       println(f"$name%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
