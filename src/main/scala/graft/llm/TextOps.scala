@@ -385,6 +385,28 @@ object TextOps {
       "symbol_frac" -> round(symbolFrac, 6))
   }
 
+  /** L5/L11: top-n-gram concentration — Gopher's "fraction of occurrences
+    * claimed by the most frequent n-gram" repetition signal, the
+    * distributional complement of the gate's `dup_*_frac` distinct
+    * fractions (a doc dominated by one phrase repeated among otherwise
+    * diverse text passes a distinct-fraction test but not this one).
+    *
+    * 100 TB shape: map-only n-gram hashing ([[ngramHashes]], multiplicity
+    * preserved, strings never built), ONE shuffle keyed by
+    * (doc_id, gram-hash) — doc_id in the key means boilerplate grams can
+    * never form a hot key — then a map-side-partial per-doc max/sum.
+    * Counting by 64-bit gram hash equals counting by gram string modulo
+    * 2^-64 collisions (the chunkDedup trade, same call).
+    */
+  def topNgramFrac(df: DataFrame, n: Int = 2,
+      textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"),
+        explode(ngramHashes(col(textCol), n)).as("g"))
+      .groupBy("doc_id", "g").agg(cnt.as("c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 4)
+        .as("top_ngram_frac"))
+
   /** The gate verdict over named signals (columns or inline expressions). */
   private def keepPredicate(sig: String => Column): Column =
     sig("n_words").between(30, 100000) &&
@@ -762,6 +784,24 @@ object TextOps {
         regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
           .cast("long").as("re_tokens"))
         .orderBy("doc_id")),
+
+    // ---- L5/L11: top-bigram concentration (Gopher repetition signal) -----------
+    // The oracle rebuilds the bigrams as strings and takes the same
+    // max/total ratio; the engine counts 64-bit gram hashes (multiplicity
+    // preserved), so hash-equality also proves the hashed-count parity.
+    Q("q_top_ngram_frac", Some(
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS g
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 4)
+        |         AS top_ngram_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => topNgramFrac(Tables(s, d, "documents")).orderBy("doc_id")),
 
     // ---- L1+L5 composed: the corpus-cleaning pipeline as ONE flow ---------------
     // quality gate → exact dedup (keep min id) → per-source survivor counts:

@@ -276,4 +276,26 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(all === Seq("x x x", "x x x"))
     assert(dist === Seq("x x x"))
   }
+
+  test("topNgramFrac: mode concentration, distinct from dup-word fraction") {
+    val df = Seq(
+      (1L, "a b a b a b a b"),   // "a b" 4x, "b a" 3x of 7 -> 4/7
+      (2L, "a b c d e f g h"),   // all bigrams unique -> 1/7
+      (3L, "the cat sat on the mat near the cat sat")) // "cat sat" + "the cat" 2x of 9
+      .toDF("doc_id", "text")
+    val got = TextOps.topNgramFrac(df).orderBy("doc_id")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === math.rint(4.0 / 7 * 10000) / 10000)
+    assert(got(2L) === math.rint(1.0 / 7 * 10000) / 10000)
+    assert(got(3L) === math.rint(2.0 / 9 * 10000) / 10000)
+    // the distributional point: doc 1 has only 2 distinct words (high
+    // dup_word_frac) AND one dominating bigram; a doc of one repeated
+    // phrase among diverse filler keeps a LOW dup-word signal while this
+    // signal still fires — that's why the gate wants both
+    val phrase = (1 to 4).map(i => s"w$i").mkString(" ") // diverse words
+    val doc = Seq((9L, s"$phrase spark rocks spark rocks spark rocks"))
+      .toDF("doc_id", "text")
+    val f = TextOps.topNgramFrac(doc).as[(Long, Double)].head()._2
+    assert(f > 0.2) // "spark rocks" dominates despite many distinct words
+  }
 }
