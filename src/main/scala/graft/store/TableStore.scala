@@ -657,6 +657,18 @@ object TableStore {
     * files land EXACTLY as staged (a re-read would re-split them at
     * `spark.sql.files.maxPartitionBytes` and undo the packing).
     *
+    * READER CONTRACT: this is in-place dynamic partition overwrite, so a
+    * reader resolving file lists DURING the publish can observe a touched
+    * partition briefly absent (and one that resolved just before loses its
+    * files mid-scan) — the same window Spark's own dynamic overwrite and
+    * Hive have, and the inherent trade of an O(touched-partitions) hourly
+    * tick. Durability is never at risk (the committed stage re-publishes
+    * after any crash). Tables with concurrent readers during compaction
+    * should use [[compact]] instead: its generation swap keeps the entire
+    * superseded generation readable until the next rewrite. The ingest
+    * pipeline calls this only from within a tick, where the serve loop is
+    * the single writer and result tables are what readers consume.
+    *
     * A legacy flat table (no committed generation) falls back to the full
     * [[compact]] — the one-time generational migration.
     */
