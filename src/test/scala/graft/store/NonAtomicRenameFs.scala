@@ -73,7 +73,11 @@ object NonAtomicRenameFs {
 
   private def shouldFail(src: Path): Boolean =
     failMode.nonEmpty && failPathContains.nonEmpty &&
-      src.toString.contains(failPathContains)
+      src.toString.contains(failPathContains) &&
+      // committer-internal renames (task/job attempt promotion) share the
+      // target's path prefix; the injectable windows model crashes of the
+      // STORE protocol's own renames, not the committer's
+      !src.toString.contains("_temporary")
 
   def reset(): Unit = { failMode = ""; failPathContains = ""; renames.set(0) }
 }

@@ -92,6 +92,44 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite with SparkFixture {
     assert(TableStore.read(spark, tbl).count() === 50)
   }
 
+  test("compactDates mid-publish crash on an object store re-publishes " +
+      "from the committed stage") {
+    NonAtomicRenameFs.reset()
+    val dir = mockDir("objstore_cd_")
+    val tbl = s"$dir/t"
+    val spark2 = spark
+    import spark2.implicits._
+    def batch(off: Int) = (1 to 200).map(i =>
+        ((off + i).toLong, java.sql.Date.valueOf(s"2024-03-0${i % 2 + 1}")))
+      .toDF("event_id", "date")
+    TableStore.append(batch(0).repartition(3), tbl)
+    TableStore.compact(spark, tbl) // generational layout (g1)
+    TableStore.append(batch(1000).repartition(3), tbl) // small files again
+    val filesBefore = TableStore.dataFiles(spark, tbl).size
+
+    // the publish's first partition rename dies AFTER the copy landed —
+    // the S3 crash signature: dst complete, staged source never deleted
+    NonAtomicRenameFs.failPathContains = "compact_stage.tmp"
+    NonAtomicRenameFs.failMode = "after-copy"
+    intercept[IllegalArgumentException] {
+      TableStore.compactDates(spark, tbl, Seq("2024-03-01", "2024-03-02"))
+    }
+    NonAtomicRenameFs.reset()
+    // rows are never lost in between: the generation keeps its _SUCCESS
+    assert(TableStore.read(spark, tbl).count() === 400)
+
+    // the retry finds the committed stage and finishes the publish
+    TableStore.compactDates(spark, tbl, Seq("2024-03-01", "2024-03-02"))
+    assert(TableStore.read(spark, tbl).count() === 400)
+    assert(TableStore.read(spark, tbl).select("event_id").distinct().count()
+      === 400)
+    val filesAfter = TableStore.dataFiles(spark, tbl).size
+    assert(filesAfter < filesBefore) // bin-pack actually landed
+    // the stage is gone — nothing left to double-publish
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      tbl.stripPrefix("mock3://"), "compact_stage.tmp")))
+  }
+
   test("ingest ticks on an object store: crash windows stay exactly-once") {
     NonAtomicRenameFs.reset()
     val dir = mockDir("objstore_tick_")
