@@ -298,26 +298,37 @@ object TableStore {
     val sp = statsPath(dataDir)
     val qualBase = f.makeQualified(new Path(dataDir)).toString
     val touched = dates.map(d => s"date=$d/").toSet
-    val existing: Seq[(String, String, Double, Double)] =
+    import org.apache.spark.sql.functions.{col => c}
+    // kept rows stay DISTRIBUTED: the sidecar is O(files x cols) — at 10^6
+    // files that's a driver-memory hazard as a collect. localCheckpoint
+    // materializes the filtered rows to executor storage, which is also
+    // what makes overwriting the path we just read from legal.
+    val existing: DataFrame =
       if (isGenerationDir(dataDir) && f.exists(new Path(sp, "_SUCCESS")))
         spark.read.parquet(sp.toString)
-          .as[(String, String, Double, Double)].collect().toSeq
-          .filterNot { case (rel, _, _, _) =>
-            touched.exists(rel.startsWith)
-          }
-      else Seq.empty
+          .filter(!touched.map(p => c("file").startsWith(p))
+            .reduce(_ || _))
+          .localCheckpoint()
+      else {
+        import spark.implicits._
+        Seq.empty[(String, String, Double, Double)]
+          .toDF("file", "col", "mn", "mx")
+      }
     val touchedFiles = dates
       .flatMap(d => listParquet(spark, s"$dataDir/date=$d"))
     val fresh = footerStats(spark, touchedFiles, allCols = true)
       .toSeq.flatMap { case (file, cols) =>
         val rel = f.makeQualified(new Path(file)).toString
           .stripPrefix(qualBase).stripPrefix("/")
-        cols.toSeq.map { case (c, (mn, mx)) => (rel, c, mn, mx) }
+        cols.toSeq.map { case (col, (mn, mx)) => (rel, col, mn, mx) }
       }
     // brief non-visibility window during the overwrite (no _SUCCESS):
     // concurrent readers fall back to footers, never a torn sidecar
-    (existing ++ fresh).toDF("file", "col", "mn", "mx")
-      .coalesce(1).write.mode("overwrite").parquet(sp.toString)
+    locally {
+      import spark.implicits._
+      existing.unionByName(fresh.toDF("file", "col", "mn", "mx"))
+        .coalesce(1).write.mode("overwrite").parquet(sp.toString)
+    }
   }
 
   /** File-level data skipping from parquet footer stats — the engine-side
