@@ -274,15 +274,15 @@ object TableStore {
     val qualBase = f.makeQualified(new Path(dataDir)).toString
     val files = listParquet(spark, dataDir)
     // every column that can carry numeric footer stats — cheap to probe
-    // from one footer; an empty table simply writes an empty sidecar
-    val stats = footerStats(spark, files, allCols = true)
-    val rows: Seq[(String, String, Double, Double)] = stats.toSeq.flatMap {
-      case (file, cols) =>
-        val rel = f.makeQualified(new Path(file)).toString
-          .stripPrefix(qualBase).stripPrefix("/")
-        cols.toSeq.map { case (c, (mn, mx)) => (rel, c, mn, mx) }
-    }
-    rows.toDF("file", "col", "mn", "mx")
+    // from one footer; an empty table simply writes an empty sidecar.
+    // The stats rows flow executor-side from footer read to sidecar write
+    // (footerStatsDf) — no O(files) driver materialization at any scale.
+    val rows =
+      if (files.isEmpty)
+        Seq.empty[(String, String, Double, Double)]
+          .toDF("file", "col", "mn", "mx")
+      else footerStatsDf(spark, files, qualBase)
+    rows
       .coalesce(1).write.mode("overwrite").parquet(statsPath(dataDir).toString)
   }
 
@@ -316,19 +316,16 @@ object TableStore {
       }
     val touchedFiles = dates
       .flatMap(d => listParquet(spark, s"$dataDir/date=$d"))
-    val fresh = footerStats(spark, touchedFiles, allCols = true)
-      .toSeq.flatMap { case (file, cols) =>
-        val rel = f.makeQualified(new Path(file)).toString
-          .stripPrefix(qualBase).stripPrefix("/")
-        cols.toSeq.map { case (col, (mn, mx)) => (rel, col, mn, mx) }
-      }
+    val fresh =
+      if (touchedFiles.isEmpty) {
+        import spark.implicits._
+        Seq.empty[(String, String, Double, Double)]
+          .toDF("file", "col", "mn", "mx")
+      } else footerStatsDf(spark, touchedFiles, qualBase)
     // brief non-visibility window during the overwrite (no _SUCCESS):
     // concurrent readers fall back to footers, never a torn sidecar
-    locally {
-      import spark.implicits._
-      existing.unionByName(fresh.toDF("file", "col", "mn", "mx"))
-        .coalesce(1).write.mode("overwrite").parquet(sp.toString)
-    }
+    existing.unionByName(fresh)
+      .coalesce(1).write.mode("overwrite").parquet(sp.toString)
   }
 
   /** File-level data skipping from parquet footer stats — the engine-side
@@ -406,8 +403,33 @@ object TableStore {
     */
   private def footerStats(spark: SparkSession, files: Seq[String],
       cols: Seq[String] = Nil, allCols: Boolean = false)
-      : Map[String, Map[String, (Double, Double)]] = {
-    if (files.isEmpty || (cols.isEmpty && !allCols)) return Map.empty
+      : Map[String, Map[String, (Double, Double)]] =
+    if (files.isEmpty || (cols.isEmpty && !allCols))
+      Map.empty
+    else footerStatsRdd(spark, files, cols, allCols).collect().toMap
+
+  /** [[footerStats]] as (file, col, mn, mx) ROWS that never land on the
+    * driver — the sidecar build path ([[writeStatsSidecar]] /
+    * [[updateStatsSidecar]]): at 10^5–10^6 files the stats are executor
+    * rows flowing straight into the sidecar write. The collected-map form
+    * above remains only for [[keptByFooters]], the per-query fallback for
+    * never-compacted data.
+    */
+  private def footerStatsDf(spark: SparkSession, files: Seq[String],
+      relativeTo: String): DataFrame = {
+    import spark.implicits._
+    val base = relativeTo
+    footerStatsRdd(spark, files, Nil, allCols = true)
+      .flatMap { case (p, m) =>
+        val rel = p.stripPrefix(base).stripPrefix("/")
+        m.iterator.map { case (c, (mn, mx)) => (rel, c, mn, mx) }
+      }
+      .toDF("file", "col", "mn", "mx")
+  }
+
+  private def footerStatsRdd(spark: SparkSession, files: Seq[String],
+      cols: Seq[String], allCols: Boolean)
+      : org.apache.spark.rdd.RDD[(String, Map[String, (Double, Double)])] = {
     val colSet = cols.toSet
     // the SESSION's Hadoop conf must reach the tasks (S3A credentials /
     // endpoints land there via CloudStorage.configure; a bare
@@ -447,7 +469,6 @@ object TableStore {
           (p, m.toMap)
         } finally r.close()
       }
-      .collect().toMap
   }
 
   private def numericRange(
