@@ -355,7 +355,12 @@ object TableStore {
           // list the read plan needs anyway) — never a per-file stats map,
           // and no footer is opened on the query path.
           import org.apache.spark.sql.functions.{col => c, lit}
-          val st = spark.read.parquet(sp.toString)
+          // explicit schema: the sidecar layout is ours, so the read skips
+          // the footer-inference job — one less job on every pruned query
+          val st = spark.read.schema(
+            new StructType().add("file", "string").add("col", "string")
+              .add("mn", "double").add("mx", "double"))
+            .parquet(sp.toString)
           val dropCond = ranges.map(r =>
             c("col") === r.name && (c("mx") < r.lo || c("mn") > r.hi))
             .reduceOption(_ || _).getOrElse(lit(false))
