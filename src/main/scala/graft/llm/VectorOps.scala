@@ -856,6 +856,57 @@ object VectorOps {
           .orderBy("query_id")
       }),
 
+    // ---- L18: the STORED IVF index, same recall law through a round trip --------
+    // Build once, persist partitioned by cell, read back, query — the
+    // production build-once-query-many path under the driver gate, not
+    // just its API. The oracle is identical to q_ann_ivf's (exact top-1 +
+    // recall law): a store round trip must not cost recall (doubles
+    // survive parquet exactly; probing becomes partition pruning).
+    Q("q_ann_ivf_stored", Some(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * t.v[i]))
+        |    / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(t.v, x -> x * x)))) AS cos
+        |  FROM q, e t WHERE q.vec_id <> t.vec_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        |      FROM p)
+        |SELECT query_id, neighbor_id AS exact_top1, true AS recall_ok
+        |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin),
+      (s, d) => {
+        val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+        java.nio.file.Files.createDirectories(base)
+        val tmpRoot = java.nio.file.Files.createTempDirectory(base, "graft_ivf")
+        try {
+          val emb = Tables(s, d, "embeddings")
+          val queries = emb.filter(col("vec_id") < 10)
+          writeIvfIndex(buildIvfIndex(emb, nCells = 16, kmeansIters = 2),
+            tmpRoot.toString)
+          val stored = readIvfIndex(s, tmpRoot.toString)
+          val exact = bruteForceTopK(emb, queries, 5).localCheckpoint()
+          val approx = ivfQuery(stored, queries, 5, nProbe = 8)
+          val hits = exact.select("query_id", "neighbor_id")
+            .join(approx.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_semi")
+            .groupBy("query_id").agg(cnt.as("hits"))
+          exact.filter(col("rank") === 1)
+            .select(col("query_id"), col("neighbor_id").as("exact_top1"))
+            .join(hits, Seq("query_id"), "left")
+            .select(col("query_id"), col("exact_top1"),
+              (coalesce(col("hits"), lit(0L)) >= 4).as("recall_ok"))
+            .orderBy("query_id")
+            // materialized BEFORE the finally deletes the stored index
+            .localCheckpoint()
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
+          ()
+        }
+      }),
+
     // ---- L3: LSH-bucketed ANN, oracled via its RECALL law -----------------------
     // Same harness shape for the threshold-join form: n_exact = the true
     // neighbor count at cos >= 0.2 (DuckDB recomputes it; the nearest
