@@ -188,4 +188,22 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
       assert(ours === ref, s"k=$k")
     }
   }
+
+  test("topNgramFrac bounds: 1/(n-1) <= frac <= 1; 1 iff one bigram repeats") {
+    for ((words, i) <- samples(Gen.choose(2, 12).flatMap(n =>
+        Gen.listOfN(n, word)), 8).zipWithIndex) {
+      val df = Seq((i.toLong, words.mkString(" "))).toDF("doc_id", "text")
+      val frac = TextOps.topNgramFrac(df).as[(Long, Double)].head()._2
+      val nBi = words.length - 1
+      // the mode's share of nBi occurrences: at least 1/nBi, at most all
+      assert(frac >= math.rint(1.0 / nBi * 10000) / 10000 - 1e-9)
+      assert(frac <= 1.0)
+      val bigrams = words.sliding(2).map(_.mkString(" ")).toSeq
+      val allSame = bigrams.distinct.size == 1
+      assert((frac == 1.0) === allSame, s"words=$words")
+      // reference recomputation: exact mode share
+      val expect = bigrams.groupBy(identity).values.map(_.size).max.toDouble / nBi
+      assert(frac === math.rint(expect * 10000) / 10000, s"words=$words")
+    }
+  }
 }
