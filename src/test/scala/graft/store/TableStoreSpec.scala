@@ -27,6 +27,22 @@ class TableStoreSpec extends AnyFunSuite with SparkFixture {
     assert(back.filter($"date" === "2024-01-02").count() === 20)
   }
 
+  test("a date predicate reaches the scan as a partition filter (R2)") {
+    // SURVEY §4 R2 claims partition pruning on date is Catalyst-built-in
+    // for the store's layout — pin it: the filter must land in the scan's
+    // PartitionFilters (pruning at file listing), not as a post-scan
+    // Filter over all partitions.
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-01-01", 0 until 10), dir)
+    TableStore.append(mkBatch("2024-01-02", 10 until 30), dir)
+    val q = TableStore.read(spark, dir)
+      .filter($"date" === "2024-01-02").select("id")
+    assert(q.count() === 20)
+    val scan = q.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(scan).getOrElse("")
+    assert(pf.contains("date"), s"date not in partition filters:\n$scan")
+  }
+
   test("upsertPartitions is idempotent per partition (T4 exactly-once)") {
     val dir = tmpDir() + "/t"
     TableStore.append(mkBatch("2024-01-01", 0 until 10), dir)
