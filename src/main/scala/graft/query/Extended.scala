@@ -43,12 +43,12 @@ object Extended {
       .select(left.columns.map {
         case c if c == key || c == ts => col(c)
         case c => lit(null).cast(left.schema(c).dataType).as(c)
-      } :+ col("_rv"): _*).withColumn("_side", lit(1))
+      }.toIndexedSeq :+ col("_rv"): _*).withColumn("_side", lit(1))
     // right rows sort BEFORE left rows at equal ts: ties are inclusive
     // (left.ts >= right.ts), matching ASOF JOIN semantics.
     val w = Window.partitionBy(key).orderBy(col(ts).asc, col("_side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r.select(l.columns.map(col): _*))
+    l.unionByName(r.select(l.columns.toIndexedSeq.map(col): _*))
       .withColumn("_match", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_side") === 0 && col("_match").isNotNull)
       .withColumn("_asof", col("_match").getField("v"))

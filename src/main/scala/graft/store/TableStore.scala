@@ -653,7 +653,7 @@ object TableStore {
       .createDataFrame(bucketsFor.toSeq).toDF(dCol, nbCol))
     val hashCols = df.schema.fields
       .filter(f => hashableType(f.dataType)).map(f => df.col(f.name))
-    val rowKey = if (hashCols.isEmpty) lit(0L) else xxhash64(hashCols: _*)
+    val rowKey = if (hashCols.isEmpty) lit(0L) else xxhash64(hashCols.toIndexedSeq: _*)
     val bucketed = df
       .join(nbDf, df.col("date").cast("string") === col(dCol), "left")
       .withColumn(bCol, pmod(rowKey, coalesce(col(nbCol), lit(1L))))
