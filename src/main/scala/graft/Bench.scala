@@ -66,17 +66,21 @@ object Bench {
       (dt, shuffleBytes.get() - sh0, inputBytes.get() - in0)
     }
 
-    // best-of-2: the box is shared with the driver harness and ambient load
-    // spikes swing single runs 2-3x; min-of-two reports the query's cost,
-    // not the neighbor's. (Plan construction re-runs too — cached plans are
-    // not reused because each call rebuilds the DataFrame.) Byte counters
-    // are deterministic, so the second run's are reported (first-run
-    // footer/cache warmup can differ).
+    // best-of-N (default 2): the box is shared with the driver harness and
+    // ambient load spikes swing single runs 2-3x; min-of-N reports the
+    // query's cost, not the neighbor's. (Plan construction re-runs too —
+    // cached plans are not reused because each call rebuilds the DataFrame.)
+    // Byte counters are deterministic, so the last run's are reported
+    // (first-run footer/cache warmup can differ). SPARK_GRAFT_RUNS=3 is the
+    // solo-pinning mode BASELINE.md records.
+    val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
     def run(name: String): (Double, Long, Long) = {
       val a = runOnce(name)
       if (a._1 < 0) return a
-      val b = runOnce(name)
-      if (b._1 < 0) a else (math.min(a._1, b._1), b._2, b._3)
+      (2 to nRuns).foldLeft(a) { (best, _) =>
+        val b = runOnce(name)
+        if (b._1 < 0) best else (math.min(best._1, b._1), b._2, b._3)
+      }
     }
 
     // untimed warmup: JIT + classloading + parquet footer caches for every
@@ -87,7 +91,15 @@ object Bench {
       try graft.query.Tables(spark, sfDir, t).count()
       catch { case _: Throwable => () }
 
-    val names = SparkEntry.registry.map(_.name)
+    // SPARK_GRAFT_ONLY=a,b,c times a subset in isolation — the regression-
+    // pinning loop (memory: isolated numbers beat in-suite numbers; compare
+    // like with like)
+    val names = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty) match {
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).toSet
+        SparkEntry.registry.map(_.name).filter(want)
+      case None => SparkEntry.registry.map(_.name)
+    }
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, (v, sh, in)) =>
       f""""$k":{"sec":$v,"shuffle_mb":${sh / 1e6}%.2f,"input_mb":${in / 1e6}%.2f}"""

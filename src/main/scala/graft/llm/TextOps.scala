@@ -172,9 +172,23 @@ object TextOps {
     */
   def sourceContamination(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, nPerm: Int = 64): DataFrame = {
-    import spark.implicits._
     val (whBarrier, hs) = shingleHashesBarrier(docs, Seq("source"), 3)
     val hsDf = hs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // output is a source-pair matrix (tiny) — materialize it, then drop the
+    // per-invocation caches so long-lived sessions don't accumulate blocks
+    val out = contaminationEstimate(hsDf, nPerm).localCheckpoint()
+    hsDf.unpersist()
+    whBarrier.unpersist()
+    out
+  }
+
+  /** The estimate stage of [[sourceContamination]] over an already-built
+    * (source, hs) frame — split out so [[sourceContaminationChecked]] can
+    * share one shingle pass between the estimate and its ground truth.
+    */
+  private def contaminationEstimate(hsDf: DataFrame, nPerm: Int): DataFrame = {
+    val spark = hsDf.sparkSession
+    import spark.implicits._
     val perDoc = hsDf
       // THE signature definition (VectorOps.sigColumn) — an inline copy
       // here could drift from the signatures the dedup paths persist
@@ -185,15 +199,62 @@ object TextOps {
       .toDF("source", "sig")
     val a = perSource.select(col("source").as("src_a"), col("sig").as("sig_a"))
     val b = perSource.select(col("source").as("src_b"), col("sig").as("sig_b"))
-    // output is a source-pair matrix (tiny) — materialize it, then drop the
-    // per-invocation caches so long-lived sessions don't accumulate blocks
-    val out = a.join(b, col("src_a") < col("src_b"))
+    a.join(b, col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
         round(aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / nPerm, 4)
           .as("est_jaccard"))
+  }
+
+  /** [[sourceContamination]] WITH its ground truth, from ONE shingle pass:
+    * each source pair carries the signature estimate next to the EXACT
+    * shingle-set Jaccard and the estimator-law verdict `|est − exact| ≤ tol`.
+    *
+    * The exact side never self-joins the corpus: the distinct
+    * (source, shingle-hash) space is built by a single hash-shuffle on the
+    * shingle hash (`collect_set(source)` dedups and groups in the same
+    * exchange), and each hash then emits its own source PAIRS — bounded by
+    * |sources|²/2 per hash, independent of corpus size — which aggregate to
+    * |A∩B| per pair (the `q_ngram_jaccard` hash-intersect pattern).
+    * |A∪B| = |A|+|B|−|A∩B| from per-source hash counts off the same grouped
+    * frame. Shuffled payloads are 8-byte hashes + source names throughout;
+    * the corpus is shingled once and scanned once.
+    */
+  def sourceContaminationChecked(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, nPerm: Int = 64, tol: Double = 0.15): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (whBarrier, hs) = shingleHashesBarrier(docs, Seq("source"), 3)
+    val hsDf = hs.persist(lvl)
+    val est = contaminationEstimate(hsDf, nPerm)
+    val byHash = hsDf
+      .select(col("source"), explode(col("hs")).as("h"))
+      .groupBy("h").agg(sort_array(collect_set("source")).as("srcs"))
+      .persist(lvl)
+    val counts = byHash.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(cnt.as("n"))
+    val inter = byHash.filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> transform(" +
+          "slice(srcs, i + 2, size(srcs) - i - 1), " +
+          "y -> named_struct('src_a', x, 'src_b', y))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(cnt.as("ni"))
+    val exact = counts.as("ca").join(counts.as("cb"),
+        col("ca.source") < col("cb.source"))
+      .select(col("ca.source").as("src_a"), col("cb.source").as("src_b"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        (coalesce(col("ni"), lit(0L)).cast("double")
+          / (col("n_a") + col("n_b") - coalesce(col("ni"), lit(0L))))
+          .as("jac"))
+    val out = exact.join(est, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(col("jac"), 4).as("exact_jac"),
+        (abs(col("est_jaccard") - col("jac")) <= tol).as("est_ok"))
       .localCheckpoint()
+    byHash.unpersist()
     hsDf.unpersist()
     whBarrier.unpersist()
     out
@@ -653,32 +714,8 @@ object TextOps {
         |FROM c ca JOIN c cb ON ca.source < cb.source
         |LEFT JOIN i ON i.src_a = ca.source AND i.src_b = cb.source
         |ORDER BY src_a, src_b""".stripMargin),
-      (s, d) => {
-        val docs = Tables(s, d, "documents")
-        val est = sourceContamination(s, docs)
-        val perSource = shingleHashes(docs, Seq("source"), 3)
-          .select(col("source"), explode(col("hs")).as("h")).distinct()
-          .localCheckpoint()
-        val counts = perSource.groupBy("source").agg(cnt.as("n"))
-        val inter = perSource.as("a").join(perSource.as("b"),
-            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-          .agg(cnt.as("ni"))
-        val exact = counts.as("ca").join(counts.as("cb"),
-            col("ca.source") < col("cb.source"))
-          .select(col("ca.source").as("src_a"), col("cb.source").as("src_b"),
-            col("ca.n").as("n_a"), col("cb.n").as("n_b"))
-          .join(inter, Seq("src_a", "src_b"), "left")
-          .select(col("src_a"), col("src_b"),
-            (coalesce(col("ni"), lit(0L)).cast("double")
-              / (col("n_a") + col("n_b") - coalesce(col("ni"), lit(0L))))
-              .as("jac"))
-        exact.join(est, Seq("src_a", "src_b"))
-          .select(col("src_a"), col("src_b"),
-            round(col("jac"), 4).as("exact_jac"),
-            (abs(col("est_jaccard") - col("jac")) <= 0.15).as("est_ok"))
-          .orderBy("src_a", "src_b")
-      }),
+      (s, d) => sourceContaminationChecked(s, Tables(s, d, "documents"))
+        .orderBy("src_a", "src_b")),
 
     // ---- L5: document fingerprint, oracled via its LAWS -------------------------
     // The 64-bit value is engine-defined; its CONTRACT is not: equal token

@@ -293,6 +293,11 @@ object TableStore {
     */
   private def updateStatsSidecar(spark: SparkSession, dataDir: String,
       dates: Seq[String]): Unit = {
+    // empty `dates` = nothing in the generation changed (e.g. recoverStage
+    // re-publishing a stage whose every rename already landed) — the
+    // existing sidecar is already correct, and the filter below would
+    // `reduce` an empty set
+    if (dates.isEmpty) return
     import spark.implicits._
     val f = fs(spark, dataDir)
     val sp = statsPath(dataDir)
@@ -424,7 +429,13 @@ object TableStore {
       relativeTo: String): DataFrame = {
     import spark.implicits._
     val base = relativeTo
-    footerStatsRdd(spark, files, Nil, allCols = true)
+    // qualify each path against the same FS as `relativeTo` so stripPrefix
+    // always matches — an unqualified caller path would otherwise store an
+    // absolute path in the sidecar's `file` column, which no date= prefix
+    // or range filter would ever match (silent stale-row accumulation)
+    val f = fs(spark, relativeTo)
+    val qualified = files.map(p => f.makeQualified(new Path(p)).toString)
+    footerStatsRdd(spark, qualified, Nil, allCols = true)
       .flatMap { case (p, m) =>
         val rel = p.stripPrefix(base).stripPrefix("/")
         m.iterator.map { case (c, (mn, mx)) => (rel, c, mn, mx) }

@@ -130,6 +130,37 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite with SparkFixture {
       tbl.stripPrefix("mock3://"), "compact_stage.tmp")))
   }
 
+  test("a stage that fully published (all renames landed, delete pending) " +
+      "recovers as a no-op instead of wedging compaction") {
+    NonAtomicRenameFs.reset()
+    val dir = mockDir("objstore_cd2_")
+    val tbl = s"$dir/t"
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 200).map(i =>
+        (i.toLong, java.sql.Date.valueOf(s"2024-03-0${i % 2 + 1}")))
+      .toDF("event_id", "date")
+    TableStore.append(df.repartition(3), tbl)
+    TableStore.compact(spark, tbl)
+    // manufacture the LAST crash window of a compactDates publish: every
+    // partition rename landed (the stage holds no date= dirs any more) but
+    // the stage itself — _SUCCESS included — was never deleted
+    val stale = Paths.get(tbl.stripPrefix("mock3://"), "compact_stage.tmp")
+    Files.createDirectories(stale)
+    Files.createFile(stale.resolve("_SUCCESS"))
+    // the next tick's recoverStage must treat this as already-published
+    // (empty-dates sidecar refresh = no-op, not an empty-reduce crash) and
+    // then run its own compaction normally
+    TableStore.compactDates(spark, tbl, Seq("2024-03-01", "2024-03-02"))
+    assert(!Files.exists(stale))
+    assert(TableStore.read(spark, tbl).count() === 200)
+    // the sidecar survived the empty refresh: pruned reads still plan on it
+    val pruned = TableStore.readPruned(spark, tbl,
+      Seq(TableStore.ColRange("event_id", 1, 5)))
+    assert(pruned.statsSource === "sidecar")
+    assert(pruned.df.filter(col("event_id") <= 5).count() === 5)
+  }
+
   test("ingest ticks on an object store: crash windows stay exactly-once") {
     NonAtomicRenameFs.reset()
     val dir = mockDir("objstore_tick_")
