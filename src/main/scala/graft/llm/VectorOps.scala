@@ -107,6 +107,13 @@ object VectorOps {
     val sig = hsDf.select(col("doc_id"), col("hs"),
       sigColumn(col("hs"), nPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER: banding + the two verify joins branch off `sig` as independent
+    // stages AQE runs concurrently; a lazy cache lets them race and each
+    // re-runs the shingle + 64-permutation pass (see cosinePairsNative).
+    // Populate once, then the shingle stages are releasable immediately.
+    sig.count()
+    hsDf.unpersist()
+    whBarrier.unpersist()
     val bands = minhashBands(sig.select("doc_id", "sig"), nBands, rowsPerBand)
     val candidates = bucketPairs(bands, maxBucket)
     // Verify candidates. Default: signature-estimate Jaccard (fraction of
@@ -135,8 +142,6 @@ object VectorOps {
     // release the per-invocation caches (no block leak across calls)
     val out = verified.localCheckpoint()
     sig.unpersist()
-    hsDf.unpersist()
-    whBarrier.unpersist()
     out
   }
 
@@ -601,6 +606,13 @@ object VectorOps {
     * candidates verify with EXACT cosine — so precision is exact; LSH only
     * bounds recall/cost.
     *
+    * Banding is 8 bands x 8 bits: measured against 8x12/8x16/16x12 on the
+    * fixture, the per-bit projection cost outweighs the candidate savings
+    * at this corpus size (the verify dot is codegen'd and cheap). Bits per
+    * band should grow ~log2(corpus/bucket-target) as the corpus grows —
+    * more vectors need more buckets per band; `maxBucket` star-caps
+    * whatever still collides.
+    *
     * At 100 TB: per row the corpus ships (id, a few band longs) into the
     * bucket shuffle; embeddings are touched again only for candidate pairs.
     */
@@ -644,6 +656,14 @@ object VectorOps {
     val withSig = vDf
       .select(col("vec_id"), col("v"), array(sigCols: _*).as("bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER materialization before the plan branches: the banding stage and
+    // both verify joins are independent stages that AQE runs concurrently,
+    // and a lazy cache lets them race — each recomputes the parquet scan
+    // and the 64 sign projections before the first cache write lands
+    // (measured as doubled input bytes round 4). One count populates the
+    // cache once; the upstream cast barrier is then releasable immediately.
+    withSig.count()
+    vDf.unpersist()
     val bands = withSig.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         j => xxhash64(slice(col("bits"), j * bitsPerBand + 1,
@@ -661,7 +681,6 @@ object VectorOps {
     // bounded pair output — materialize, then release per-invocation caches
     val out = verified.localCheckpoint()
     withSig.unpersist()
-    vDf.unpersist()
     out
   }
 
