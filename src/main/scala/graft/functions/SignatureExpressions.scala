@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native MinHash signature: `nPerm` derived-permutation minima of a 64-bit
+  * shingle-hash array, in ONE codegen'd pass.
+  *
+  * Value-compatible by construction with the HOF definition it replaces
+  * (`transform(sequence(0, nPerm-1), i => array_min(transform(hs, h =>
+  * xxhash64(h, i))))` — the drift guard test in SignatureExpressionsSpec
+  * pins equality): Spark's `xxhash64(h, i)` chains `XXH64.hashLong(h, 42)`
+  * then `XXH64.hashInt(i, ·)` (the sequence index is an int), and
+  * `array_min` compares signed longs. Signature VALUES are stored dedup
+  * state (`minhashSignatures` tables), so the native form must reproduce
+  * them exactly — and does, by calling the same public `XXH64` kernels.
+  *
+  * Why native instead of the HOF chain: higher-order functions don't
+  * participate in whole-stage codegen — per row the HOF walks 3 nested
+  * interpreted lambdas and allocates nPerm intermediate arrays, and the
+  * expression TREE (64 array_min subtrees after CollapseProject) is what
+  * made Janino compilation a measured multi-second cost per invocation.
+  * This form is one tree node, one tiny generated loop, zero allocation
+  * beyond the output, and hoists `hashLong(h, 42)` out of the permutation
+  * loop (the HOF recomputes it per (h, i)).
+  *
+  * Null semantics, matching the HOF: null array → null; a null ELEMENT
+  * contributes `hashInt(i, 42)` (Spark hash functions leave the seed
+  * unchanged on null children); an EMPTY array yields all-null components
+  * (`array_min` of nothing is null).
+  */
+case class MinHashSig(child: Expression, nPerm: Int) extends UnaryExpression {
+  require(nPerm > 0, s"nPerm must be positive, got $nPerm")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    if (m == 0) return new GenericArrayData(new Array[Any](nPerm))
+    val mins = Array.fill(nPerm)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val base =
+        if (hs.isNullAt(i)) 42L else XXH64.hashLong(hs.getLong(i), 42L)
+      var p = 0
+      while (p < nPerm) {
+        val h = XXH64.hashInt(p, base)
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val m = ctx.freshName("m")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val base = ctx.freshName("base")
+      val h = ctx.freshName("h")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int $m = $hs.numElements();
+         |if ($m == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new Object[$nPerm]);
+         |} else {
+         |  long[] $mins = new long[$nPerm];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $base = $hs.isNullAt($i)
+         |      ? 42L : $xxh.hashLong($hs.getLong($i), 42L);
+         |    for (int $p = 0; $p < $nPerm; $p++) {
+         |      long $h = $xxh.hashInt($p, $base);
+         |      if ($h < $mins[$p]) $mins[$p] = $h;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native signed-random-projection band keys for cosine LSH: project an
+  * `array<double>` vector onto `nBands * bitsPerBand` deterministic
+  * hyperplanes, take sign bits, and pack each band's bits into one long —
+  * the per-band bucket key, ready for `posexplode` (position = band index).
+  *
+  * Replaces a 64-subtree plan (one `when(dot(v, plane_j) >= 0, ...)` per
+  * bit, then slice+hash per band) whose Janino + JIT warm-up dominated the
+  * query's wall time at bench scale. Bucket MEMBERSHIP is unchanged: bit j
+  * is the same `dot(v, plane_j) >= 0` over the same SplitMix64-derived
+  * planes with the same sequential summation order, and two vectors share a
+  * band bucket iff their band bits are identical — packed bits are an
+  * injective band key where the old form used a hash of the bit array.
+  *
+  * Planes are derived from (band, bit, component) indices alone — nothing
+  * to broadcast, each executor re-derives them once per task-set from three
+  * ints ([[SignBandKeys.planeComponent]]).
+  *
+  * At 100 TB: the corpus ships (id, nBands longs) into the bucket shuffle;
+  * this expression is the only thing that touches every vector, and it is
+  * a single codegen'd loop per row.
+  */
+case class SignBandKeys(child: Expression, nBands: Int, bitsPerBand: Int,
+    dim: Int) extends UnaryExpression {
+  require(nBands > 0 && bitsPerBand > 0 && bitsPerBand <= 63,
+    s"need nBands > 0 and 0 < bitsPerBand <= 63, got ($nBands, $bitsPerBand)")
+  require(dim > 0, s"dim must be positive, got $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sign_band_keys"
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(nBands * bitsPerBand, dim)(SignBandKeys.planeComponent)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val keys = new Array[Long](nBands)
+    val nBits = nBands * bitsPerBand
+    var j = 0
+    while (j < nBits) {
+      val p = planes(j)
+      val n = math.min(v.numElements(), p.length)
+      var s = 0.0
+      var k = 0
+      while (k < n) { s += v.getDouble(k) * p(k); k += 1 }
+      if (s >= 0) keys(j / bitsPerBand) |= 1L << (j % bitsPerBand)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val keys = ctx.freshName("keys")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      s"""
+         |long[] $keys = new long[$nBands];
+         |for (int $j = 0; $j < ${nBands * bitsPerBand}; $j++) {
+         |  double[] $p = $planesRef[$j];
+         |  int $n = java.lang.Math.min($v.numElements(), $p.length);
+         |  double $s = 0.0;
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    $s += $v.getDouble($k) * $p[$k];
+         |  }
+         |  if ($s >= 0) $keys[$j / $bitsPerBand] |= 1L << ($j % $bitsPerBand);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignBandKeys {
+  /** Deterministic hyperplane component (j, k) in [-1, 1]: the public
+    * SplitMix64 finalizer over the packed indices — no RNG state, identical
+    * on every executor and every JVM.
+    */
+  def planeComponent(j: Int, k: Int): Double = {
+    var z = ((j.toLong << 32) | (k.toLong & 0xffffffffL)) +
+      0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue
+  }
+}

@@ -78,6 +78,16 @@ object GraftFunctions {
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Codegen'd MinHash signature (see [[MinHashSig]]). */
+  def minhashSigNative(hs: Column, nPerm: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), nPerm))
+
+  /** Codegen'd sign-LSH band keys (see [[SignBandKeys]]). */
+  def signBandKeys(v: Column, nBands: Int, bitsPerBand: Int,
+      dim: Int): Column =
+    ColumnBridge.column(
+      SignBandKeys(ColumnBridge.expression(v), nBands, bitsPerBand, dim))
+
   /** Register `graft_dot` for SQL use on an existing session (works on any
     * session, no extensions needed at build time).
     */

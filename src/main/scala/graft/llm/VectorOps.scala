@@ -189,10 +189,15 @@ object VectorOps {
     * array — THE signature definition: [[minhashPairsNative]] and
     * [[minhashSignatures]] both build from this one expression, so stored
     * signature state can never drift from the self-join path.
+    *
+    * Native codegen'd single pass ([[graft.functions.MinHashSig]]);
+    * value-identical to the HOF form `transform(sequence(0, nPerm-1), i =>
+    * array_min(transform(hs, h => xxhash64(h, i))))` it replaced — the
+    * SignatureExpressionsSpec drift guard pins the equality, which is what
+    * keeps signatures stored by earlier code readable forever.
     */
   private[llm] def sigColumn(hs: Column, nPerm: Int): Column =
-    transform(sequence(lit(0), lit(nPerm - 1)),
-      i => array_min(transform(hs, h => xxhash64(h, i))))
+    graft.functions.GraftFunctions.minhashSigNative(hs, nPerm)
 
   /** Per-doc MinHash signature table — the unit of incremental near-dup
     * state, meant to be persisted via `TableStore.append` (the persist
@@ -441,19 +446,6 @@ object VectorOps {
     pairs.distinct()
   }
 
-  /** Deterministic hyperplane component (j, k) in [-1, 1]: the public
-    * SplitMix64 finalizer over the packed indices — no RNG state, identical
-    * on every executor and every JVM.
-    */
-  private def planeComponent(j: Int, k: Int): Double = {
-    var z = ((j.toLong << 32) | (k.toLong & 0xffffffffL)) +
-      0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    z.toDouble / Long.MaxValue
-  }
-
   /** Spherical-k-means training for the IVF coarse quantizer, the FAISS
     * shape: pull a bounded deterministic sample (lowest `trainSample` ids —
     * a TakeOrdered, never a full sort), run Lloyd iterations ON THE DRIVER
@@ -598,8 +590,9 @@ object VectorOps {
     * [[minhashPairsNative]].
     *
     * Hyperplanes are derived deterministically: component k of hyperplane j
-    * is `xxhash64(j, k)` scaled to [-1, 1] (no RNG state to ship; every
-    * executor computes the same planes from constants folded at planning).
+    * is a SplitMix64 finalizer over (j, k) scaled to [-1, 1] (no RNG state
+    * to ship; every executor re-derives the same planes —
+    * [[graft.functions.SignBandKeys.planeComponent]]).
     * A vector's signature bit j = sign of its dot with plane j; two vectors
     * at angle θ disagree on a bit with probability θ/π. Bits are grouped
     * into bands (AND within, OR across) for candidate generation, then
@@ -619,7 +612,6 @@ object VectorOps {
   def cosinePairsNative(corpus: DataFrame, cosThreshold: Double,
       nBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 0,
       maxBucket: Int = 0): DataFrame = {
-    val nBits = nBands * bitsPerBand
     // hyperplanes must span the full embedding width: hashing only a prefix
     // silently degrades recall (the exact-cosine verify would hide it), so
     // when the caller doesn't pass `dim`, probe one row for the true width
@@ -631,43 +623,31 @@ object VectorOps {
           lit(0.0).as("cos")).where(lit(false))
       first(0).getInt(0)
     }
-    // hyperplanes as ONE shared 2-D literal, indexed per bit. The previous
-    // form spelled every component as its own Literal node (nBits*dim =
-    // 4096 of them), and Janino compilation of that plan cost ~1 s per
-    // invocation — measured 3-7x the whole signature stage. One typedLit
-    // keeps the tree tiny while each bit stays a codegen'd native dot
-    // (the interpreted `aggregate(zip_with(...))` form allocates a zipped
-    // array per (row, plane) — cheaper to compile but worse per row, the
-    // wrong trade at corpus scale). Components come from a SplitMix64
-    // finalizer: deterministic across JVMs, uniform in [-1, 1].
-    val planeVals: Seq[Seq[Double]] =
-      (0 until nBits).map(j => (0 until d).map(k => planeComponent(j, k)))
-    val planes2d = typedLit(planeVals)
-    // barrier: float→double cast runs once per vector; the 64 sign-bit
-    // projections below then read a cached attribute instead of re-running
-    // the cast transform per bit (CollapseProject would inline it).
+    // signature + banding in ONE native expression (SignBandKeys): all
+    // nBits sign projections and the per-band bit packing happen in a
+    // single codegen'd loop per row. Three generations of this stage were
+    // measured: per-component Literal nodes (4096 of them — ~1 s of Janino
+    // per invocation), one shared typedLit with 64 native-dot subtrees
+    // (smaller but still a 64-subtree plan whose codegen + JIT warm-up
+    // dominated the query's bench time), and this form — one tree node,
+    // trivially compiled, and the fastest per row at any scale.
     val vDf = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigCols = (0 until nBits).map { j =>
-      when(dot(col("v"), element_at(planes2d, j + 1)) >= 0, 1L).otherwise(0L)
-    }
     val withSig = vDf
-      .select(col("vec_id"), col("v"), array(sigCols: _*).as("bits"))
+      .select(col("vec_id"), col("v"),
+        graft.functions.GraftFunctions
+          .signBandKeys(col("v"), nBands, bitsPerBand, d).as("keys"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // EAGER materialization before the plan branches: the banding stage and
     // both verify joins are independent stages that AQE runs concurrently,
     // and a lazy cache lets them race — each recomputes the parquet scan
-    // and the 64 sign projections before the first cache write lands
+    // and the sign projections before the first cache write lands
     // (measured as doubled input bytes round 4). One count populates the
-    // cache once; the upstream cast barrier is then releasable immediately.
+    // cache once.
     withSig.count()
-    vDf.unpersist()
-    val bands = withSig.select(col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        j => xxhash64(slice(col("bits"), j * bitsPerBand + 1,
-          lit(bitsPerBand)), j))))
+    // band key position IS the band index: (pos, key) ≡ (band_idx, band_hash)
+    val bands = withSig.select(col("vec_id"), posexplode(col("keys")))
       .toDF("vec_id", "band_idx", "band_hash")
     val candidates = bucketPairs(bands, maxBucket)
     // exact-cosine verify: three codegen'd dots per candidate pair (dot +

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+/** Pins the native signature expressions to the HOF reference forms they
+  * replaced. MinHashSig VALUE equality is load-bearing: signatures are
+  * stored dedup state, so the native expression must reproduce the
+  * original `xxhash64(h, i)` min-fold bit-for-bit or stored history
+  * becomes unreadable. SignBandKeys only needs bucket-membership parity
+  * (same sign bits), pinned against the `when(dot >= 0)` reference.
+  */
+class SignatureExpressionsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("MinHashSig matches the HOF xxhash64 min-fold bit-for-bit") {
+    val df = Seq(
+      (1L, Seq(7L, -3L, 42L, Long.MaxValue, Long.MinValue)),
+      (2L, Seq(0L)),
+      (3L, Seq(123456789L, 987654321L, -1L))
+    ).toDF("id", "hs")
+    val nPerm = 64
+    val hof = transform(sequence(lit(0), lit(nPerm - 1)),
+      i => array_min(transform(col("hs"), h => xxhash64(h, i))))
+    val rows = df.select(
+      GraftFunctions.minhashSigNative(col("hs"), nPerm).as("native"),
+      hof.as("ref"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (n, r) => assert(n === r) }
+  }
+
+  test("MinHashSig null semantics match the HOF: null -> null, empty -> all-null components") {
+    val df = Seq(
+      (1L, Some(Seq.empty[Long])),
+      (2L, None: Option[Seq[Long]])
+    ).toDF("id", "hs")
+    val got = df.select(col("id"),
+      GraftFunctions.minhashSigNative(col("hs"), 4).as("sig"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+      .toMap
+    assert(got(2L) == null)
+    assert(got(1L) === Seq(null, null, null, null))
+  }
+
+  test("SignBandKeys bits match the when(dot >= 0) reference and pack per band") {
+    val dim = 8
+    val nBands = 4
+    val bpb = 6
+    val df = Seq(
+      (1L, (0 until dim).map(i => math.sin(i * 1.7) * 3)),
+      (2L, (0 until dim).map(i => -1.0 + 0.3 * i)),
+      (3L, Seq.fill(dim)(0.0))
+    ).toDF("id", "v")
+    val planes = (0 until nBands * bpb).map(j =>
+      typedLit((0 until dim).map(k => SignBandKeys.planeComponent(j, k))))
+    val refBits = (0 until nBands * bpb).map(j =>
+      when(GraftFunctions.dotNative(col("v"), planes(j)) >= 0, 1L)
+        .otherwise(0L))
+    val rows = df.select(col("id"),
+      GraftFunctions.signBandKeys(col("v"), nBands, bpb, dim).as("keys"),
+      array(refBits: _*).as("bits"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (id, keys, bits) =>
+      assert(keys.length === nBands, s"id=$id")
+      val refKeys = (0 until nBands).map { b =>
+        (0 until bpb).foldLeft(0L)((acc, i) =>
+          acc | (bits(b * bpb + i) << i))
+      }
+      assert(keys === refKeys, s"id=$id")
+    }
+    // zero vector: dot = 0 >= 0, so every bit set
+    val zero = rows.find(_._1 == 3L).get._2
+    assert(zero === Seq.fill(nBands)((1L << bpb) - 1))
+  }
+
+  test("SignBandKeys handles vectors shorter and longer than dim (prefix fold)") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0)),           // shorter than dim=4
+      (2L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)) // longer
+    ).toDF("id", "v")
+    // must not throw; keys derived from the overlapping prefix
+    val got = df.select(
+        GraftFunctions.signBandKeys(col("v"), 2, 4, 4).as("keys"))
+      .as[Seq[Long]].collect()
+    assert(got.forall(_.length == 2))
+  }
+}
