@@ -295,11 +295,15 @@ object TextOps {
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(lvl)
     // seed with the min over the closed neighborhood — folds the first
-    // propagation round into initialization (one shuffle, no join/count)
+    // propagation round into initialization (one shuffle, no join/count).
+    // LAZY checkpoint: round 1's quiescence count is the materializing job,
+    // so the seed never pays its own scheduler round-trip (each round is
+    // latency-bound at small pair counts — the data is a few MB but an
+    // eager checkpoint + count is two jobs of AQE re-planning apiece)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min("dst").as("m"))
       .select(col("id"), least(col("id"), col("m")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -321,17 +325,22 @@ object TextOps {
           col("label"))
         .select(col("id"), col("new_label").as("label"),
           (col("new_label") < col("label")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      // the count is ALSO the checkpoint materialization (lazy mode): the
+      // labels RDD computes and snapshots to executor blocks inside this
+      // one job — halves the jobs per round vs eager-checkpoint-then-count,
+      // while keeping the lineage truncation that stops 3^rounds plan growth
       changed = next.filter(col("chg")).count()
       labels = next
       i += 1
     }
     // bounded result: one row per paired doc; per-invocation caches drop
-    // here, round states are reclaimed by the ContextCleaner
+    // here, round states are reclaimed by the ContextCleaner. The labels
+    // frame is already checkpointed (loop) so this projection is cheap to
+    // re-execute — no extra materialization job for the output itself.
     val out = labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("keep"))
-      .localCheckpoint()
     edges.unpersist()
     p.unpersist()
     out
