@@ -188,6 +188,89 @@ case class SignBandKeys(child: Expression, nBands: Int, bitsPerBand: Int,
     copy(child = newChild)
 }
 
+/** Native 64-bit SimHash over an array of token hashes: per-bit majority
+  * vote in one codegen'd loop — bit i of the result is set iff strictly
+  * more tokens have bit i set than clear.
+  *
+  * Value-compatible with the nested-HOF SQL form it replaces
+  * (`aggregate(hashes, array_repeat(0L, 64), (acc, h) -> zip_with(acc,
+  * sequence(0, 63), (a, i) -> a + if((shiftright(h, i) & 1) = 1, 1L,
+  * -1L)))` then sign-bit reassembly — the drift guard in
+  * SignatureExpressionsSpec pins equality): same per-bit ±1 counters,
+  * same strict `> 0` tie rule (a tied bit stays 0), empty array → 0L,
+  * null array → null, and a null ELEMENT votes −1 on every bit (the SQL
+  * `if` takes its else branch on a null condition).
+  *
+  * Why native: the HOF chain allocates a 64-long counter array per TOKEN
+  * (zip_with) and walks three interpreted lambdas per element — 64×T
+  * interpreted ops per row. This is one generated loop, one counter array
+  * per ROW, fully inside whole-stage codegen.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = if (hs.isNullAt(i)) 0L else hs.getLong(i)
+      val nullElem = hs.isNullAt(i)
+      var b = 0
+      while (b < 64) {
+        if (!nullElem && ((h >> b) & 1L) == 1L) counters(b) += 1
+        else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counters(b) > 0) out |= 1L << b; b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val m = ctx.freshName("m")
+      val counters = ctx.freshName("counters")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val nul = ctx.freshName("nul")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = $hs.numElements();
+         |int[] $counters = new int[64];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  boolean $nul = $hs.isNullAt($i);
+         |  long $h = $nul ? 0L : $hs.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if (!$nul && (($h >> $b) & 1L) == 1L) $counters[$b]++;
+         |    else $counters[$b]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($counters[$b] > 0) $out |= 1L << $b;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SignBandKeys {
   /** Deterministic hyperplane component (j, k) in [-1, 1]: the public
     * SplitMix64 finalizer over the packed indices — no RNG state, identical

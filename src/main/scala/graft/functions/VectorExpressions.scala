@@ -82,6 +82,10 @@ object GraftFunctions {
   def minhashSigNative(hs: Column, nPerm: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), nPerm))
 
+  /** Codegen'd 64-bit SimHash over token hashes (see [[SimHash64]]). */
+  def simhash64Native(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+
   /** Codegen'd sign-LSH band keys (see [[SignBandKeys]]). */
   def signBandKeys(v: Column, nBands: Int, bitsPerBand: Int,
       dim: Int): Column =

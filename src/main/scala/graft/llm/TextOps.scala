@@ -75,26 +75,15 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** L2 (SimHash): 64-bit SimHash over distinct tokens, computed entirely
-    * inside codegen with nested higher-order functions — per-token xxhash64,
-    * per-bit majority vote, bit reassembly. Near-dups then pair by small
-    * Hamming distance (`bit_count(a ^ b)`).
+  /** L2 (SimHash): 64-bit SimHash over distinct tokens — per-token
+    * xxhash64, then a native per-bit majority vote
+    * ([[graft.functions.SimHash64]]; value parity with the nested-HOF SQL
+    * form it replaced is pinned by SignatureExpressionsSpec). Near-dups
+    * then pair by small Hamming distance (`bit_count(a ^ b)`).
     */
-  def simhash64(textCol: String): Column = {
-    // fold token hashes into 64 per-bit counters, then reassemble the sign
-    // bits into one long. All array ops; no per-row JVM closures.
-    val tokenHashes =
-      s"transform(array_distinct(split($textCol, ' ')), w -> xxhash64(w))"
-    val counters =
-      s"""aggregate($tokenHashes, array_repeat(0L, 64),
-         |  (acc, h) -> zip_with(acc, sequence(0, 63),
-         |    (a, i) -> a + if((shiftright(h, i) & 1) = 1, 1L, -1L)))""".stripMargin
-    val assembled =
-      s"""aggregate(zip_with($counters, sequence(0, 63),
-         |  (c, i) -> if(c > 0, shiftleft(1L, i), 0L)),
-         |  0L, (a, x) -> a + x)""".stripMargin
-    expr(assembled)
-  }
+  def simhash64(textCol: String): Column =
+    graft.functions.GraftFunctions.simhash64Native(
+      transform(array_distinct(split(col(textCol), " ")), w => xxhash64(w)))
 
   /** Document fingerprint: order-sensitive 64-bit hash of the token
     * stream. Distinguishes reorderings that set-based signatures
@@ -672,7 +661,11 @@ object TextOps {
         val docs = Tables(s, d, "documents")
         val pairs = graft.llm.VectorOps.minhashPairsNative(docs, 0.5,
           exactVerify = true, maxBucket = 1000)
+        // (doc_id, 8-byte sim) — snapshotted so the corpus-wide simhash
+        // scan runs once, not once per join side (both joins below consume
+        // it); lazy: the query's single action materializes it in-job
         val sh = docs.select(col("doc_id"), simhash64("text").as("sim"))
+          .localCheckpoint(eager = false)
         pairs
           .join(sh.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
           .join(sh.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")

@@ -44,6 +44,48 @@ class SignatureExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(got(1L) === Seq(null, null, null, null))
   }
 
+  test("SimHash64 matches the nested-HOF majority-vote reference bit-for-bit") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"),
+      (3L, "solo"),
+      (4L, "")
+    ).toDF("id", "text")
+    val tokenHashes =
+      "transform(array_distinct(split(text, ' ')), w -> xxhash64(w))"
+    val counters =
+      s"""aggregate($tokenHashes, array_repeat(0L, 64),
+         |  (acc, h) -> zip_with(acc, sequence(0, 63),
+         |    (a, i) -> a + if((shiftright(h, i) & 1) = 1, 1L, -1L)))""".stripMargin
+    val ref =
+      s"""aggregate(zip_with($counters, sequence(0, 63),
+         |  (c, i) -> if(c > 0, shiftleft(1L, i), 0L)),
+         |  0L, (a, x) -> a + x)""".stripMargin
+    val rows = df.select(
+      GraftFunctions.simhash64Native(expr(tokenHashes)).as("native"),
+      expr(ref).as("ref"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, r) => assert(n === r) }
+  }
+
+  test("SimHash64 null semantics: null array -> null, empty -> 0, null element votes -1") {
+    val df = Seq(
+      (1L, Some(Seq.empty[Long])),
+      (2L, None: Option[Seq[Long]]),
+      (3L, Some(Seq[Long](-1L))),           // all bits set -> all counters +1
+      (4L, Some(Seq[Long](0L)))             // no bits set -> all counters -1
+    ).toDF("id", "hs")
+    val got = df.select(col("id"),
+      GraftFunctions.simhash64Native(col("hs")).as("sim"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L) === Some(0L))
+    assert(got(2L) === None)
+    assert(got(3L) === Some(-1L))
+    assert(got(4L) === Some(0L))
+  }
+
   test("SignBandKeys bits match the when(dot >= 0) reference and pack per band") {
     val dim = 8
     val nBands = 4
