@@ -2,32 +2,44 @@ package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata tables (TESTDATA.md) + shared
   * oracle-safe expression helpers.
   */
 object Tables {
 
-  /** Read a testdata table. `events.ts` is parquet TIMESTAMP(NANOS), which
-    * Spark only reads via `nanosAsLong` — normalized here to a micros
-    * `TimestampType` so every downstream operator sees a real timestamp.
+  /** Read a testdata table, normalizing every time column to a plain
+    * session-TZ `TimestampType` regardless of how the driver encoded it.
+    * Observed encodings across testdata drops:
+    *   - `events.ts` as parquet TIMESTAMP(NANOS): only readable with
+    *     `nanosAsLong=true`, arriving as `LongType` nanos → converted via
+    *     `timestamp_micros(ts div 1000)`;
+    *   - `timestamp[us]` with isAdjustedToUTC=false: Spark 4 infers
+    *     `TIMESTAMP_NTZ` → cast to `TimestampType` (identical wall-clock
+    *     under the UTC session TZ every entry point sets, and what all
+    *     downstream operators and the DuckDB oracle expect).
     *
-    * NOTE the flag is SESSION-wide and stays set: any later read of a
-    * nanos-timestamp parquet in the same session gets LongType instead of
-    * the default analysis error. Engine entry points (Verify/Bench/tests)
-    * set it at session build anyway — this fallback only exists for ad-hoc
-    * sessions, and scoping it around a lazy DataFrame is not safe (the
-    * conf is consulted again at execution).
+    * NOTE the nanosAsLong flag is SESSION-wide and stays set: any later
+    * read of a nanos-timestamp parquet in the same session gets LongType
+    * instead of the default analysis error. Engine entry points
+    * (Verify/Bench/tests) set it at session build anyway.
     */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    name match {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = name match {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val df = spark.read.parquet(s"$dir/events.parquet")
+        df.schema("ts").dataType match {
+          case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _ => df
+        }
       case _ => spark.read.parquet(s"$dir/$name.parquet")
     }
+    raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
+      (df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
+  }
 
   // ---- oracle-parity helpers ------------------------------------------
   // The driver hash-compares Spark output against DuckDB. Rules of the road
