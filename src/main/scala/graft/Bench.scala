@@ -73,7 +73,11 @@ object Bench {
     // Byte counters are deterministic, so the last run's are reported
     // (first-run footer/cache warmup can differ). SPARK_GRAFT_RUNS=3 is the
     // solo-pinning mode BASELINE.md records.
-    val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.trim).filter(_.nonEmpty)
+      .map(s => scala.util.Try(s.toInt).getOrElse(
+        sys.error(s"SPARK_GRAFT_RUNS must be a positive int, got '$s'")))
+      .getOrElse(2)
+    require(nRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $nRuns")
     def run(name: String): (Double, Long, Long) = {
       val a = runOnce(name)
       if (a._1 < 0) return a
@@ -96,8 +100,14 @@ object Bench {
     // like with like)
     val names = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty) match {
       case Some(csv) =>
-        val want = csv.split(",").map(_.trim).toSet
-        SparkEntry.registry.map(_.name).filter(want)
+        val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val known = SparkEntry.registry.map(_.name)
+        val unknown = want -- known.toSet
+        // a typo'd name must fail loudly — silently dropping it records a
+        // truncated (or 0-query) bench as a valid regression-pin number
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
+        known.filter(want)
       case None => SparkEntry.registry.map(_.name)
     }
     val results = names.map(n => n -> run(n))

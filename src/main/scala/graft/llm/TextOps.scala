@@ -163,11 +163,16 @@ object TextOps {
       docs: DataFrame, nPerm: Int = 64): DataFrame = {
     val (whBarrier, hs) = shingleHashesBarrier(docs, Seq("source"), 3)
     val hsDf = hs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER: the estimate's self-join branches read hsDf concurrently; a
+    // lazy cache lets them race and re-run the shingle pass per side (the
+    // minhashPairsNative lesson). Populate once; the word-hash barrier is
+    // then releasable immediately.
+    hsDf.count()
+    whBarrier.unpersist()
     // output is a source-pair matrix (tiny) — materialize it, then drop the
     // per-invocation caches so long-lived sessions don't accumulate blocks
     val out = contaminationEstimate(hsDf, nPerm).localCheckpoint()
     hsDf.unpersist()
-    whBarrier.unpersist()
     out
   }
 
@@ -186,6 +191,10 @@ object TextOps {
     val perSource = perDoc.groupByKey(_._1)
       .agg(new MinHashUnionAgg(nPerm).toColumn.name("sig"))
       .toDF("source", "sig")
+      // one row per source — snapshot it EAGERLY, or the a×b self-join
+      // below recomputes the whole 64-permutation signature pass once per
+      // join side
+      .localCheckpoint()
     val a = perSource.select(col("source").as("src_a"), col("sig").as("sig_a"))
     val b = perSource.select(col("source").as("src_b"), col("sig").as("sig_b"))
     a.join(b, col("src_a") < col("src_b"))
@@ -215,11 +224,20 @@ object TextOps {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (whBarrier, hs) = shingleHashesBarrier(docs, Seq("source"), 3)
     val hsDf = hs.persist(lvl)
+    // EAGER: the estimate branch and the byHash explode below are
+    // independent stages the single materializing action schedules
+    // concurrently; a lazy cache lets them race and each re-runs the
+    // shingle pass (the exact doubled-input regression minhashPairsNative
+    // fixed). One count populates the cache before the plan branches.
+    hsDf.count()
+    whBarrier.unpersist()
     val est = contaminationEstimate(hsDf, nPerm)
     val byHash = hsDf
       .select(col("source"), explode(col("hs")).as("h"))
       .groupBy("h").agg(sort_array(collect_set("source")).as("srcs"))
       .persist(lvl)
+    // same race shape: counts and inter both branch off byHash
+    byHash.count()
     val counts = byHash.select(explode(col("srcs")).as("source"))
       .groupBy("source").agg(cnt.as("n"))
     val inter = byHash.filter(size(col("srcs")) > 1)
@@ -245,7 +263,6 @@ object TextOps {
       .localCheckpoint()
     byHash.unpersist()
     hsDf.unpersist()
-    whBarrier.unpersist()
     out
   }
 
@@ -661,11 +678,12 @@ object TextOps {
         val docs = Tables(s, d, "documents")
         val pairs = graft.llm.VectorOps.minhashPairsNative(docs, 0.5,
           exactVerify = true, maxBucket = 1000)
-        // (doc_id, 8-byte sim) — snapshotted so the corpus-wide simhash
-        // scan runs once, not once per join side (both joins below consume
-        // it); lazy: the query's single action materializes it in-job
+        // (doc_id, 8-byte sim) — snapshotted EAGERLY so the corpus-wide
+        // simhash scan runs once: both join sides below are
+        // concurrently-ready stages of the same job, and a lazy snapshot
+        // lets each compute the scan before the first's blocks land
         val sh = docs.select(col("doc_id"), simhash64("text").as("sim"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint()
         pairs
           .join(sh.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
           .join(sh.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")

@@ -891,12 +891,7 @@ object VectorOps {
         // read: partition-pruned cell probes against the stored index (the
         // build+write round trip stays proven by the IVF store e2e test)
         val idxDir = ivfDemos.computeIfAbsent(d, _ => {
-          val base = java.nio.file.Paths.get("/root/repo/target/tmp")
-          java.nio.file.Files.createDirectories(base)
-          val t = java.nio.file.Files.createTempDirectory(base, "graft_ivf")
-          Runtime.getRuntime.addShutdownHook(new Thread(() => {
-            org.apache.commons.io.FileUtils.deleteQuietly(t.toFile); ()
-          }))
+          val t = graft.query.Pipelines.demoRoot("graft_ivf")
           writeIvfIndex(buildIvfIndex(emb, nCells = 16, kmeansIters = 2),
             t.toString)
           t.toString

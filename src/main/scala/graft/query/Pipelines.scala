@@ -27,7 +27,11 @@ object Pipelines {
   private val zorderDemos =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def demoRoot(prefix: String): java.nio.file.Path = {
+  /** Shared by every session-scoped demo store (compact/z-order here, the
+    * stored-IVF index in VectorOps): a temp dir under target/tmp, removed
+    * on JVM exit.
+    */
+  private[graft] def demoRoot(prefix: String): java.nio.file.Path = {
     val base = java.nio.file.Paths.get("/root/repo/target/tmp")
     Files.createDirectories(base)
     val d = Files.createTempDirectory(base, prefix)
