@@ -162,25 +162,22 @@ object TextOps {
   def sourceContamination(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, nPerm: Int = 64): DataFrame = {
     val (whBarrier, hs) = shingleHashesBarrier(docs, Seq("source"), 3)
-    val hsDf = hs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // EAGER: the estimate's self-join branches read hsDf concurrently; a
-    // lazy cache lets them race and re-run the shingle pass per side (the
-    // minhashPairsNative lesson). Populate once; the word-hash barrier is
-    // then releasable immediately.
-    hsDf.count()
+    // ONE shingle pass, stored before the plan branches: an eager
+    // localCheckpoint writes the blocks up front AND cuts lineage, so the
+    // estimate's self-join sides physically cannot re-run the scan (a lazy
+    // persist lets concurrently-ready branches race the cache and each
+    // recompute it — the minhashPairsNative lesson). Blocks are freed when
+    // the frame is GC'd (Bench GCs between queries).
+    val hsDf = hs.localCheckpoint()
     whBarrier.unpersist()
-    // output is a source-pair matrix (tiny) — materialize it, then drop the
-    // per-invocation caches so long-lived sessions don't accumulate blocks
-    val out = contaminationEstimate(hsDf, nPerm).localCheckpoint()
-    hsDf.unpersist()
-    out
+    contaminationEstimate(hsDf, nPerm).localCheckpoint()
   }
 
   /** The estimate stage of [[sourceContamination]] over an already-built
     * (source, hs) frame — split out so [[sourceContaminationChecked]] can
     * share one shingle pass between the estimate and its ground truth.
     */
-  private def contaminationEstimate(hsDf: DataFrame, nPerm: Int): DataFrame = {
+  private[llm] def contaminationEstimate(hsDf: DataFrame, nPerm: Int): DataFrame = {
     val spark = hsDf.sparkSession
     import spark.implicits._
     val perDoc = hsDf
@@ -188,13 +185,13 @@ object TextOps {
       // here could drift from the signatures the dedup paths persist
       .select(col("source"), VectorOps.sigColumn(col("hs"), nPerm).as("sig"))
       .as[(String, Seq[Long])]
+    // the a×b self-join references perSource twice; the expensive part
+    // (signature pass + MinHashUnionAgg partials) sits BELOW its exchange,
+    // which ReuseExchange dedups — only the tiny final agg runs per side
+    // (plan-asserted in TextOpsSpec)
     val perSource = perDoc.groupByKey(_._1)
       .agg(new MinHashUnionAgg(nPerm).toColumn.name("sig"))
       .toDF("source", "sig")
-      // one row per source — snapshot it EAGERLY, or the a×b self-join
-      // below recomputes the whole 64-permutation signature pass once per
-      // join side
-      .localCheckpoint()
     val a = perSource.select(col("source").as("src_a"), col("sig").as("sig_a"))
     val b = perSource.select(col("source").as("src_b"), col("sig").as("sig_b"))
     a.join(b, col("src_a") < col("src_b"))
@@ -221,23 +218,20 @@ object TextOps {
     */
   def sourceContaminationChecked(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, nPerm: Int = 64, tol: Double = 0.15): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (whBarrier, hs) = shingleHashesBarrier(docs, Seq("source"), 3)
-    val hsDf = hs.persist(lvl)
-    // EAGER: the estimate branch and the byHash explode below are
-    // independent stages the single materializing action schedules
-    // concurrently; a lazy cache lets them race and each re-runs the
-    // shingle pass (the exact doubled-input regression minhashPairsNative
-    // fixed). One count populates the cache before the plan branches.
-    hsDf.count()
+    // ONE shingle pass, stored before the plan branches (see
+    // [[sourceContamination]]): the estimate branch and the byHash explode
+    // are concurrently-ready stages of the single materializing action; the
+    // eager checkpoint makes re-running the scan impossible instead of
+    // merely unlikely. byHash itself branches into counts + inter, but its
+    // expensive side (explode + collect_set partials) sits below one
+    // exchange that ReuseExchange dedups.
+    val hsDf = hs.localCheckpoint()
     whBarrier.unpersist()
     val est = contaminationEstimate(hsDf, nPerm)
     val byHash = hsDf
       .select(col("source"), explode(col("hs")).as("h"))
       .groupBy("h").agg(sort_array(collect_set("source")).as("srcs"))
-      .persist(lvl)
-    // same race shape: counts and inter both branch off byHash
-    byHash.count()
     val counts = byHash.select(explode(col("srcs")).as("source"))
       .groupBy("source").agg(cnt.as("n"))
     val inter = byHash.filter(size(col("srcs")) > 1)
@@ -261,8 +255,6 @@ object TextOps {
         round(col("jac"), 4).as("exact_jac"),
         (abs(col("est_jaccard") - col("jac")) <= tol).as("est_ok"))
       .localCheckpoint()
-    byHash.unpersist()
-    hsDf.unpersist()
     out
   }
 

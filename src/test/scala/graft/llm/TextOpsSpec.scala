@@ -134,6 +134,24 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(("s2", "s3")) < 0.2)
   }
 
+  test("contamination estimate reuses the per-source signature exchange across self-join sides") {
+    val docs = Seq(
+      ("s1", "one two three four five six seven eight"),
+      ("s2", "one two three four nine ten eleven twelve"),
+      ("s3", "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("source", "text")
+    val (wh, hs) = TextOps.shingleHashesBarrier(docs, Seq("source"), 3)
+    val hsDf = hs.localCheckpoint()
+    wh.unpersist()
+    val est = TextOps.contaminationEstimate(hsDf, 64)
+    est.collect()
+    // the expensive side (64-perm signature pass + MinHashUnionAgg partials)
+    // sits below ONE hash exchange; the a×b self-join's second reference must
+    // resolve to a ReusedExchange, not a second signature pass
+    val plan = est.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
+  }
+
   test("minhash LSH finds the planted near-duplicate pair (L2 scale path)") {
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")
     val near = (1 to 48).map(i => s"tok$i").mkString(" ") + " x y"
