@@ -166,11 +166,14 @@ object TextOps {
     // localCheckpoint writes the blocks up front AND cuts lineage, so the
     // estimate's self-join sides physically cannot re-run the scan (a lazy
     // persist lets concurrently-ready branches race the cache and each
-    // recompute it — the minhashPairsNative lesson). Blocks are freed when
-    // the frame is GC'd (Bench GCs between queries).
+    // recompute it — the minhashPairsNative lesson).
     val hsDf = hs.localCheckpoint()
     whBarrier.unpersist()
-    contaminationEstimate(hsDf, nPerm).localCheckpoint()
+    val out = contaminationEstimate(hsDf, nPerm).localCheckpoint()
+    // the corpus-sized snapshot is released deterministically — long-lived
+    // sessions must not carry a checkpoint block per invocation until GC
+    org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(hsDf)
+    out
   }
 
   /** The estimate stage of [[sourceContamination]] over an already-built
@@ -255,6 +258,9 @@ object TextOps {
         round(col("jac"), 4).as("exact_jac"),
         (abs(col("est_jaccard") - col("jac")) <= tol).as("est_ok"))
       .localCheckpoint()
+    // release the corpus-sized snapshot deterministically (blocks are not
+    // freed by clearCache and otherwise live until RDD GC)
+    org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(hsDf)
     out
   }
 
@@ -329,13 +335,16 @@ object TextOps {
       // one job — halves the jobs per round vs eager-checkpoint-then-count,
       // while keeping the lineage truncation that stops 3^rounds plan growth
       changed = next.filter(col("chg")).count()
+      // next's blocks are stored and its lineage cut, so the superseded
+      // round's blocks are released deterministically (not left to GC)
+      org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(labels)
       labels = next
       i += 1
     }
     // bounded result: one row per paired doc; per-invocation caches drop
-    // here, round states are reclaimed by the ContextCleaner. The labels
-    // frame is already checkpointed (loop) so this projection is cheap to
-    // re-execute — no extra materialization job for the output itself.
+    // here. The labels frame is already checkpointed (loop) so this
+    // projection is cheap to re-execute — no extra materialization job for
+    // the output itself.
     val out = labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("keep"))

@@ -69,8 +69,6 @@ object ZOrder {
     * selectivity far below typical file counts per partition.
     */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 6): Column = {
-    require(cols.nonEmpty && bits > 0,
-      s"zvalue needs at least one column and bits > 0 (got $cols, $bits)")
     val bs = boundaries(df, cols, bits)
     interleave(cols.zip(bs).map { case (c, b) => bucketOf(col(c), b) }, bits)
   }

@@ -36,6 +36,20 @@ object ColumnBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
 
+  /** Deterministically release the storage blocks of a `localCheckpoint`'d
+    * DataFrame once every consumer has materialized. Checkpoint blocks are
+    * NOT freed by `clearCache()`; without this they live until the RDD is
+    * garbage-collected, which a long-lived session with a large driver heap
+    * may not do for hours. The checkpointed frame becomes unrecomputable —
+    * never run it again after calling this.
+    */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[CDataset[_]].queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Idempotently install a planner strategy on an already-built session
     * (the `spark.sql.extensions=graft.functions.GraftExtensions` route is
     * the cluster deployment path; this is the library-call path).
