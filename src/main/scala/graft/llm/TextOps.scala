@@ -584,6 +584,31 @@ object TextOps {
     corpus.join(evalTexts, col(textCol) === col("__eval_text"), "left_anti")
   }
 
+  /** L9+: n-gram overlap decontamination — the eval-leakage sweep training
+    * sets run before release (the GPT-3 / Llama reports both describe it):
+    * drop every corpus doc that shares ANY n-word span with an eval
+    * document. Exact-match [[decontaminate]] misses quotes and partial
+    * copies; span overlap catches them.
+    *
+    * Scale shape: both sides reduce to distinct 8-byte rolling n-gram
+    * hashes ([[ngramHashes]] — no n-gram strings are ever materialized).
+    * The eval side is small by construction and broadcasts into a semi
+    * join, so the corpus is scanned once and only contaminated doc_ids
+    * shuffle (for the distinct) — never text. Docs shorter than n words
+    * carry no n-gram and are kept (nothing to leak).
+    */
+  def decontaminateNgram(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String = "text", n: Int = 8): DataFrame = {
+    val evalGrams = broadcast(
+      evalSet.select(explode(ngramHashes(col(textCol), n)).as("__ng"))
+        .distinct())
+    val contaminated = corpus
+      .select(col("doc_id"), explode(ngramHashes(col(textCol), n)).as("__ng"))
+      .join(evalGrams, Seq("__ng"), "left_semi")
+      .select("doc_id").distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- L5+: overlapping chunking (doc → training context windows) ----------
@@ -704,6 +729,29 @@ object TextOps {
       (s, d) => {
         val docs = Tables(s, d, "documents")
         decontaminate(docs, docs.filter(col("doc_id") % 10 === 0), "text")
+          .select("doc_id").orderBy("doc_id")
+      }),
+
+    // ---- L9+: n-gram OVERLAP decontamination (eval-leakage span sweep) ----------
+    // Drops every doc sharing any 8-word span with the eval slice — the
+    // check exact-match decontamination can't do (quotes, partial copies).
+    // The oracle rebuilds the 8-gram sets as strings; the engine compares
+    // rolling 64-bit hashes — same set semantics, no materialized n-grams.
+    Q("q_decontaminate_ngram", Some(
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 7, 0)),
+        |    i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS ng
+        |  FROM documents),
+        |bad AS (
+        |  SELECT DISTINCT g.doc_id FROM g
+        |  WHERE g.ng IN (SELECT ng FROM g WHERE doc_id % 10 = 0))
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        decontaminateNgram(docs, docs.filter(col("doc_id") % 10 === 0))
           .select("doc_id").orderBy("doc_id")
       }),
 

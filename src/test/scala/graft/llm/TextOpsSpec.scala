@@ -134,6 +134,23 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(("s2", "s3")) < 0.2)
   }
 
+  test("decontaminateNgram drops span leakage that exact-match misses, keeps short docs") {
+    val evalDoc = (1 to 20).map(i => s"e$i").mkString(" ")
+    val docs = Seq(
+      (0L, evalDoc),                                       // the eval doc itself
+      (1L, "prefix words then " + (5 to 12).map(i => s"e$i").mkString(" ")), // 8-word span copied
+      (2L, (1 to 20).map(i => s"c$i").mkString(" ")),      // clean
+      (3L, "e1 e2 e3 tiny")                                // <8 words: kept
+    ).toDF("doc_id", "text")
+    val kept = TextOps.decontaminateNgram(docs, docs.filter($"doc_id" === 0L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+    // exact-match decontamination would have kept doc 1 (not byte-identical)
+    val exactKept = TextOps.decontaminate(docs, docs.filter($"doc_id" === 0L), "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactKept.contains(1L))
+  }
+
   test("contamination estimate reuses the per-source signature exchange across self-join sides") {
     val docs = Seq(
       ("s1", "one two three four five six seven eight"),
