@@ -105,6 +105,28 @@ object EventStream {
       .dropDuplicatesWithinWatermark("_text_sha")
       .drop("_text_sha")
 
+  /** [[cleanDocStream]] with the eval-leakage sweep in-line: docs sharing
+    * any n-word span with the (static, bounded) eval set never enter the
+    * corpus. The eval gram hashes are collected once (bounded by the same
+    * "eval set broadcasts" assumption the batch path makes) and compiled
+    * into an `InSet` probe — O(1) per gram, codegen'd, shipped with the
+    * task binary like a broadcast. The filter is a stateless map, adding
+    * ZERO state-store footprint on top of the digest dedup. An eval set
+    * too large for this ships through the batch path
+    * ([[graft.llm.TextOps.decontaminateNgram]]) against landed data.
+    */
+  def cleanDocStreamDecontaminated(docs: DataFrame, evalSet: DataFrame,
+      textCol: String = "text", tsCol: String = "ts",
+      lateness: String = "1 hour", n: Int = 8): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(graft.llm.TextOps.ngramHashes(col(textCol), n)).as("g"))
+      .distinct().collect().map(_.getLong(0))
+    if (evalGrams.isEmpty) cleanDocStream(docs, textCol, tsCol, lateness)
+    else cleanDocStream(docs, textCol, tsCol, lateness)
+      .filter(!exists(graft.llm.TextOps.ngramHashes(col(textCol), n),
+        g => g.isin(evalGrams.toIndexedSeq: _*)))
+  }
+
   /** Per-user running profile kept in the state store. */
   case class UserState(user_id: Long, n_events: Long, last_type: String,
       last_ts: java.sql.Timestamp)

@@ -102,6 +102,28 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("cleanDocStreamDecontaminated also drops span leakage against a static eval set") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = (1 to 20).map(i => s"e$i").mkString(" ")
+    val leaky = "intro words then " + (5 to 12).map(i => s"e$i").mkString(" ") +
+      " " + (30 to 45).map(i => s"w$i").mkString(" ")
+    val clean = (1 to 40).map(i => s"c$i").mkString(" ")
+    val evalSet = Seq(evalText).toDF("text")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.cleanDocStreamDecontaminated(df, evalSet)
+      .writeStream.format("memory").queryName("decondocs")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-02-29 01:00:00"), clean),
+        (2L, ts("2024-02-29 01:05:00"), leaky))   // shares an 8-word span
+      q.processAllAvailable()
+      assert(spark.table("decondocs").select("doc_id")
+        .as[Long].collect().toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
   test("userRunningStats accumulates per-key state across micro-batches (mapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
