@@ -1,6 +1,7 @@
 package graft.query
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.graft.ColumnBridge
 import graft.SparkFixture
 
@@ -8,40 +9,52 @@ import graft.SparkFixture
   * checkpoint blocks are NOT freed by clearCache, so per-invocation
   * snapshots (contamination shingle frames, CC round states) must drop
   * their blocks explicitly instead of waiting for driver GC.
+  *
+  * Assertions are keyed by the frames' OWN checkpoint-RDD ids where
+  * possible; the loop test diffs the global persistent set, which is safe
+  * because forked suites run sequentially (Test/fork without
+  * testForkedParallel) — flip that setting and this suite needs a lock.
   */
 class CheckpointReleaseSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
-  private def checkpointedRddIds: Set[Int] =
+  private def persistentIds: Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
+  private def checkpointRddIds(df: DataFrame): Set[Int] =
+    ColumnBridge.analyzed(df).collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+
   test("releaseLocalCheckpoint drops the snapshot's storage registration") {
-    val before = checkpointedRddIds
     val df = (1 to 1000).toDF("n").localCheckpoint()
     assert(df.count() === 1000)
-    val added = checkpointedRddIds -- before
-    assert(added.nonEmpty, "localCheckpoint should register a persistent RDD")
+    val ids = checkpointRddIds(df)
+    assert(ids.nonEmpty, "localCheckpoint should put a LogicalRDD in the plan")
+    assert(ids.subsetOf(persistentIds),
+      "an eager localCheckpoint registers its RDD as persistent")
     ColumnBridge.releaseLocalCheckpoint(df)
-    assert((checkpointedRddIds -- before).isEmpty,
+    assert(ids.intersect(persistentIds).isEmpty,
       "release must unregister the checkpoint's persistent RDD")
   }
 
   test("release is a no-op on a plain (non-checkpointed) frame") {
-    val before = checkpointedRddIds
     val df = (1 to 10).toDF("n")
+    assert(checkpointRddIds(df).isEmpty)
     ColumnBridge.releaseLocalCheckpoint(df)
     assert(df.count() === 10)
-    assert(checkpointedRddIds === before)
   }
 
-  test("dedupClusters leaves no persistent round state behind") {
-    val before = checkpointedRddIds
-    // a 12-node chain forces several pointer-doubling rounds
+  test("dedupClusters retains only the final labels snapshot") {
+    // a 12-node chain forces several pointer-doubling rounds; without the
+    // in-loop release each round would leave its own persistent RDD behind
+    val before = persistentIds
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val out = graft.llm.TextOps.dedupClusters(pairs)
     assert(out.filter($"cluster_id" === 1L).count() === 12)
-    // superseded round checkpoints are released in-loop; only the FINAL
-    // labels snapshot (referenced by the returned frame) may remain
-    assert((checkpointedRddIds -- before).size <= 1)
+    val outIds = checkpointRddIds(out)
+    assert(outIds.size === 1, "the result references exactly the final labels")
+    assert((persistentIds -- before) === outIds,
+      "superseded round states and the edge caches must all be released")
   }
 }
