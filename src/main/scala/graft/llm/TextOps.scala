@@ -609,6 +609,26 @@ object TextOps {
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** The audit view next to [[decontaminateNgram]]'s drop view: WHICH eval
+    * doc leaked into which corpus doc, and how many distinct n-word spans
+    * they share — what a release review actually reads before dropping
+    * data. Same scale shape: gram hashes only, eval side broadcast, the
+    * (doc, eval) pair aggregation is the single hash shuffle.
+    */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String = "text", n: Int = 8): DataFrame = {
+    val evalGrams = broadcast(evalSet
+      .select(col("doc_id").as("eval_id"),
+        explode(ngramHashes(col(textCol), n)).as("__ng"))
+      .distinct())
+    corpus
+      .select(col("doc_id"), explode(ngramHashes(col(textCol), n)).as("__ng"))
+      .distinct()
+      .join(evalGrams, Seq("__ng"))
+      .filter(col("doc_id") =!= col("eval_id"))
+      .groupBy("doc_id", "eval_id").agg(cnt.as("n_shared"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- L5+: overlapping chunking (doc → training context windows) ----------
@@ -753,6 +773,26 @@ object TextOps {
         val docs = Tables(s, d, "documents")
         decontaminateNgram(docs, docs.filter(col("doc_id") % 10 === 0))
           .select("doc_id").orderBy("doc_id")
+      }),
+
+    // ---- L9+: contamination AUDIT report (pair grain, shared-span counts) -------
+    // The view a release review reads before dropping data: which eval doc
+    // leaked into which corpus doc and how many distinct 8-word spans they
+    // share. The oracle rebuilds the 8-gram sets as strings and joins them.
+    Q("q_contamination_report", Some(
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text,' ')) - 7, 0)),
+        |    i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS ng
+        |  FROM documents)
+        |SELECT g.doc_id, e.doc_id AS eval_id, count(*) AS n_shared
+        |FROM g JOIN (SELECT * FROM g WHERE doc_id % 10 = 0) e
+        |  ON g.ng = e.ng AND g.doc_id <> e.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        contaminationReport(docs, docs.filter(col("doc_id") % 10 === 0))
+          .orderBy("doc_id", "eval_id")
       }),
 
     // ---- U∅/L2: cross-source contamination via composed minhash signatures ------

@@ -149,6 +149,11 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     val exactKept = TextOps.decontaminate(docs, docs.filter($"doc_id" === 0L), "text")
       .select("doc_id").as[Long].collect().toSet
     assert(exactKept.contains(1L))
+    // the audit view names the leaking pair and counts its shared spans:
+    // doc 1 embeds e5..e12 -> exactly one distinct 8-gram in common
+    val report = TextOps.contaminationReport(docs, docs.filter($"doc_id" === 0L))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(report === Set((1L, 0L, 1L)))
   }
 
   test("contamination estimate reuses the per-source signature exchange across self-join sides") {
