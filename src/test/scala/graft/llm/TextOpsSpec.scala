@@ -156,6 +156,18 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(report === Set((1L, 0L, 1L)))
   }
 
+  test("decontaminateNgram plan: eval grams broadcast into a semi-join (scale contract)") {
+    val docs = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminateNgram(docs, docs)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the gram probe must be a broadcast semi-join (the corpus side never
+    // shuffles by gram, let alone by text)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast semi-join in:\n$plan")
+  }
+
   test("contamination estimate reuses the per-source signature exchange across self-join sides") {
     val docs = Seq(
       ("s1", "one two three four five six seven eight"),
