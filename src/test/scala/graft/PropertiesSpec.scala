@@ -32,6 +32,27 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("decontaminateNgram laws: subset of corpus, idempotent, clean-corpus fixpoint (L9 law)") {
+    val longText = Gen.listOfN(12, word).map(_.mkString(" "))
+    for (texts <- samples(Gen.listOfN(10, longText), 5)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val eval = docs.filter($"doc_id" % 3 === 0)
+      // n=4 so the tiny vocabulary actually produces collisions
+      val once = TextOps.decontaminateNgram(docs, eval, n = 4)
+      val onceIds = once.select("doc_id").as[Long].collect().toSet
+      val allIds = docs.select("doc_id").as[Long].collect().toSet
+      assert(onceIds.subsetOf(allIds))
+      // idempotence: every surviving doc is span-clean, so a second sweep
+      // with the same eval set removes nothing
+      val twice = TextOps.decontaminateNgram(once, eval, n = 4)
+      assert(twice.select("doc_id").as[Long].collect().toSet === onceIds)
+      // fixpoint: an empty eval set keeps the corpus whole
+      val noEval = TextOps.decontaminateNgram(docs, docs.limit(0), n = 4)
+      assert(noEval.select("doc_id").as[Long].collect().toSet === allIds)
+    }
+  }
+
   test("dedup idempotence: f(f(x)) = f(x) (L1 law)") {
     for (texts <- samples(Gen.listOfN(12, text), 5)) {
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
