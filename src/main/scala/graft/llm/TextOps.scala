@@ -612,21 +612,39 @@ object TextOps {
   /** The audit view next to [[decontaminateNgram]]'s drop view: WHICH eval
     * doc leaked into which corpus doc, and how many distinct n-word spans
     * they share — what a release review actually reads before dropping
-    * data. Same scale shape: gram hashes only, eval side broadcast, the
-    * (doc, eval) pair aggregation is the single hash shuffle.
+    * data.
+    *
+    * Scale shape (the [[decontaminateNgram]] order): the corpus gram
+    * stream broadcast-joins the distinct eval grams FIRST — duplicates on
+    * the corpus side are harmless because the aggregate below counts
+    * DISTINCT grams — so only eval-matching grams ever reach a shuffle.
+    * Distinct-ing the corpus side before the join would be an Aggregate
+    * Catalyst cannot push the join through: a corpus-sized exchange of
+    * the full (doc, gram) stream to pre-dedup rows the broadcast filter
+    * is about to discard. The (doc, eval) pair aggregation is the single
+    * hash shuffle, bounded by contaminated rows.
+    *
+    * `excludeSelfPairs` drops rows where `doc_id == eval_id` — correct
+    * ONLY when the eval set is drawn from the corpus itself (shared id
+    * space), e.g. auditing an already-ingested eval split. For an
+    * independently-ingested eval set, ids are unrelated and a collision
+    * would silently hide a genuinely contaminated doc: pass `false`
+    * (the default) and every overlapping pair is reported.
     */
   def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
-      textCol: String = "text", n: Int = 8): DataFrame = {
+      textCol: String = "text", n: Int = 8,
+      excludeSelfPairs: Boolean = false): DataFrame = {
     val evalGrams = broadcast(evalSet
       .select(col("doc_id").as("eval_id"),
         explode(ngramHashes(col(textCol), n)).as("__ng"))
       .distinct())
-    corpus
+    val matched = corpus
       .select(col("doc_id"), explode(ngramHashes(col(textCol), n)).as("__ng"))
-      .distinct()
       .join(evalGrams, Seq("__ng"))
-      .filter(col("doc_id") =!= col("eval_id"))
-      .groupBy("doc_id", "eval_id").agg(cnt.as("n_shared"))
+    val pairs = if (excludeSelfPairs)
+      matched.filter(col("doc_id") =!= col("eval_id")) else matched
+    pairs.groupBy("doc_id", "eval_id")
+      .agg(countDistinct(col("__ng")).as("n_shared"))
   }
 
   val all: Seq[Q] = Seq(
@@ -791,7 +809,10 @@ object TextOps {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        contaminationReport(docs, docs.filter(col("doc_id") % 10 === 0))
+        // eval split drawn from the corpus itself -> shared id space, so
+        // self-pair exclusion is meaningful (matches the oracle's <>)
+        contaminationReport(docs, docs.filter(col("doc_id") % 10 === 0),
+          excludeSelfPairs = true)
           .orderBy("doc_id", "eval_id")
       }),
 

@@ -2,7 +2,7 @@ package graft.llm
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.SparkFixture
+import graft.{PlanAsserts, SparkFixture}
 
 class TextOpsSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
@@ -151,9 +151,51 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(exactKept.contains(1L))
     // the audit view names the leaking pair and counts its shared spans:
     // doc 1 embeds e5..e12 -> exactly one distinct 8-gram in common
-    val report = TextOps.contaminationReport(docs, docs.filter($"doc_id" === 0L))
+    val report = TextOps.contaminationReport(docs,
+      docs.filter($"doc_id" === 0L), excludeSelfPairs = true)
       .as[(Long, Long, Long)].collect().toSet
     assert(report === Set((1L, 0L, 1L)))
+  }
+
+  test("contaminationReport: disjoint id spaces report every pair; self-pair opt-in") {
+    val span = (5 to 12).map(i => s"e$i").mkString(" ")
+    val corpus = Seq(
+      (7L, "prefix words then " + span),          // shares a span with eval 7
+      (8L, (1 to 20).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // independently-ingested eval set: id 7 collides with corpus id 7 but
+    // names a DIFFERENT document — the pair must still be reported
+    val evalSet = Seq((7L, (1 to 20).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dflt = TextOps.contaminationReport(corpus, evalSet)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dflt === Set((7L, 7L, 1L)))
+    // opting into self-pair exclusion on colliding ids hides the pair —
+    // the documented reason it is opt-in, not the default
+    val excl = TextOps.contaminationReport(corpus, evalSet,
+      excludeSelfPairs = true).count()
+    assert(excl === 0L)
+  }
+
+  test("contaminationReport plan: no corpus-side exchange below the broadcast gram join") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (2L, (10 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.contaminationReport(docs, docs.filter($"doc_id" === 1L),
+      excludeSelfPairs = true)
+    out.collect()
+    val stripped = PlanAsserts.stripAQE(out.queryExecution.executedPlan)
+    val bhj = PlanAsserts.broadcastHashJoins(stripped)
+    assert(bhj.nonEmpty, s"gram probe must be a broadcast hash join:\n$stripped")
+    // the corpus (streamed) side must reach the join straight off the scan:
+    // a distinct/aggregate there would hash-shuffle the whole corpus gram
+    // stream before the broadcast filter discards ~all of it
+    bhj.foreach { j =>
+      val corpusSide = PlanAsserts.streamedSide(j)
+      assert(PlanAsserts.shuffles(corpusSide).isEmpty,
+        s"corpus-side exchange below the broadcast join:\n$corpusSide")
+    }
   }
 
   test("decontaminateNgram plan: eval grams broadcast into a semi-join (scale contract)") {
