@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native MinHash signature: `nPerm` derived-permutation minima of a 64-bit
   * shingle-hash array, in ONE codegen'd pass.
@@ -266,6 +268,95 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |${ev.value} = $out;
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native rolling 64-bit n-gram hashes over a space-tokenized string: one
+  * `long` per n-word window, straight off the text bytes in a single pass.
+  *
+  * Value-compatible by construction with the HOF form it replaces (the
+  * n−1-deep `zip_with` fold over `transform(split(text, " "), xxhash64)` —
+  * the drift guard in SignatureExpressionsSpec pins equality): word k's
+  * hash is `XXH64.hashUnsafeBytes` over its bytes with seed 42 (exactly
+  * Spark's `xxhash64(word)`), and the window fold is Spark's two-arg
+  * `xxhash64(acc, next)` = `hashLong(next, hashLong(acc, 42))`. Splitting
+  * scans for the 0x20 byte directly — UTF-8 multibyte sequences never
+  * contain it, and Spark's `split(text, " ")` (limit −1) keeps leading /
+  * trailing / repeated-separator empty words, as does this scan. Gram
+  * VALUES feed stored decontamination state, so bit-for-bit parity is a
+  * contract, not an optimization detail.
+  *
+  * Why native: nested-HOF arguments defeat subexpression elimination — the
+  * plan re-derives `transform(split(text))` for every one of the n−1 zips
+  * (~2(n−1) splits + hash passes per row, all interpreted, each allocating
+  * its array). This is one split scan, one word-hash array, one rolling
+  * loop, inside whole-stage codegen.
+  *
+  * Null semantics, matching the HOF: null text → null; fewer than n words
+  * → empty array (nothing to hash).
+  */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_ngram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
+    var w = 1
+    var i = 0
+    while (i < nb) {
+      if (Platform.getByte(base, off + i) == ' '.toByte) w += 1
+      i += 1
+    }
+    if (w < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val wh = new Array[Long](w)
+    var k = 0
+    var start = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || Platform.getByte(base, off + i) == ' '.toByte) {
+        wh(k) = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        k += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](w - n + 1)
+    var p = 0
+    while (p < out.length) {
+      var g = wh(p)
+      var j = 1
+      while (j < n) {
+        g = XXH64.hashLong(wh(p + j), XXH64.hashLong(g, 42L))
+        j += 1
+      }
+      out(p) = g
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // one virtual call per row into the single-pass kernel above — the win
+    // is escaping interpreted HOF dispatch, not inlining the byte scan
+    val ref = ctx.addReferenceObj("ngramHashes", this, classOf[NgramHashes].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.compute($t);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

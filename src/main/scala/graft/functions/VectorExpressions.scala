@@ -86,6 +86,10 @@ object GraftFunctions {
   def simhash64Native(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
 
+  /** Native rolling n-gram hashes off the text bytes (see [[NgramHashes]]). */
+  def ngramHashesNative(text: Column, n: Int): Column =
+    ColumnBridge.column(NgramHashes(ColumnBridge.expression(text), n))
+
   /** Codegen'd sign-LSH band keys (see [[SignBandKeys]]). */
   def signBandKeys(v: Column, nBands: Int, bitsPerBand: Int,
       dim: Int): Column =

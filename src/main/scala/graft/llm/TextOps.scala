@@ -401,17 +401,28 @@ object TextOps {
   }
 
   /** 64-bit n-gram hashes (one per occurrence, order-preserved) WITHOUT
-    * materializing n-gram strings and WITHOUT a persist barrier: the word
-    * hashes fold through n-1 shifted `zip_with`s, where every array is a
-    * zip ARGUMENT — evaluated once per row — never an expression captured
-    * inside a HOF lambda (which Spark re-evaluates per element; that
-    * re-execution trap is why [[shingleHashes]] needs its barrier).
-    * Measured ~8x cheaper than the string form on the fixture corpus.
-    * Hash-distinct equals string-distinct up to 2^-64 collisions (words
-    * cannot contain the split character, so the n-word window is
-    * injective). Rows with < n words yield an empty array.
+    * materializing n-gram strings: a native single-pass rolling hash off
+    * the text bytes ([[graft.functions.NgramHashes]]; bit-for-bit parity
+    * with [[ngramHashesHof]] is pinned in SignatureExpressionsSpec — gram
+    * values feed stored decontamination state, so the two forms must
+    * never drift). Hash-distinct equals string-distinct up to 2^-64
+    * collisions (words cannot contain the split character, so the n-word
+    * window is injective). Rows with < n words yield an empty array.
     */
-  def ngramHashes(text: Column, n: Int): Column = {
+  def ngramHashes(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.ngramHashesNative(text, n)
+
+  /** The built-in-HOF definition [[ngramHashes]] replaces, kept as the
+    * drift-guard reference: the word hashes fold through n-1 shifted
+    * `zip_with`s, where every array is a zip ARGUMENT — evaluated once per
+    * row — never an expression captured inside a HOF lambda (which Spark
+    * re-evaluates per element; that re-execution trap is why
+    * [[shingleHashes]] needs its barrier). ~8x cheaper than the string
+    * form, but still interpreted: nested-HOF arguments defeat
+    * subexpression elimination, so the plan re-derives the split + word
+    * hashing for each of the n-1 zips — the native form is one pass.
+    */
+  def ngramHashesHof(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
     val wh = transform(words(text), w => xxhash64(w))
     // after the fold, element i is hash(word i .. word i+n-1); the last

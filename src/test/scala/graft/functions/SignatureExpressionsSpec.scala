@@ -117,6 +117,37 @@ class SignatureExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(zero === Seq.fill(nBands)((1L << bpb) - 1))
   }
 
+  test("NgramHashes matches the HOF zip_with fold bit-for-bit (incl. edge shapes)") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = Vector("alpha", "beta", "gamma", "δélta", "ε", "", "x",
+      "longer-token-with-punct!", "多字节词")
+    val randomDocs = (1 to 60).map { _ =>
+      (0 until rnd.nextInt(14)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" ")
+    }
+    val edges = Seq("", " ", "  ", "a", "a b", " leading", "trailing ",
+      "double  space inside", "exactly three words",
+      (1 to 30).map(i => s"w$i").mkString(" "))
+    val df = (randomDocs ++ edges).toDF("text")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val rows = df.select(
+        graft.llm.TextOps.ngramHashes(col("text"), n).as("native"),
+        graft.llm.TextOps.ngramHashesHof(col("text"), n).as("ref"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (nat, ref) => assert(nat === ref, s"n=$n") }
+    }
+  }
+
+  test("NgramHashes null semantics match the HOF: null text -> null") {
+    val df = Seq(Some("a b c"), None).toDF("text")
+    val got = df.select(
+      graft.llm.TextOps.ngramHashes(col("text"), 2).as("native"),
+      graft.llm.TextOps.ngramHashesHof(col("text"), 2).as("ref"))
+      .collect()
+    got.foreach { r => assert(r.isNullAt(0) === r.isNullAt(1)) }
+    assert(got.count(_.isNullAt(0)) === 1)
+  }
+
   test("SignBandKeys handles vectors shorter and longer than dim (prefix fold)") {
     val df = Seq(
       (1L, Seq(1.0, 2.0)),           // shorter than dim=4
