@@ -36,7 +36,18 @@ object Tables {
         }
       case _ => spark.read.parquet(s"$dir/$name.parquet")
     }
-    raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
+    val ntzFields = raw.schema.fields.filter(_.dataType == TimestampNTZType)
+    // NTZ -> TimestampType preserves the wall-clock ONLY when the session
+    // TZ is UTC (which every engine entry point sets); in any other TZ the
+    // cast shifts the epoch under later timestamp arithmetic — fail loudly
+    // instead of returning silently skewed data to an ad-hoc session
+    if (ntzFields.nonEmpty) {
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"$name carries TIMESTAMP_NTZ columns; Tables normalizes them to " +
+          s"TimestampType assuming a UTC session, but timeZone=$tz")
+    }
+    ntzFields.foldLeft(raw) {
       (df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType))
     }
   }

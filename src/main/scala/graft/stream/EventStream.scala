@@ -123,8 +123,13 @@ object EventStream {
       .distinct().collect().map(_.getLong(0))
     if (evalGrams.isEmpty) cleanDocStream(docs, textCol, tsCol, lateness)
     else cleanDocStream(docs, textCol, tsCol, lateness)
-      .filter(!exists(graft.llm.TextOps.ngramHashes(col(textCol), n),
-        g => g.isin(evalGrams.toIndexedSeq: _*)))
+      // coalesce: a null text has no grams, so it cannot leak — keep it,
+      // exactly like the empty-eval branch and the batch anti-join (a bare
+      // !exists(...) is NULL on null text and would silently drop the row)
+      .filter(coalesce(
+        !exists(graft.llm.TextOps.ngramHashes(col(textCol), n),
+          g => g.isin(evalGrams.toIndexedSeq: _*)),
+        lit(true)))
   }
 
   /** Per-user running profile kept in the state store. */

@@ -42,12 +42,20 @@ object ColumnBridge {
     * garbage-collected, which a long-lived session with a large driver heap
     * may not do for hours. The checkpointed frame becomes unrecomputable —
     * never run it again after calling this.
+    *
+    * Accepts ONLY the checkpointed frame itself (plan root = the
+    * checkpoint's `LogicalRDD`). A derived frame is rejected: its plan can
+    * embed OTHER live RDD-backed inputs (e.g. a join of two checkpoints),
+    * and a tree-wide unpersist would silently make those unrecomputable
+    * too.
     */
   def releaseLocalCheckpoint(df: DataFrame): Unit =
-    df.asInstanceOf[CDataset[_]].queryExecution.analyzed.foreach {
+    df.asInstanceOf[CDataset[_]].queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other => throw new IllegalArgumentException(
+        "releaseLocalCheckpoint takes the localCheckpoint()'d frame itself; " +
+          s"got a derived plan rooted at ${other.nodeName}")
     }
 
   /** Idempotently install a planner strategy on an already-built session

@@ -38,11 +38,26 @@ class CheckpointReleaseSpec extends AnyFunSuite with SparkFixture {
       "release must unregister the checkpoint's persistent RDD")
   }
 
-  test("release is a no-op on a plain (non-checkpointed) frame") {
-    val df = (1 to 10).toDF("n")
-    assert(checkpointRddIds(df).isEmpty)
-    ColumnBridge.releaseLocalCheckpoint(df)
-    assert(df.count() === 10)
+  test("release rejects plain and derived frames (would release OTHER live inputs)") {
+    // a non-checkpointed frame: caller bug, nothing to release
+    intercept[IllegalArgumentException] {
+      ColumnBridge.releaseLocalCheckpoint((1 to 10).toDF("n"))
+    }
+    // a frame DERIVED from checkpoints: its plan embeds two live
+    // checkpointed inputs; a tree-wide unpersist would silently make both
+    // unrecomputable, so the strict root-only contract must refuse it
+    val a = (1 to 100).toDF("n").localCheckpoint()
+    val b = (50 to 150).toDF("n").localCheckpoint()
+    val joined = a.join(b, "n")
+    intercept[IllegalArgumentException] {
+      ColumnBridge.releaseLocalCheckpoint(joined)
+    }
+    // both inputs are still live and recomputable
+    assert(joined.count() === 51)
+    assert(checkpointRddIds(a).subsetOf(persistentIds))
+    assert(checkpointRddIds(b).subsetOf(persistentIds))
+    ColumnBridge.releaseLocalCheckpoint(a)
+    ColumnBridge.releaseLocalCheckpoint(b)
   }
 
   test("dedupClusters retains only the final labels snapshot") {

@@ -58,6 +58,24 @@ class TablesSpec extends AnyFunSuite with SparkFixture {
     assert(got === "2024-01-01 00:00:00.123456")
   }
 
+  test("NTZ normalization refuses a non-UTC session (cast would shift the epoch)") {
+    val dir = tmpDir()
+    spark.sql(
+      """SELECT 1L AS o_orderkey,
+        |  TIMESTAMP_NTZ '2024-03-05 12:00:00' AS o_orderdate""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Tables(spark, dir, "orders")
+      }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // back under UTC the same table loads
+    assert(Tables(spark, dir, "orders")
+      .schema("o_orderdate").dataType === TimestampType)
+  }
+
   test("non-events tables also normalize NTZ time columns") {
     val dir = tmpDir()
     spark.sql(

@@ -124,6 +124,52 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming decontamination parity law: stream output == batch compose over the same rows") {
+    // law: cleanDocStreamDecontaminated over a MemoryStream must equal
+    // decontaminateNgram over the batch-cleaned same rows, doc-for-doc —
+    // the InSet probe and the broadcast semi-join must agree
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(20260814L)
+    val evalDocs = (0 until 3).map { e =>
+      (100L + e, (0 until 25).map(i => s"ev${e}q$i").mkString(" "))
+    }
+    val evalSet = evalDocs.toDF("doc_id", "text")
+    // 24 quality-passing docs; every third one embeds an 8-word eval span
+    // at a random offset, and one carries a 7-word span (too short to trip)
+    val docs = (0 until 24).map { d =>
+      val base = (0 until 40).map(i => s"d${d}w${i}x${rnd.nextInt(1000)}")
+      val words =
+        if (d % 3 == 0) {
+          val e = (d / 3) % 3
+          val off = rnd.nextInt(base.size)
+          val spanLen = if (d == 21) 7 else 8
+          val k = rnd.nextInt(25 - spanLen + 1)
+          val span = (k until k + spanLen).map(i => s"ev${e}q$i")
+          base.patch(off, span, 0)
+        } else base
+      (d.toLong, ts(f"2024-02-29 01:${d}%02d:00"), words.mkString(" "))
+    }
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.cleanDocStreamDecontaminated(df, evalSet)
+      .writeStream.format("memory").queryName("deconlaw")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      spark.table("deconlaw").select("doc_id").as[Long].collect().toSet
+    } finally q.stop()
+    val batchCleaned = docs.toDF("doc_id", "ts", "text")
+      .filter(graft.llm.TextOps.qualityKeep("text"))
+      .withColumn("_sha", sha2(col("text"), 256))
+      .dropDuplicates("_sha").drop("_sha")
+    val batch = graft.llm.TextOps.decontaminateNgram(batchCleaned, evalSet)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch)
+    // the fixture is non-degenerate: something survived and something leaked
+    assert(streamed.nonEmpty && streamed.size < 24)
+  }
+
   test("userRunningStats accumulates per-key state across micro-batches (mapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
