@@ -128,6 +128,34 @@ object ScaleProbe {
       }
     }
 
+    // ---- L9 n-gram decontamination: corpus grows, eval side fixed ----------
+    // The claim: the eval set broadcasts once (its cost is fixed), the
+    // corpus is scanned once with no corpus-side exchange below the
+    // broadcast gram join, so wall-clock tracks corpus size ~linearly for
+    // both the drop view and the pair-grain audit report. (Replicated
+    // copies share every original 8-gram, so contaminated-row counts grow
+    // linearly too — the report's post-join shuffle is bounded by them.)
+    {
+      val baseDocs = graft.query.Tables(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val evalSet = baseDocs.filter(col("doc_id") % 10 === 0).localCheckpoint()
+      val ne = evalSet.count()
+      for (copies <- Seq(1, 5, 10)) {
+        val d = replicateDocs(baseDocs, copies).localCheckpoint()
+        val n = d.count()
+        val kept = time(s"decontaminate ngram   n=$n eval=$ne") {
+          graft.llm.TextOps.decontaminateNgram(d, evalSet).count()
+        }
+        val pairs = time(s"contamination report  n=$n eval=$ne") {
+          graft.llm.TextOps.contaminationReport(d, evalSet,
+            excludeSelfPairs = true).count()
+        }
+        println(s"    kept=$kept pairs=$pairs")
+        d.unpersist()
+      }
+      org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(evalSet)
+    }
+
     // ---- z-order + footer-stats skipping at growing file counts ------------
     // The question at scale isn't the layout cost (a one-time compaction
     // write) but whether the skip RATIO holds as files multiply and whether
