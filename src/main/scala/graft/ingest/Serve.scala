@@ -69,9 +69,26 @@ object Serve {
     ingested
   }
 
-  /** `Serve <landingDir> <storeDir> <backfillStartIso> [keyword] [baseUrl]`
-    * — the production daemon entry point. With a baseUrl (e.g. the
-    * GH-Archive origin) each tick fetches its own hours.
+  /** The session wiring [[main]] performs before its first tick, split out
+    * so the no-network path is testable: credential/scale parity with the
+    * reference's env push (preprocess.py:29-37, 254-257) — without this
+    * the AWS_* env vars never reach `fs.s3a.*` and an `s3a://` store
+    * fails auth. Returns the S3A keys that were applied.
+    */
+  def configure(spark: SparkSession,
+      env: Map[String, String] = sys.env): Seq[String] = {
+    val applied = graft.store.CloudStorage.applyS3FromEnv(spark, env)
+    graft.store.CloudStorage.applyS3ScaleDefaults(spark)
+    applied
+  }
+
+  /** `Serve <landingDir> <storeDir> <backfillStartIso> [keyword] [baseUrl]
+    * [ticks]` — the production daemon entry point. With a baseUrl (e.g.
+    * the GH-Archive origin) each tick fetches its own hours. `ticks`
+    * bounds the run (`-1` = forever, the default): a first run against a
+    * real object store validates with `ticks=1` — one fetch + ingest +
+    * publish cycle, then exit 0 — before being left as a daemon. Paths
+    * may be any Hadoop filesystem URI (`file://`, `s3a://bucket/...`).
     */
   def main(args: Array[String]): Unit = {
     val landingDir = args(0)
@@ -79,6 +96,7 @@ object Serve {
     val backfillStart = Instant.parse(args(2))
     val keyword = if (args.length > 3) args(3) else " dask"
     val baseUrl = if (args.length > 4) Some(args(4)) else None
+    val ticks = if (args.length > 5) args(5).toInt else -1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -88,13 +106,8 @@ object Serve {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // credential/scale parity with the reference's env push
-    // (preprocess.py:29-37, 254-257): the daemon is exactly the entry
-    // point those helpers exist for — without this call the AWS_* env
-    // vars never reach fs.s3a.* and an s3a:// store fails auth.
-    graft.store.CloudStorage.applyS3FromEnv(spark)
-    graft.store.CloudStorage.applyS3ScaleDefaults(spark)
-    loop(spark, landingDir, storeDir, backfillStart, keyword,
+    configure(spark)
+    loop(spark, landingDir, storeDir, backfillStart, keyword, ticks = ticks,
       baseUrl = baseUrl)
   }
 }
