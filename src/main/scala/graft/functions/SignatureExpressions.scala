@@ -362,6 +362,114 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native distinct shingle hashes over a space-tokenized string: the
+  * 64-bit hash of every n-word window, first-occurrence-deduped, in one
+  * pass off the text bytes.
+  *
+  * Value-compatible by construction with the HOF chain it replaces
+  * (`array_distinct(transform(sequence(1, size(wh)-(n-1)), i =>
+  * xxhash64(slice(wh, i, n))))` over `wh = transform(split(text, " "),
+  * xxhash64)` — the SignatureExpressionsSpec drift guard pins equality,
+  * ELEMENT ORDER INCLUDED): Spark's `xxhash64(array<bigint>)` folds
+  * `XXH64.hashLong` over the elements from seed 42 without re-seeding, and
+  * `array_distinct` keeps first occurrences in encounter order. These
+  * values are upstream of every stored MinHash signature
+  * (`VectorOps.sigColumn` consumes them), so bit drift would make
+  * persisted dedup state unreadable — the same contract [[MinHashSig]]
+  * carries.
+  *
+  * NOTE the window hash is NOT [[NgramHashes]]'s: that kernel re-seeds per
+  * fold step (Spark's two-arg `xxhash64(acc, next)`), this one chains the
+  * running hash straight through (Spark's one-arg `xxhash64(array)`). The
+  * two coexist because each replaced a different HOF with stored state
+  * behind it.
+  *
+  * Why native: beyond interpreted-HOF cost, the old form needed a PERSIST
+  * BARRIER per call site — `slice(wh, i, n)` captures the word-hash array
+  * inside a lambda, and CollapseProject would inline the producing
+  * transform to re-run once per window — so every caller carried a
+  * persist/count/unpersist job train just to keep the word-hash pass
+  * single-execution. One expression node has nothing to re-inline: the
+  * barrier machinery disappears with it.
+  *
+  * Null semantics, matching the HOF: null text → null; fewer than n words
+  * → empty array.
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes
+    var w = 1
+    var i = 0
+    while (i < nb) {
+      if (Platform.getByte(base, off + i) == ' '.toByte) w += 1
+      i += 1
+    }
+    if (w < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val wh = new Array[Long](w)
+    var k = 0
+    var start = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || Platform.getByte(base, off + i) == ' '.toByte) {
+        wh(k) = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        k += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = w - n + 1
+    // first-occurrence dedup via open addressing (no boxing, no sort —
+    // encounter order is part of the parity contract)
+    var cap = 8
+    while (cap < m * 2) cap <<= 1
+    val slots = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val out = new Array[Long](m)
+    var cnt = 0
+    var p = 0
+    while (p < m) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(wh(p + j), h); j += 1 }
+      var idx = (h ^ (h >>> 32)).toInt & (cap - 1)
+      while (used(idx) && slots(idx) != h) idx = (idx + 1) & (cap - 1)
+      if (!used(idx)) {
+        used(idx) = true
+        slots(idx) = h
+        out(cnt) = h
+        cnt += 1
+      }
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SignBandKeys {
   /** Deterministic hyperplane component (j, k) in [-1, 1]: the public
     * SplitMix64 finalizer over the packed indices — no RNG state, identical

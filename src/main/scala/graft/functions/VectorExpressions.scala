@@ -90,6 +90,10 @@ object GraftFunctions {
   def ngramHashesNative(text: Column, n: Int): Column =
     ColumnBridge.column(NgramHashes(ColumnBridge.expression(text), n))
 
+  /** Native distinct shingle hashes off the text bytes (see [[ShingleHashes]]). */
+  def shingleHashesNative(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
   /** Codegen'd sign-LSH band keys (see [[SignBandKeys]]). */
   def signBandKeys(v: Column, nBands: Int, bitsPerBand: Int,
       dim: Int): Column =

@@ -32,40 +32,31 @@ object TextOps {
     array_distinct(ngramsAll(text, n))
 
   /** Per-row distinct 64-bit shingle hashes WITHOUT materializing shingle
-    * strings: each word is hashed once (the persist is a load-bearing
-    * CollapseProject barrier — inlined, the word-hash pass would re-run per
-    * shingle position), then a shingle hash is `xxhash64` of an n-long slice
-    * of word hashes. Skipping the `concat_ws` string build + string distinct
-    * is ~3x on the shingling stage; use [[shingles]] only where the strings
-    * themselves are needed (exact-Jaccard verify, q_ngram_jaccard).
-    * Output: `keep` columns + `hs: array<bigint>`; rows with < n words drop.
+    * strings: a native single pass off the text bytes
+    * ([[graft.functions.ShingleHashes]]; bit-for-bit parity with the HOF
+    * slice-chain it replaced — element order included — is pinned in
+    * SignatureExpressionsSpec, because these values are upstream of every
+    * STORED MinHash signature). Skipping the `concat_ws` string build +
+    * string distinct is ~3x on the shingling stage; use [[shingles]] only
+    * where the strings themselves are needed (exact-Jaccard verify,
+    * q_ngram_jaccard).
+    *
+    * The old HOF form needed a persisted word-hash barrier per call site
+    * (CollapseProject would inline the word-hash transform into the
+    * window lambda and re-run it per shingle position); a single native
+    * node has nothing to re-inline, so the frame is LAZY — callers
+    * persist/checkpoint only where their own plan branches.
+    *
+    * Output: `keep` columns + `hs: array<bigint>`; rows with < n words
+    * drop. The repartition spreads downstream signature work across the
+    * cluster even when the source collapses to few input splits.
     */
-  def shingleHashes(df: DataFrame, keep: Seq[String], n: Int): DataFrame = {
-    // convenience form: materialize, then release the barrier — returning
-    // the lazy frame would leak one MEMORY_AND_DISK block per call (the
-    // barrier variant exists so callers can manage that lifetime)
-    val (wh, hs) = shingleHashesBarrier(df, keep, n)
-    val out = hs.localCheckpoint()
-    wh.unpersist()
-    out
-  }
-
-  /** [[shingleHashes]] plus the persisted barrier frame, so callers that
-    * materialize their final result can `unpersist()` the intermediate
-    * instead of leaking a MEMORY_AND_DISK block per invocation.
-    */
-  def shingleHashesBarrier(df: DataFrame, keep: Seq[String], n: Int)
-      : (DataFrame, DataFrame) = {
-    val whDf = df
+  def shingleHashes(df: DataFrame, keep: Seq[String], n: Int): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(keep.map(col) :+
-        transform(words(col("text")), w => xxhash64(w)).as("wh"): _*)
-      .filter(size(col("wh")) >= n)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (whDf, whDf.select(keep.map(col) :+
-      array_distinct(transform(sequence(lit(1), size(col("wh")) - (n - 1)),
-        i => xxhash64(slice(col("wh"), i, lit(n))))).as("hs"): _*))
-  }
+        graft.functions.GraftFunctions
+          .shingleHashesNative(col("text"), n).as("hs"): _*)
+      .filter(size(col("hs")) > 0)
 
   /** Jaccard similarity of two pre-distinct string arrays — exact, for
     * verification and small candidate sets. The 100 TB path is MinHash LSH
@@ -161,14 +152,12 @@ object TextOps {
     */
   def sourceContamination(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, nPerm: Int = 64): DataFrame = {
-    val (whBarrier, hs) = shingleHashesBarrier(docs, Seq("source"), 3)
     // ONE shingle pass, stored before the plan branches: an eager
     // localCheckpoint writes the blocks up front AND cuts lineage, so the
     // estimate's self-join sides physically cannot re-run the scan (a lazy
     // persist lets concurrently-ready branches race the cache and each
     // recompute it — the minhashPairsNative lesson).
-    val hsDf = hs.localCheckpoint()
-    whBarrier.unpersist()
+    val hsDf = shingleHashes(docs, Seq("source"), 3).localCheckpoint()
     val out = contaminationEstimate(hsDf, nPerm).localCheckpoint()
     // the corpus-sized snapshot is released deterministically — long-lived
     // sessions must not carry a checkpoint block per invocation until GC
@@ -221,7 +210,6 @@ object TextOps {
     */
   def sourceContaminationChecked(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, nPerm: Int = 64, tol: Double = 0.15): DataFrame = {
-    val (whBarrier, hs) = shingleHashesBarrier(docs, Seq("source"), 3)
     // ONE shingle pass, stored before the plan branches (see
     // [[sourceContamination]]): the estimate branch and the byHash explode
     // are concurrently-ready stages of the single materializing action; the
@@ -229,8 +217,7 @@ object TextOps {
     // merely unlikely. byHash itself branches into counts + inter, but its
     // expensive side (explode + collect_set partials) sits below one
     // exchange that ReuseExchange dedups.
-    val hsDf = hs.localCheckpoint()
-    whBarrier.unpersist()
+    val hsDf = shingleHashes(docs, Seq("source"), 3).localCheckpoint()
     val est = contaminationEstimate(hsDf, nPerm)
     val byHash = hsDf
       .select(col("source"), explode(col("hs")).as("h"))
@@ -416,8 +403,8 @@ object TextOps {
     * drift-guard reference: the word hashes fold through n-1 shifted
     * `zip_with`s, where every array is a zip ARGUMENT — evaluated once per
     * row — never an expression captured inside a HOF lambda (which Spark
-    * re-evaluates per element; that re-execution trap is why
-    * [[shingleHashes]] needs its barrier). ~8x cheaper than the string
+    * re-evaluates per element; that re-execution trap is why the old HOF
+    * [[shingleHashes]] needed a persisted barrier). ~8x cheaper than the string
     * form, but still interpreted: nested-HOF arguments defeat
     * subexpression elimination, so the plan re-derives the split + word
     * hashing for each of the n-1 zips — the native form is one pass.

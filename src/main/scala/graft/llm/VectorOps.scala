@@ -104,23 +104,17 @@ object VectorOps {
     // intersects them too (Jaccard over distinct hash sets == Jaccard over
     // shingle-string sets modulo 2^-64 collisions; q_ngram_jaccard proves
     // the parity against DuckDB's string-built sets). Shingle strings are
-    // never materialized on any path. Persists are load-bearing, not cache
-    // niceties: without a materialization barrier, CollapseProject inlines
-    // the aliased array into the consuming lambda and the producing pass
-    // re-executes once per element — measured ~60x slower at 5k docs.
-    val (whBarrier, hsSrc) = TextOps.shingleHashesBarrier(docs, Seq("doc_id"), n)
-    val hsDf = hsSrc
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = hsDf.select(col("doc_id"), col("hs"),
-      sigColumn(col("hs"), nPerm).as("sig"))
+    // never materialized on any path. Shingling + signing is now ONE
+    // codegen'd map stage (native ShingleHashes + MinHashSig — the old
+    // HOF shingle form needed its own persisted word-hash barrier here);
+    // the one persist left is the plan-branch barrier below.
+    val sig = TextOps.shingleHashes(docs, Seq("doc_id"), n)
+      .select(col("doc_id"), col("hs"), sigColumn(col("hs"), nPerm).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // EAGER: banding + the two verify joins branch off `sig` as independent
     // stages AQE runs concurrently; a lazy cache lets them race and each
     // re-runs the shingle + 64-permutation pass (see cosinePairsNative).
-    // Populate once, then the shingle stages are releasable immediately.
     sig.count()
-    hsDf.unpersist()
-    whBarrier.unpersist()
     val bands = minhashBands(sig.select("doc_id", "sig"), nBands, rowsPerBand)
     val candidates = bucketPairs(bands, maxBucket)
     // Verify candidates. Default: signature-estimate Jaccard (fraction of
@@ -207,21 +201,17 @@ object VectorOps {
     graft.functions.GraftFunctions.minhashSigNative(hs, nPerm)
 
   /** Per-doc MinHash signature table — the unit of incremental near-dup
-    * state, meant to be persisted via `TableStore.append` (the persist
-    * is the load-bearing CollapseProject barrier documented in
-    * [[minhashPairsNative]]).
+    * state, meant to be persisted via `TableStore.append`. Shingle + sign
+    * is one native codegen'd map stage end-to-end (no barrier persists —
+    * see [[TextOps.shingleHashes]]); the checkpoint materializes the
+    * bounded signature table itself.
     */
   def minhashSignatures(docs: DataFrame, nBands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val nPerm = nBands * rowsPerBand
-    val (wh, hs) = TextOps.shingleHashesBarrier(docs, Seq("doc_id"), 3)
-    val hsDf = hs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = hsDf
+    TextOps.shingleHashes(docs, Seq("doc_id"), 3)
       .select(col("doc_id"), sigColumn(col("hs"), nPerm).as("sig"))
       .localCheckpoint()
-    hsDf.unpersist()
-    wh.unpersist()
-    out
   }
 
   /** Banded LSH rows (doc_id, band_idx, band_hash) from a signature table. */

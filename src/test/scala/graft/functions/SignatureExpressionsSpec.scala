@@ -138,6 +138,33 @@ class SignatureExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ShingleHashes matches the HOF slice-chain + array_distinct bit-for-bit, order included") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = Vector("alpha", "beta", "gamma", "δélta", "ε", "", "x",
+      "repeat", "repeat", "多字节词")
+    val randomDocs = (1 to 60).map { _ =>
+      (0 until rnd.nextInt(14)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" ")
+    }
+    // heavy-repetition docs exercise the dedup path (same window recurs)
+    val edges = Seq("", " ", "a", "a b c", "r r r r r r r r",
+      "a b a b a b a b a b", "exactly three words",
+      (1 to 30).map(i => s"w${i % 5}").mkString(" "))
+    val df = (randomDocs ++ edges).toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      val wh = transform(split(col("text"), " "), w => xxhash64(w))
+      val ref = when(size(wh) >= n,
+        array_distinct(transform(sequence(lit(1), size(wh) - (n - 1)),
+          i => xxhash64(slice(wh, i, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))
+      val rows = df.select(
+        GraftFunctions.shingleHashesNative(col("text"), n).as("native"),
+        ref.as("ref"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (nat, r) => assert(nat === r, s"n=$n") }
+    }
+  }
+
   test("NgramHashes null semantics match the HOF: null text -> null") {
     val df = Seq(Some("a b c"), None).toDF("text")
     val got = df.select(

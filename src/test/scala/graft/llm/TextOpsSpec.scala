@@ -216,9 +216,7 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
       ("s2", "one two three four nine ten eleven twelve"),
       ("s3", "alpha beta gamma delta epsilon zeta eta theta")
     ).toDF("source", "text")
-    val (wh, hs) = TextOps.shingleHashesBarrier(docs, Seq("source"), 3)
-    val hsDf = hs.localCheckpoint()
-    wh.unpersist()
+    val hsDf = TextOps.shingleHashes(docs, Seq("source"), 3).localCheckpoint()
     val est = TextOps.contaminationEstimate(hsDf, 64)
     est.collect()
     // the expensive side (64-perm signature pass + MinHashUnionAgg partials)
