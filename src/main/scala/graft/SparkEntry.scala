@@ -22,6 +22,7 @@ object SparkEntry {
     graft.llm.TextOps.all ++
     graft.llm.VectorOps.all ++
     graft.llm.Sampling.all ++
+    graft.llm.Clustering.all ++
     graft.llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,276 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.query.Tables
+import graft.query.Tables.cnt
+
+/** Embedding-space clustering + the curation operators built on it
+  * (SURVEY.md §2.11 L20-L22): distributed Lloyd k-means, SemDeDup-style
+  * semantic deduplication, and k-NN graph construction.
+  *
+  * The reference has no analog (`/root/reference/` ends at relational
+  * analytics); these are north-star training-data-pipeline ops like L1-L18.
+  *
+  * 100 TB design stance:
+  *  - k-means assignment is a narrow codegen'd argmin map over K broadcast
+  *    centroid literals — no shuffle, no join for the corpus side; the
+  *    centroid update shuffles only k x dim x partitions partial sums
+  *    (map-side partial aggregation), independent of corpus size. Each
+  *    Lloyd iteration is exactly one corpus scan.
+  *  - semantic dedup bounds the quadratic pair stage by CLUSTER, the
+  *    SemDeDup construction: k grows with the corpus so per-cluster
+  *    populations stay bounded, and only same-cluster pairs are ever
+  *    materialized.
+  *  - the k-NN graph rides the IVF index (bounded candidate fan-out per
+  *    vector: nProbe cells, not the corpus) and ranks through the
+  *    [[graft.plans.TopK]] heap plan, so the ranking exchange carries at
+  *    most k rows per vector per map partition instead of every candidate.
+  */
+object Clustering {
+
+  /** Argmin-Euclidean cluster id over driver-resident centroids, as one
+    * column expression: argmin ||v-c||^2 = argmax (v.c - ||c||^2/2), so the
+    * per-row work is K codegen'd dot products — the same broadcast-literal
+    * shape as IVF cell assignment ([[VectorOps.buildIvfIndex]]). Ties break
+    * toward the LOWEST cluster index (the negated-index struct field makes
+    * `array_max` prefer it), so assignment is total and deterministic.
+    */
+  def clusterOf(cents: Seq[(Int, Seq[Double])])(v: Column): Column = {
+    val scored = array(cents.map { case (i, c) =>
+      val negHalfNorm = -c.map(x => x * x).sum / 2
+      struct((VectorOps.dot(v, typedLit(c)) + lit(negHalfNorm)).as("s"),
+        lit(-i).as("negc"))
+    }: _*)
+    -array_max(scored).getField("negc")
+  }
+
+  /** Distributed Lloyd k-means over (idCol, vecCol: array<double>).
+    *
+    * Seeds are the `k` lowest-id vectors (one TakeOrdered job,
+    * deterministic); each iteration then runs ONE corpus scan: the argmin
+    * assignment (narrow map over K literal centroids) feeds a posexplode +
+    * (cluster, dim) hash aggregate whose map-side partials bound the
+    * exchange at k x dim x partitions rows, and the k x dim mean matrix —
+    * all that ever reaches the driver — rebuilds the centroids for the next
+    * round. Empty clusters keep their previous centroid (deterministic, no
+    * reseeding RNG).
+    *
+    * This is the EXACT full-corpus refinement; when scans are the budget,
+    * train on a bounded sample instead ([[VectorOps.ivfCentroids]] — one
+    * job total) and spend the full scans only on final assignment.
+    */
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): Seq[(Int, Seq[Double])] = {
+    val seeds = corpus.orderBy(idCol).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Double](0))
+    require(seeds.nonEmpty, s"k-means: no non-empty vectors in $vecCol")
+    val dim = seeds.head.length
+    var cents: IndexedSeq[(Int, Seq[Double])] =
+      seeds.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq
+    for (_ <- 1 to iters) {
+      val stats = corpus
+        .select(clusterOf(cents)(col(vecCol)).as("cluster"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum("x").as("s"), cnt.as("n"))
+        .collect()
+      val sums = Array.fill(k, dim)(0.0)
+      val ns = new Array[Long](k)
+      stats.foreach { r =>
+        val c = r.getInt(0)
+        sums(c)(r.getInt(1)) = r.getDouble(2)
+        ns(c) = r.getLong(3)
+      }
+      cents = IndexedSeq.tabulate(k) { i =>
+        if (ns(i) == 0L) (i, cents(i)._2)
+        else (i, sums(i).toSeq.map(_ / ns(i)))
+      }
+    }
+    cents
+  }
+
+  /** Append the argmin `cluster` column — a narrow codegen'd map, the
+    * distributed half of the k-means step (no shuffle).
+    */
+  def kmeansAssign(corpus: DataFrame, cents: Seq[(Int, Seq[Double])],
+      vecCol: String = "v"): DataFrame =
+    corpus.withColumn("cluster", clusterOf(cents)(col(vecCol)))
+
+  /** SemDeDup-style semantic near-dup removal: cluster the corpus
+    * (k-means), then drop every vector that has a LOWER-ID same-cluster
+    * neighbor at cosine >= `cosThreshold`. Returns the input columns plus
+    * (cluster, keep).
+    *
+    * The drop rule is order-free (a pure predicate, not a greedy sweep), so
+    * the result is deterministic and SQL-expressible — each near-dup group
+    * inside a cluster keeps exactly its lowest id.
+    *
+    * Scale shape: the only quadratic stage is the same-cluster pair join,
+    * which is the SemDeDup bargain — choose k ~ corpus/targetClusterSize so
+    * clusters stay bounded, and the pair stage costs clusters x size^2,
+    * never corpus^2. Cross-cluster near-dups are deliberately out of scope
+    * (that is the recall trade the construction makes; the banded-LSH path
+    * [[VectorOps.cosinePairsNative]] is the alternative when global recall
+    * matters more than the cluster prior).
+    */
+  def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
+      cosThreshold: Double, idCol: String = "vec_id",
+      vecCol: String = "v"): DataFrame = {
+    val cents = kmeansFit(corpus, k, iters, idCol, vecCol)
+    // snapshot before the plan branches (pair join reads it twice + the
+    // result join once): eager checkpoint, lineage cut — see BASELINE.md
+    // round-5 "snapshot-before-branch"
+    val assigned = kmeansAssign(corpus, cents, vecCol).localCheckpoint()
+    val a = assigned.select(col("cluster"), col(idCol).as("__id_a"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("cluster"), col(idCol).as("__id_b"),
+      col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(VectorOps.cosine(col("__va"), col("__vb")) >= cosThreshold)
+      .select(col("__id_b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .withColumn("keep", coalesce(!col("__dropped"), lit(true)))
+      .drop("__dropped")
+  }
+
+  /** k-NN graph over an embedding corpus: for EVERY vector, its `k`
+    * approximate nearest neighbors by cosine — the substrate for
+    * graph-based curation (SemDeDup variants, connected-component semantic
+    * clusters, diversity sampling).
+    *
+    * Built on the IVF index: one bounded-sample training job + one corpus
+    * scan for cell assignment ([[VectorOps.buildIvfIndex]]), then every
+    * vector probes its `nProbe` nearest cells, candidates verify with the
+    * codegen'd exact cosine, and ranking runs the [[graft.plans.TopK]]
+    * heap plan — the exchange carries at most k rows per vector per map
+    * partition, never the full candidate set (the window form would
+    * shuffle + sort every candidate pair).
+    *
+    * At 100 TB: nCells grows with the corpus so cell populations stay
+    * bounded; candidates per vector are then nProbe x cellSize regardless
+    * of corpus size, and the graph build is scan + bucket-join + bounded
+    * exchange — no all-pairs stage.
+    */
+  def knnGraph(corpus: DataFrame, k: Int, nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val idx = VectorOps.buildIvfIndex(corpus, nCells)
+    val cells = idx.centroids
+    val v = VectorOps.toDouble(col("embedding"))
+    val cellDots = array(cells.map { case (i, c) =>
+      struct(VectorOps.dot(col("qv"), typedLit(c)).as("d"), lit(i).as("cell"))
+    }: _*)
+    val probed = corpus
+      .select(col("vec_id").as("query_id"), v.as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(transform(
+          slice(reverse(array_sort(cellDots)), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    val candidates = probed.join(idx.assignments, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorOps.cosine(col("qv"), col("tv")), 4).as("cos"))
+    graft.plans.TopK.perKey(candidates, Seq("query_id"),
+      Seq(col("cos").desc, col("neighbor_id").asc), k)
+  }
+
+  /** Planted-group derivation shared by the q_kmeans / q_semantic_dedup
+    * oracles (the q_embed_neardup pattern: ground truth is constructed
+    * in-query so DuckDB can state the expected outcome exactly): group
+    * g = vec_id % 4, and dimension g of each unit vector gets +3. Measured
+    * margins on the fixtures: within-group cosine <= 0.96, cross-group
+    * <= 0.25 — clusters are unambiguous (Lloyd recovery is exact, immune
+    * to cross-engine ulps) while same-group vectors stay far below any
+    * near-dup threshold.
+    */
+  private[llm] def plantedGroups(emb: DataFrame): DataFrame = emb.select(
+    col("vec_id"),
+    (col("vec_id") % 4).cast("int").as("g"),
+    transform(VectorOps.toDouble(col("embedding")),
+      (x, i) => x + when(i === (col("vec_id") % 4).cast("int"), 3.0)
+        .otherwise(0.0)).as("v"))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- L20: distributed Lloyd k-means recovers the planted partition ---------
+    // Oracle states the ground truth the clustering must recover: per
+    // planted group, its size, with every cluster pure. Exact — the planted
+    // separation makes the argmin decision immune to float drift.
+    Q("q_kmeans", Some(
+      """SELECT CAST(vec_id % 4 AS INT) AS g, count(*) AS n, true AS pure
+        |FROM embeddings GROUP BY 1 ORDER BY g""".stripMargin),
+      (s, d) => {
+        val e = plantedGroups(Tables(s, d, "embeddings"))
+        val cents = kmeansFit(e, k = 4, iters = 3)
+        kmeansAssign(e, cents)
+          .groupBy("cluster")
+          .agg(min("g").as("g"), cnt.as("n"),
+            (countDistinct("g") === 1).as("pure"))
+          .select("g", "n", "pure")
+          .orderBy("g")
+      }),
+
+    // ---- L21: k-NN graph — structural fact + mean-recall law vs exact ----------
+    // The graph is built for EVERY vector (IVF probe + heap-plan ranking).
+    // Exact structural fact: every vertex gets exactly k out-edges (the 12
+    // probed cells always hold >= k candidates at these corpus sizes).
+    // Recall law: over the vec_id < 50 audit set, MEAN recall@5 vs the
+    // in-query exact brute force >= 0.8 — the standard ANN-graph contract
+    // (per-query recall on isotropic data is binomial-noisy by nature;
+    // q_ann_ivf keeps the per-query form on its 10-query probe set).
+    Q("q_knn_graph", Some(
+      """SELECT count(*) AS n_vertices, 5 * count(*) AS n_edges,
+        |  true AS mean_recall_ok
+        |FROM embeddings""".stripMargin),
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        // snapshot: the graph feeds both the structural aggregate and the
+        // recall audit (two concurrently-ready stages)
+        val graph = knnGraph(emb, k = 5, nCells = 16, nProbe = 12)
+          .localCheckpoint()
+        val queries = emb.filter(col("vec_id") < 50)
+        val found = VectorOps.bruteForceTopK(emb, queries, 5)
+          .select("query_id", "neighbor_id")
+          .join(graph.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg((cnt / lit(50.0 * 5)).as("mean_recall"))
+        graph.agg(countDistinct("query_id").as("n_vertices"),
+            cnt.as("n_edges"))
+          .crossJoin(found)
+          .select(col("n_vertices"), col("n_edges"),
+            (col("mean_recall") >= 0.8).as("mean_recall_ok"))
+      }),
+
+    // ---- L22: SemDeDup — cluster, then within-cluster near-dup removal ---------
+    // Planted ground truth: 25 copies (id + 100000, one dimension nudged by
+    // 0.003 => cosine to the original >= 0.999999) must drop; all originals
+    // (max natural pair cosine ~0.96 under the planted shift) must survive.
+    // The oracle states exactly that, per planted group.
+    Q("q_semantic_dedup", Some(
+      """SELECT CAST(vec_id % 4 AS INT) AS g, count(*) AS n_kept,
+        |  CAST(sum(CASE WHEN vec_id < 25 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  true AS dropped_planted_only
+        |FROM embeddings GROUP BY 1 ORDER BY g""".stripMargin),
+      (s, d) => {
+        val base = plantedGroups(Tables(s, d, "embeddings"))
+        val copies = base.filter(col("vec_id") < 25).select(
+          (col("vec_id") + 100000L).as("vec_id"), col("g"),
+          transform(col("v"),
+            (x, i) => x + when(i === pmod(col("vec_id"), lit(64)).cast("int"),
+              0.003).otherwise(0.0)).as("v"))
+        val corpus = base.unionByName(copies)
+        semanticDedup(corpus, k = 4, iters = 3, cosThreshold = 0.99)
+          .groupBy("g")
+          .agg(
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+            (sum(when(!col("keep") && col("vec_id") < 100000L, 1L)
+              .otherwise(0L)) === 0L).as("dropped_planted_only"))
+          .orderBy("g")
+      })
+  )
+}

@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** L20-L22: distributed k-means, SemDeDup semantic dedup, k-NN graph. */
+class ClusteringSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  // three tight planted clusters in 4-d, far apart; ids interleave the
+  // clusters so lowest-id seeding starts with one seed per cluster (the
+  // caller's contract: seed ids should spread across the data — same
+  // discipline the planted-oracle queries use)
+  private def clustered() = Seq(
+    (0L, Seq(10.0, 0.0, 0.0, 0.1)),
+    (1L, Seq(0.0, 10.0, 0.1, 0.0)),
+    (2L, Seq(0.0, 0.1, 10.0, 0.0)),
+    (3L, Seq(10.1, 0.1, 0.0, 0.0)),
+    (4L, Seq(0.1, 9.9, 0.0, 0.0)),
+    (5L, Seq(0.1, 0.0, 9.9, 0.1)),
+    (6L, Seq(9.9, 0.0, 0.1, 0.0))
+  ).toDF("vec_id", "v")
+
+  test("kmeansFit recovers planted clusters; assignment is pure and total") {
+    val df = clustered()
+    val cents = Clustering.kmeansFit(df, k = 3, iters = 3)
+    val assigned = Clustering.kmeansAssign(df, cents)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(assigned.size == 7)
+    // members of a planted cluster share a label; different clusters differ
+    assert(assigned(0L) == assigned(3L) && assigned(3L) == assigned(6L))
+    assert(assigned(1L) == assigned(4L))
+    assert(assigned(2L) == assigned(5L))
+    assert(Set(assigned(0L), assigned(1L), assigned(2L)).size == 3)
+  }
+
+  test("kmeansFit: centroid is the cluster mean; empty cluster keeps its seed") {
+    // duplicate seeds: every point ties to seed 0 (tie-break -> lowest
+    // cluster), cluster 1 goes EMPTY after the first update and must keep
+    // its previous centroid (not NaN, not reseeded)
+    val df = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "v")
+    val cents = Clustering.kmeansFit(df, k = 2, iters = 1)
+    val c0 = cents.find(_._1 == 0).get._2
+    assert(math.abs(c0.head - 1.0 / 3) < 1e-12) // mean of 0, 0, 1
+    val c1 = cents.find(_._1 == 1).get._2
+    assert(c1 == Seq(0.0, 0.0)) // kept its seed
+  }
+
+  test("clusterOf tie-break goes to the lowest cluster index") {
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(1.0, 0.0)))
+    val df = Seq((0L, Seq(5.0, 3.0))).toDF("vec_id", "v")
+    val c = Clustering.kmeansAssign(df, cents)
+      .select("cluster").as[Int].head()
+    assert(c == 0)
+  }
+
+  test("semanticDedup: planted near-dup drops, lowest id survives, " +
+    "distant same-cluster members survive") {
+    val df = Seq(
+      (0L, Seq(10.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(10.0, 0.001, 0.0, 0.0)),  // near-dup of 0 (cos ~ 1)
+      (2L, Seq(8.0, 6.0, 0.0, 0.0)),     // same cluster, cos(0,2) = 0.8
+      (3L, Seq(0.0, 0.0, 10.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 10.0, 0.002))   // near-dup of 3
+    ).toDF("vec_id", "v")
+    val out = Clustering.semanticDedup(df, k = 2, iters = 2,
+      cosThreshold = 0.99)
+    val keep = out.select("vec_id", "keep").as[(Long, Boolean)]
+      .collect().toMap
+    assert(keep == Map(0L -> true, 1L -> false, 2L -> true,
+      3L -> true, 4L -> false))
+    // result carries input columns + cluster + keep
+    assert(out.columns.toSet == Set("vec_id", "v", "cluster", "keep"))
+  }
+
+  test("semanticDedup is idempotent on its survivors") {
+    val df = Seq(
+      (0L, Seq(10.0, 0.0)), (1L, Seq(10.0, 0.01)), (2L, Seq(0.0, 10.0))
+    ).toDF("vec_id", "v")
+    val once = Clustering.semanticDedup(df, 2, 2, 0.99)
+      .filter(col("keep")).select("vec_id", "v")
+    val twice = Clustering.semanticDedup(once, 2, 2, 0.99)
+    assert(twice.filter(!col("keep")).count() == 0)
+  }
+
+  test("knnGraph on well-separated clusters matches the exact graph") {
+    // 12 vectors in 3 planted clusters; with nCells=3 and nProbe=3 the
+    // probe covers everything, so the IVF graph must EQUAL brute force
+    val rows = (0 until 12).map { i =>
+      val g = i % 3
+      val base = Array(0.0f, 0.0f, 0.0f, 0.0f)
+      base(g) = 10.0f
+      base(3) = 0.01f * i
+      (i.toLong, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val graph = Clustering.knnGraph(df, k = 3, nCells = 3, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = VectorOps.bruteForceTopK(df, df, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(graph == exact)
+    assert(graph.size == 12 * 3)
+  }
+
+  test("knnGraph ranking runs the TopK heap plan, not a window sort") {
+    val rows = (0 until 20).map { i =>
+      (i.toLong, Seq.tabulate(4)(j => if (j == i % 2) 10.0f else 0.01f * i))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val graph = Clustering.knnGraph(df, k = 2, nCells = 2, nProbe = 2)
+    val plan = graph.queryExecution.executedPlan
+    graph.collect()
+    val hasHeap = graft.PlanAsserts.deepCollect(plan) {
+      case p if p.nodeName.contains("TopKPerKey") => p
+    }.nonEmpty
+    val hasWindow = graft.PlanAsserts.deepCollect(plan) {
+      case p if p.nodeName.contains("Window") => p
+    }.nonEmpty
+    assert(hasHeap, s"expected TopKPerKey in:\n${plan.toString}")
+    assert(!hasWindow, "graph ranking must not fall back to a window sort")
+  }
+}
