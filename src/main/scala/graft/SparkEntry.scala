@@ -18,6 +18,7 @@ object SparkEntry {
     graft.query.Temporal.all ++
     graft.query.JsonQueries.all ++
     graft.query.Pipelines.all ++
+    graft.query.Bucketed.all ++
     graft.plans.PlanQueries.all ++
     graft.llm.TextOps.all ++
     graft.llm.VectorOps.all ++
