@@ -525,6 +525,49 @@ object TextOps {
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** L19: corpus-frequency boilerplate removal, the CCNet/C4 "repeated
+    * furniture" sweep one notch below [[chunkDedup]]'s first-wins policy:
+    * segments (non-overlapping `segSize`-word windows) that occur in >=
+    * `minDocs` DISTINCT documents are removed from EVERY document — headers,
+    * footers, nav chrome, license blurbs repeat across a crawl and should
+    * vanish entirely, not survive once somewhere. Documents are then
+    * reassembled from their kept segments in order.
+    *
+    * Output per doc: (doc_id, n_segs, n_kept, text_clean) — `text_clean` is
+    * NULL when every segment was boilerplate (the doc is pure furniture).
+    *
+    * Scale shape: segment hashing is map-only; document frequency is ONE
+    * hash shuffle of 8-byte `xxhash64(segment)` keys with map-side partial
+    * aggregation (segment text never shuffles — the [[chunkDedup]] bargain);
+    * the hot-segment set is tiny by construction (only repeated furniture
+    * crosses `minDocs`), so it broadcasts back as the removal probe and the
+    * corpus-side reassembly groupBy is the only other exchange, keyed by
+    * doc_id. No stage carries more than the corpus's segment-hash stream.
+    */
+  def boilerplateRemove(df: DataFrame, segSize: Int,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would delete every segment: $minDocs")
+    val segs = chunkWords(df, segSize, segSize)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        xxhash64(col("chunk")).as("__sh"))
+    val hot = segs.groupBy("__sh")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__sh"), lit(true).as("__hot"))
+    segs.join(broadcast(hot), Seq("__sh"), "left")
+      .groupBy("doc_id")
+      .agg(cnt.as("n_segs"),
+        sum(when(col("__hot").isNull, 1L).otherwise(0L)).as("n_kept"),
+        // ordered reassembly: collect (chunk_id, chunk) survivors, sort by
+        // position, join — nondeterministic collect order is absorbed by
+        // the sort; NULL (not "") when nothing survives, matching SQL
+        // string_agg-over-empty semantics
+        nullif(array_join(transform(
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("chunk_id"), col("chunk"))))),
+          x => x.getField("chunk")), " "), lit("")).as("text_clean"))
+  }
+
   /** L8+: deterministic concat-and-split sequence packing — the step that
     * turns a cleaned corpus into fixed-budget training sequences. Documents
     * are laid end-to-end in (`partitionCols`, `orderCols`) order; each doc's
@@ -1052,6 +1095,33 @@ object TextOps {
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, d) => chunkDedup(Tables(s, d, "documents"), chunkSize = 32)
         .orderBy("doc_id")),
+
+    // ---- L19: corpus-frequency boilerplate removal -----------------------------
+    // Segments repeated across >= 2 distinct docs vanish from EVERY doc;
+    // docs reassemble from their kept segments in order. The oracle
+    // recomputes document frequency by segment TEXT and rebuilds the
+    // cleaned text with an ordered filtered string_agg — hash equality
+    // (including the reassembled text) proves the 8-byte-hash shuffle and
+    // the sort-after-collect reassembly lose nothing.
+    Q("q_boilerplate", Some(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(ceil(greatest(len(ws) - 8, 0)::DOUBLE / 8) AS BIGINT) + 1),
+        |    i -> struct_pack(chunk_id := i,
+        |                     seg := array_to_string(ws[i*8+1 : i*8+8], ' ')))) AS ch
+        |  FROM w),
+        |g AS (SELECT doc_id, ch.chunk_id AS chunk_id, ch.seg AS seg FROM c),
+        |f AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+        |j AS (SELECT g.doc_id, g.chunk_id, g.seg, f.nd >= 2 AS hot
+        |      FROM g JOIN f USING (seg))
+        |SELECT doc_id, count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN NOT hot THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  string_agg(seg, ' ' ORDER BY chunk_id) FILTER (WHERE NOT hot)
+        |    AS text_clean
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => boilerplateRemove(Tables(s, d, "documents"),
+        segSize = 8, minDocs = 2).orderBy("doc_id")),
 
     // ---- L8+: concat-and-split sequence packing ----------------------------------
     Q("q_pack_sequences", Some(

@@ -318,6 +318,47 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got === Array((1L, 2L, 2L), (2L, 2L, 1L), (3L, 1L, 0L)))
   }
 
+  test("boilerplateRemove: repeated furniture vanishes from EVERY doc, " +
+    "unique content survives in order, all-furniture doc goes NULL") {
+    val footer = (1 to 8).map(i => s"f$i").mkString(" ")  // one exact segment
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    // footer occurs in docs 1, 2, 3 (>= minDocs=2); a/b are unique
+    val df = Seq(
+      (1L, s"$footer $a"),   // furniture first: clean = a
+      (2L, s"$b $footer"),   // furniture last: clean = b (order preserved)
+      (3L, footer)           // pure furniture: clean = NULL
+    ).toDF("doc_id", "text")
+    val got = TextOps.boilerplateRemove(df, segSize = 8, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3))))
+    assert(got === Array(
+      (1L, 2L, 1L, Some(a)),
+      (2L, 2L, 1L, Some(b)),
+      (3L, 1L, 0L, None)))
+  }
+
+  test("boilerplateRemove: below-threshold repeats are kept everywhere") {
+    val seg = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = Seq((1L, seg), (2L, (1 to 8).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // seg appears in only ONE doc < minDocs=2 -> nothing removed
+    val got = TextOps.boilerplateRemove(df, 8, 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got.forall { case (_, kept, _) => kept == 1L })
+    assert(got.map(_._3).toSet == df.collect().map(_.getString(1)).toSet)
+  }
+
+  test("boilerplateRemove: same segment twice WITHIN one doc does not " +
+    "cross the distinct-doc threshold") {
+    val seg = (1 to 8).map(i => s"r$i").mkString(" ")
+    val df = Seq((1L, s"$seg $seg")).toDF("doc_id", "text")
+    val got = TextOps.boilerplateRemove(df, 8, 2).collect().head
+    assert(got.getLong(1) == 2L && got.getLong(2) == 2L)
+    assert(got.getString(3) == s"$seg $seg")
+  }
+
   test("packSequences: contiguous layout law and boundary straddle") {
     // per-partition law: offset+n_tokens of doc i lands exactly where
     // doc i+1 starts (seq_id*budget + seq_offset accumulate contiguously)
