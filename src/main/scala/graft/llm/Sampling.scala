@@ -51,6 +51,28 @@ object Sampling {
     // SortOrder (unevaluable, and semantically bottom-k)
     graft.plans.TopK.perKey(df, Seq(stratum), Seq(orderKey), perStratum)
 
+  /** L23: deterministic global shuffle into training shards — the ordering
+    * step between curation and training. Every row gets a shard (hash
+    * bucket) and a position within its shard (rank under a scrambled-but-
+    * deterministic order), so the training stream is pseudo-random yet
+    * bit-reproducible across re-runs, backfills, and engines — no RNG
+    * state, no `rand()`.
+    *
+    * Scale shape: ONE shuffle keyed on the shard + a per-shard sort — which
+    * is exactly the physical layout of the training-shard WRITE
+    * (`repartition(shard).sortWithinPartitions(ord)` → one sorted file per
+    * shard); at 100 TB each shard sorts independently, nothing global.
+    */
+  def shardShuffle(df: org.apache.spark.sql.DataFrame, key: Column,
+      nShards: Int, salt: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__ord"), key)
+    df.withColumn("shard", splitBucket(key, nShards, salt))
+      .withColumn("__ord", xxhash64(key, lit(salt + 1)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__ord")
+  }
+
   // Oracle-twinned arithmetic bucket: DuckDB has no xxhash64, so the
   // SQL-verified query pins the split SEMANTICS (deterministic, disjoint,
   // covering, re-run stable) through a multiplicative hash both engines
@@ -101,6 +123,42 @@ object Sampling {
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_id"))
         .orderBy("source")),
+
+    // ---- deterministic training-shard shuffle ----------------------------------
+    // The oracle-twinned form of [[shardShuffle]] (arithmetic hash for
+    // cross-engine parity, 8 shards): per shard, the doc count, the doc
+    // that leads the shard's training order, and a position-weighted
+    // checksum — equal checksums prove BOTH engines derive the identical
+    // full permutation, not just the same membership.
+    Q("q_shard_shuffle", Some(
+      """WITH s AS (
+        |  SELECT doc_id, (doc_id % 1000003) * 31 % 8 AS shard,
+        |         (doc_id * 37) % 1000003 AS ord
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, doc_id, row_number() OVER (
+        |    PARTITION BY shard ORDER BY ord, doc_id) AS pos
+        |  FROM s)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pos = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS first_doc,
+        |  CAST(sum(pos * doc_id) AS BIGINT) AS checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("ord", "doc_id")
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            ((col("doc_id") % 1000003L) * 31L % 8L).as("shard"),
+            ((col("doc_id") * 37L) % 1000003L).as("ord"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("pos") === 1L, col("doc_id")).otherwise(0L))
+              .as("first_doc"),
+            sum(col("pos") * col("doc_id")).as("checksum"))
+          .orderBy("shard")
+      }),
 
     // ---- stratified sample: k docs per language, stable under re-runs ----------
     Q("q_sample_stratified", Some(

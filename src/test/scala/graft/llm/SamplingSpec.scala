@@ -24,6 +24,29 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert(b3 !== b1.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("shardShuffle: total permutation — every row once, contiguous " +
+    "positions per shard, bit-stable across re-runs, salt re-deals") {
+    val df = spark.range(1000).toDF("id")
+    val s1 = Sampling.shardShuffle(df, $"id", 8)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    // totality: every input id appears exactly once
+    assert(s1.map(_._1).sorted.toSeq === (0L until 1000L).toSeq)
+    // per shard: positions are exactly 1..n (a permutation, no gaps/dupes)
+    for ((_, rows) <- s1.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    // re-run stability: identical (shard, pos) for every id
+    val s2 = Sampling.shardShuffle(df, $"id", 8)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(s1.sortBy(_._1).toSeq === s2.sortBy(_._1).toSeq)
+    // the shard-local order is scrambled, not id order
+    val shard0 = s1.filter(_._2 == s1.head._2).sortBy(_._3).map(_._1)
+    assert(shard0.toSeq !== shard0.sorted.toSeq)
+    // a different salt produces a different permutation
+    val s3 = Sampling.shardShuffle(df, $"id", 8, salt = 9L)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(s3.sortBy(_._1).toSeq !== s1.sortBy(_._1).toSeq)
+  }
+
   test("stratifiedTake: exactly k per stratum, stable, honors the order key") {
     val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("id", "parity")
