@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional section filter: comma-separated names from {lsh, cosine,
+    // textops, tick, ngram, cluster, boilerplate, bucket, zorder};
+    // absent/empty = run everything
+    val sections: Set[String] =
+      args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty).getOrElse(Set.empty)
+    def want(s: String): Boolean = sections.isEmpty || sections.contains(s)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -57,7 +64,7 @@ object ScaleProbe {
       .select("doc_id", "text")
     val emb = graft.query.Tables(spark, sfDir, "embeddings")
 
-    for (copies <- Seq(1, 5, 10)) {
+    if (want("lsh")) for (copies <- Seq(1, 5, 10)) {
       val d = replicateDocs(docs, copies).localCheckpoint()
       val n = d.count()
       val pairs = time(s"minhash LSH pairs    n=$n") {
@@ -72,7 +79,7 @@ object ScaleProbe {
       d.unpersist()
     }
 
-    for (copies <- Seq(1, 5, 10)) {
+    if (want("cosine")) for (copies <- Seq(1, 5, 10)) {
       val e = replicateEmb(emb, copies).localCheckpoint()
       val n = e.count()
       val pairs = time(s"sign-LSH cosine pairs n=$n") {
@@ -86,7 +93,7 @@ object ScaleProbe {
     // All three claim map-only or single-bounded-shuffle shapes; the probe
     // checks wall-clock tracks corpus size ~linearly (no quadratic stage
     // hiding behind the fixture scale).
-    for (copies <- Seq(1, 5, 10)) {
+    if (want("textops")) for (copies <- Seq(1, 5, 10)) {
       val d = replicateDocs(graft.query.Tables(spark, sfDir, "documents")
         .select("doc_id", "text", "lang"), copies).localCheckpoint()
       val n = d.count()
@@ -110,7 +117,7 @@ object ScaleProbe {
     // The L17 claim: a tick costs O(batch signing + band hits); history
     // contributes only a signature-table scan (64 longs/doc), so growing
     // history 10x must not grow the tick 10x.
-    {
+    if (want("tick")) {
       val batch = replicateDocs(graft.query.Tables(spark, sfDir, "documents")
         .select("doc_id", "text"), 1)
         .withColumn("doc_id", col("doc_id") + lit(900000000L))
@@ -135,7 +142,7 @@ object ScaleProbe {
     // both the drop view and the pair-grain audit report. (Replicated
     // copies share every original 8-gram, so contaminated-row counts grow
     // linearly too — the report's post-join shuffle is bounded by them.)
-    {
+    if (want("ngram")) {
       val baseDocs = graft.query.Tables(spark, sfDir, "documents")
         .select("doc_id", "text")
       val evalSet = baseDocs.filter(col("doc_id") % 10 === 0).localCheckpoint()
@@ -156,11 +163,101 @@ object ScaleProbe {
       org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(evalSet)
     }
 
+    // ---- round-6 clustering ops: k-means / semantic dedup / k-NN graph -----
+    // The contracts under test: (a) a Lloyd iteration is one scan + a
+    // k x dim-bounded exchange, so fit wall-clock tracks corpus size;
+    // (b) SemDeDup's pair stage is bounded by CLUSTER population — k grows
+    // with the corpus (here k = 16 x copies, holding ~125 vectors/cluster)
+    // so the quadratic term stays flat per row; (c) the k-NN graph's
+    // candidate fan-out is nProbe x cellSize per vector — nCells grows with
+    // the corpus, so candidates/vector stay constant. Centroids stay
+    // driver-resident literals (the IVF coarse-quantizer regime, k <= ~1k);
+    // the probe also exposes where plan-literal codegen cost starts to
+    // matter as k grows.
+    if (want("cluster")) for (copies <- Seq(1, 5, 10)) {
+      val e = replicateEmb(emb, copies).localCheckpoint()
+      val n = e.count()
+      val k = 16 * copies
+      val prep = e.select(col("vec_id"),
+        graft.llm.VectorOps.toDouble(col("embedding")).as("v"))
+      time(f"kmeans fit+assign k=$k%-3d  n=$n") {
+        val cents = graft.llm.Clustering.kmeansFit(prep, k, iters = 3)
+        graft.llm.Clustering.kmeansAssign(prep, cents)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(f"semantic dedup  k=$k%-3d    n=$n") {
+        graft.llm.Clustering.semanticDedup(prep, k, iters = 2,
+          cosThreshold = 0.95).write.format("noop").mode("overwrite").save()
+      }
+      time(f"knn graph nCells=$k%-3d    n=$n") {
+        graft.llm.Clustering.knnGraph(e, k = 5, nCells = k, nProbe = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      e.unpersist()
+    }
+
+    // ---- round-6 boilerplate removal: df-count + broadcast probe ----------
+    // One 8-byte-hash shuffle for document frequency + a broadcast of the
+    // hot set + one doc_id-keyed reassembly — wall-clock must track corpus
+    // size with the hot-set broadcast cost flat.
+    if (want("boilerplate")) for (copies <- Seq(1, 5, 10)) {
+      val d = replicateDocs(docs, copies).localCheckpoint()
+      val n = d.count()
+      time(s"boilerplate remove    n=$n") {
+        graft.llm.TextOps.boilerplateRemove(d, segSize = 8, minDocs = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      d.unpersist()
+    }
+
+    // ---- round-6 bucketed join: write-once shuffle amortization ------------
+    // Build cost (the one-time shuffle paid at write) and join cost are
+    // timed separately; the join must stay exchange-free (0 shuffle rows)
+    // and track input size linearly at every corpus size.
+    if (want("bucket")) {
+      val li = graft.query.Tables(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = graft.query.Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      for (copies <- Seq(1, 5, 10)) {
+        val bigLi = (0 until copies).map(c => li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(c * 100000000L))).reduce(_ union _)
+        val bigOrd = (0 until copies).map(c => ord.withColumn("o_orderkey",
+          col("o_orderkey") + lit(c * 100000000L))).reduce(_ union _)
+        val n = bigLi.count()
+        val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+        java.nio.file.Files.createDirectories(base)
+        val root = java.nio.file.Files
+          .createTempDirectory(base, "bprobe").toString
+        val (liT, ordT) = (s"probe_li_$copies", s"probe_ord_$copies")
+        time(s"bucketed build        n=$n") {
+          bigLi.repartition(4).write.mode("overwrite")
+            .option("path", s"$root/li")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+          bigOrd.repartition(4).write.mode("overwrite")
+            .option("path", s"$root/ord")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+        }
+        time(s"co-located join       n=$n") {
+          spark.table(liT)
+            .join(spark.table(ordT).hint("merge"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderkey", "o_orderpriority")
+            .agg(count(lit(1)).as("n_items"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $liT")
+        spark.sql(s"DROP TABLE IF EXISTS $ordT")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(root))
+      }
+    }
+
     // ---- z-order + footer-stats skipping at growing file counts ------------
     // The question at scale isn't the layout cost (a one-time compaction
     // write) but whether the skip RATIO holds as files multiply and whether
     // the stats pass stays trivial next to the scan it avoids.
-    {
+    if (want("zorder")) {
       import graft.store.TableStore
       val ev = graft.query.Tables(spark, sfDir, "events")
         .select(col("event_id"), col("user_id"), col("value"),

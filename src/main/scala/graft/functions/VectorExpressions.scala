@@ -100,6 +100,20 @@ object GraftFunctions {
     ColumnBridge.column(
       SignBandKeys(ColumnBridge.expression(v), nBands, bitsPerBand, dim))
 
+  /** Codegen'd argbest centroid id over a flat k x dim matrix (see
+    * [[NearestCentroid]]).
+    */
+  def nearestCentroid(v: Column, cents: Seq[Double], dim: Int,
+      euclidean: Boolean): Column =
+    ColumnBridge.column(
+      NearestCentroid(ColumnBridge.expression(v), cents, dim, euclidean))
+
+  /** Codegen'd nOut-best centroid ids (see [[TopCentroids]]). */
+  def topCentroids(v: Column, cents: Seq[Double], dim: Int, nOut: Int,
+      euclidean: Boolean): Column =
+    ColumnBridge.column(
+      TopCentroids(ColumnBridge.expression(v), cents, dim, nOut, euclidean))
+
   /** Register `graft_dot` for SQL use on an existing session (works on any
     * session, no extensions needed at build time).
     */

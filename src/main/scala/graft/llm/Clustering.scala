@@ -30,14 +30,32 @@ import graft.query.Tables.cnt
   */
 object Clustering {
 
-  /** Argmin-Euclidean cluster id over driver-resident centroids, as one
-    * column expression: argmin ||v-c||^2 = argmax (v.c - ||c||^2/2), so the
-    * per-row work is K codegen'd dot products — the same broadcast-literal
-    * shape as IVF cell assignment ([[VectorOps.buildIvfIndex]]). Ties break
-    * toward the LOWEST cluster index (the negated-index struct field makes
-    * `array_max` prefer it), so assignment is total and deterministic.
+  /** Argmin-Euclidean cluster id over driver-resident centroids: argmin
+    * ||v-c||^2 = argmax (v.c - ||c||^2/2), evaluated by the native
+    * [[graft.functions.NearestCentroid]] kernel — ONE codegen'd loop over a
+    * flat k x dim matrix, constant code size in K. The composed form (K
+    * literal-dot struct subtrees + `array_max`) is kept below as the
+    * drift-guard reference: it collapses once K grows past the IVF default
+    * (measured: minutes instead of seconds at K=80 on 10k rows — codegen
+    * size scales with K and the fallback is interpreted struct
+    * comparisons), and SemDeDup clustering NEEDS K to grow with the corpus.
+    * Ties break toward the LOWEST cluster index in both forms.
     */
   def clusterOf(cents: Seq[(Int, Seq[Double])])(v: Column): Column = {
+    val ordered = cents.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices,
+      s"centroid ids must be 0..k-1, got ${cents.map(_._1)}")
+    val dim = ordered.head._2.length
+    graft.functions.GraftFunctions.nearestCentroid(
+      v, ordered.flatMap(_._2), dim, euclidean = true)
+  }
+
+  /** The composed-expression reference form of [[clusterOf]] — K struct
+    * subtrees under `array_max`, ties to lowest index via the negated-index
+    * field. Semantically the definition; kept for the drift-guard spec.
+    */
+  private[llm] def clusterOfReference(cents: Seq[(Int, Seq[Double])])(
+      v: Column): Column = {
     val scored = array(cents.map { case (i, c) =>
       val negHalfNorm = -c.map(x => x * x).sum / 2
       struct((VectorOps.dot(v, typedLit(c)) + lit(negHalfNorm)).as("s"),
@@ -158,22 +176,31 @@ object Clustering {
   def knnGraph(corpus: DataFrame, k: Int, nCells: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val idx = VectorOps.buildIvfIndex(corpus, nCells)
-    val cells = idx.centroids
+    val cells = idx.centroids.sortBy(_._1)
     val v = VectorOps.toDouble(col("embedding"))
-    val cellDots = array(cells.map { case (i, c) =>
-      struct(VectorOps.dot(col("qv"), typedLit(c)).as("d"), lit(i).as("cell"))
-    }: _*)
+    // candidate generation moves IDS ONLY: the cell bucket join and its
+    // n x nProbe x cellSize output carry 16-byte (query, neighbor) rows —
+    // embeddings re-attach afterwards, per side, for the verify (the
+    // cosinePairsNative discipline; an early probe draft shipped the
+    // 8*dim-byte query vector through the bucket join and the candidate
+    // stream dominated the probe's shuffle at 10x corpus)
     val probed = corpus
-      .select(col("vec_id").as("query_id"), v.as("qv"))
-      .select(col("query_id"), col("qv"),
-        explode(transform(
-          slice(reverse(array_sort(cellDots)), 1, nProbe),
-          s => s.getField("cell"))).as("cell"))
-    val candidates = probed.join(idx.assignments, Seq("cell"))
+      .select(col("vec_id").as("query_id"),
+        explode(graft.functions.GraftFunctions.topCentroids(
+          v, cells.flatMap(_._2), cells.head._2.length, nProbe,
+          euclidean = false)).as("cell"))
+    val candidates = probed
+      .join(idx.assignments.select("neighbor_id", "cell"), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val scored = candidates
+      .join(corpus.select(col("vec_id").as("query_id"), v.as("qv")),
+        Seq("query_id"))
+      .join(idx.assignments.select(col("neighbor_id"), col("tv")),
+        Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(VectorOps.cosine(col("qv"), col("tv")), 4).as("cos"))
-    graft.plans.TopK.perKey(candidates, Seq("query_id"),
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
       Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 

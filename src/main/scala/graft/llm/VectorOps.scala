@@ -523,21 +523,27 @@ object VectorOps {
   final case class IvfIndex(
       centroids: Seq[(Int, Seq[Double])], assignments: DataFrame)
 
-  private def cellDots(cents: Seq[(Int, Seq[Double])])(v: Column): Column =
-    array(cents.map { case (i, c) =>
-      struct(dot(v, typedLit(c)).as("d"), lit(i).as("cell"))
-    }: _*)
+  // centroid set → (flat matrix, dim) for the native assignment kernels;
+  // the composed form this replaces (array_max over K literal-dot structs)
+  // is quadratic-in-K plan text that falls out of codegen as K grows —
+  // see graft.functions.CentroidExpressions and Clustering.clusterOf
+  private def flatCents(cents: Seq[(Int, Seq[Double])]): (Seq[Double], Int) = {
+    val ordered = cents.sortBy(_._1)
+    (ordered.flatMap(_._2), ordered.head._2.length)
+  }
 
   /** Train centroids on the bounded sample, then scan the corpus ONCE for
-    * the per-row argmax cell assignment (narrow codegen'd map — no shuffle,
-    * no join).
+    * the per-row argmax cell assignment (native single-node codegen'd map —
+    * no shuffle, no join; [[graft.functions.NearestCentroid]]).
     */
   def buildIvfIndex(corpus: DataFrame, nCells: Int = 16,
       kmeansIters: Int = 2): IvfIndex = {
     val cents = ivfCentroids(corpus, nCells, kmeansIters).toIndexedSeq
+    val (flat, dim) = flatCents(cents)
     val v = toDouble(col("embedding"))
     val assigned = corpus.select(col("vec_id").as("neighbor_id"), v.as("tv"),
-      array_max(cellDots(cents)(v)).getField("cell").as("cell"))
+      graft.functions.GraftFunctions
+        .nearestCentroid(v, flat, dim, euclidean = false).as("cell"))
     IvfIndex(cents, assigned)
   }
 
@@ -546,11 +552,11 @@ object VectorOps {
     */
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int,
       nProbe: Int = 2): DataFrame = {
+    val (flat, dim) = flatCents(index.centroids)
     val v = toDouble(col("embedding"))
     val probed = queries.select(col("vec_id").as("query_id"), v.as("qv"),
-      explode(transform(
-        slice(reverse(array_sort(cellDots(index.centroids)(v))), 1, nProbe),
-        s => s.getField("cell"))).as("cell"))
+      explode(graft.functions.GraftFunctions
+        .topCentroids(v, flat, dim, nProbe, euclidean = false)).as("cell"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     probed.join(index.assignments, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -85,6 +85,54 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(twice.filter(!col("keep")).count() == 0)
   }
 
+  test("drift guard: native NearestCentroid == composed struct/array_max " +
+    "form, including exact ties (lowest index wins)") {
+    // 40 pseudo-random 6-d vectors + crafted exact-tie rows
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(6)(j =>
+        math.sin(i * 7 + j * 13) * 3 + math.cos(i * 3 - j) * 2))
+    } ++ Seq(
+      (100L, Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0)), // equidistant to all
+      (101L, Seq(1.0, 1.0, 0.0, 0.0, 0.0, 0.0))) // ties duplicate centroids
+    val df = rows.toDF("vec_id", "v")
+    val cents = Seq(
+      (0, Seq(1.0, 2.0, -1.0, 0.5, 0.0, 1.5)),
+      (1, Seq(-2.0, 0.0, 3.0, 1.0, -1.0, 0.0)),
+      (2, Seq(1.0, 2.0, -1.0, 0.5, 0.0, 1.5)), // duplicate of 0 (tie bait)
+      (3, Seq(0.5, -0.5, 0.5, -0.5, 0.5, -0.5)),
+      (4, Seq(2.0, -1.0, 0.0, 3.0, 1.0, -2.0)))
+    val got = df.select(col("vec_id"),
+      Clustering.clusterOf(cents)(col("v")).as("native"),
+      Clustering.clusterOfReference(cents)(col("v")).as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"vec ${r.getLong(0)}: native ${r.getInt(1)} != ref ${r.getInt(2)}")
+    }
+  }
+
+  test("drift guard: TopCentroids (spherical) == sorted literal-dot ranking") {
+    val rows = (0 until 30).map { i =>
+      (i.toLong, Seq.tabulate(5)(j => math.sin(i * 11 + j * 5) * 2))
+    }
+    val df = rows.toDF("vec_id", "v")
+    val cents = (0 until 7).map(c =>
+      (c, Seq.tabulate(5)(j => math.cos(c * 17 + j * 3) * 2)))
+    val (flat, dim) = (cents.flatMap(_._2), 5)
+    val native = df.select(col("vec_id"),
+      graft.functions.GraftFunctions
+        .topCentroids(col("v"), flat, dim, 3, euclidean = false).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // reference ranking computed driver-side per vector
+    rows.foreach { case (id, v) =>
+      val scored = cents.map { case (c, cv) =>
+        (c, v.zip(cv).map { case (a, b) => a * b }.sum)
+      }
+      val want = scored.sortBy { case (c, s) => (-s, c) }.take(3).map(_._1)
+      assert(native(id) == want, s"vec $id: ${native(id)} != $want")
+    }
+  }
+
   test("knnGraph on well-separated clusters matches the exact graph") {
     // 12 vectors in 3 planted clusters; with nCells=3 and nProbe=3 the
     // probe covers everything, so the IVF graph must EQUAL brute force
