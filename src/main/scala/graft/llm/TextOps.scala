@@ -1045,6 +1045,67 @@ object TextOps {
           .orderBy("source")
       }),
 
+    // ---- L∅: the END-TO-END training-prep job as ONE oracled flow --------------
+    // What a user actually runs before training: quality gate → exact
+    // dedup → eval-set decontamination → weighted source mixing → shard
+    // assignment → per-shard accounting. Every stage is an operator already
+    // verified on its own (q_corpus_clean, q_dedup_exact, q_decontaminate,
+    // q_mix_weighted, q_shard_shuffle); this key proves they COMPOSE.
+    // Scale shape of the whole job: gate + mix + shard are row-local
+    // (map-only), dedup is the single text-keyed hash shuffle (sha2 at
+    // 100 TB), decontamination is a broadcast anti-join, and the final
+    // accounting aggregates map-side — the corpus crosses the wire once.
+    Q("q_pipeline_training", Some(
+      s"""WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w IN ($StopwordsSql))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM scored WHERE n_words >= 30 AND stop_ratio > 0.01),
+        |dd AS (SELECT text, min(doc_id) AS keep_id FROM kept GROUP BY text),
+        |ded AS (SELECT k.* FROM kept k JOIN dd ON k.doc_id = dd.keep_id),
+        |dec AS (SELECT * FROM ded WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents e
+        |  WHERE e.doc_id % 10 = 0 AND e.text = ded.text)),
+        |mix AS (SELECT * FROM dec WHERE (doc_id % 1000003) * 31 % 100 <
+        |  CASE WHEN source = 'src0' THEN 100
+        |       WHEN source IN ('src1', 'src2', 'src3') THEN 50
+        |       ELSE 20 END)
+        |SELECT (doc_id % 1000003) * 31 % 8 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM mix GROUP BY 1 ORDER BY shard""".stripMargin),
+      (s, d) => {
+        val w = words(col("text"))
+        val docs = Tables(s, d, "documents")
+        val kept = docs
+          .withColumn("n_words", size(w).cast("long"))
+          .withColumn("stop_ratio",
+            size(filter(w, x => x.isin(STOPWORDS: _*))).cast("double") / size(w))
+          .filter(col("n_words") >= 30 && col("stop_ratio") > 0.01)
+        val keeps = exactDedup(kept, col("text"), col("doc_id"))
+          .select(col("keep_id").as("doc_id"))
+        val deduped = kept.join(keeps, "doc_id")
+        val decon = decontaminate(deduped,
+          docs.filter(col("doc_id") % 10 === 0), "text")
+        val mixed = decon
+          .withColumn("rate",
+            when(col("source") === "src0", 100)
+              .when(col("source").isin("src1", "src2", "src3"), 50)
+              .otherwise(20))
+          .filter((col("doc_id") % 1000003L) * 31L % 100L < col("rate"))
+        mixed
+          .select(((col("doc_id") % 1000003L) * 31L % 8L).as("shard"),
+            col("n_words"), col("doc_id"))
+          .groupBy("shard")
+          .agg(cnt.as("n_docs"), sum("n_words").as("n_tokens"),
+            sum("doc_id").as("id_sum"))
+          .orderBy("shard")
+      }),
+
     // ---- L5: Gopher-style quality-rule battery ---------------------------------
     Q("q_quality_rules", Some(
       """WITH w AS (
