@@ -31,6 +31,8 @@ object VectorOps {
     */
   private val ivfDemos =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfAppendDemos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Elementwise float→double, so arithmetic is double everywhere (matches
     * the oracle, avoids float32 summation drift).
@@ -588,6 +590,30 @@ object VectorOps {
     IvfIndex(cents, assigned)
   }
 
+  /** L18+: incremental maintenance of a stored IVF index — add a vector
+    * batch WITHOUT rebuild, the FAISS add-to-trained-index contract:
+    * centroids stay fixed, the batch is assigned in ONE scan with the
+    * stored centroids and lands `mode("append")` into the cell partitions,
+    * so probes keep reaching the parquet scan as partition filters over old
+    * and new files alike. With centroids held fixed, query results after an
+    * append EQUAL a from-scratch assignment of the union (law-tested) —
+    * recall drifts only as the DATA drifts from the trained quantizer,
+    * which is the caller's retrain trigger (rebuild + writeIvfIndex, a
+    * generation swap at the store layer). Delivery semantics are the
+    * caller's: appending the same batch twice duplicates it (wrap in the
+    * TableStore tick markers for exactly-once).
+    */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame): Unit = {
+    val idx = readIvfIndex(spark, dir)
+    val (flat, dim) = flatCents(idx.centroids)
+    val v = toDouble(col("embedding"))
+    newVectors.select(col("vec_id").as("neighbor_id"), v.as("tv"),
+      graft.functions.GraftFunctions
+        .nearestCentroid(v, flat, dim, euclidean = false).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
   /** Native signed-random-projection LSH for cosine near-dup pairs — pure
     * column expressions, same banded candidate pattern as
     * [[minhashPairsNative]].
@@ -905,6 +931,46 @@ object VectorOps {
           .select(col("query_id"), col("exact_top1"),
             (coalesce(col("hits"), lit(0L)) >= 4).as("recall_ok"))
           .orderBy("query_id")
+      }),
+
+    // ---- L18++: INCREMENTAL index maintenance — structural + recall laws -------
+    // Build + store the index on the LOW-ID HALF of the corpus only, then
+    // ivfAppend the high half (one assignment scan, fixed centroids,
+    // cell-partitioned append) and query the grown index. Laws: the grown
+    // index holds EXACTLY the corpus (append lost nothing — structural
+    // fact the oracle states as count(*)), and MEAN recall@5 over the
+    // 10-query audit vs the in-query exact brute force stays >= 0.8. Mean
+    // (not per-query like q_ann_ivf/q_ann_ivf_stored) because the
+    // quantizer deliberately trained on HALF the data — per-query recall
+    // of a degraded quantizer on isotropic vectors is binomial-noisy, and
+    // that degradation-vs-drift trade is exactly what the operator's
+    // retrain contract is about. Fixed-centroid result equality with a
+    // from-scratch union assignment is unit-tested directly.
+    Q("q_ann_ivf_append", Some(
+      """SELECT count(*) AS n_indexed, true AS mean_recall_ok
+        |FROM embeddings""".stripMargin),
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val half = emb.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+        val queries = emb.filter(col("vec_id") < 10)
+        val idxDir = ivfAppendDemos.computeIfAbsent(d, _ => {
+          val t = graft.query.Pipelines.demoRoot("graft_ivf_app").toString
+          writeIvfIndex(
+            buildIvfIndex(emb.filter(col("vec_id") <= half), nCells = 16), t)
+          ivfAppend(s, t, emb.filter(col("vec_id") > half))
+          t
+        })
+        val grown = readIvfIndex(s, idxDir)
+        val exact = bruteForceTopK(emb, queries, 5)
+        val approx = ivfQuery(grown, queries, 5, nProbe = 10)
+        val recall = exact.select("query_id", "neighbor_id")
+          .join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg((cnt / lit(10.0 * 5)).as("mean_recall"))
+        grown.assignments.agg(cnt.as("n_indexed"))
+          .crossJoin(recall)
+          .select(col("n_indexed"),
+            (col("mean_recall") >= 0.8).as("mean_recall_ok"))
       }),
 
     // ---- L3: LSH-bucketed ANN, oracled via its RECALL law -----------------------

@@ -135,6 +135,36 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
       new java.io.File(dir).getParentFile)
   }
 
+  test("ivfAppend: build-on-half + append-half EQUALS indexing everything " +
+    "at once under fixed centroids (L18 incremental law)") {
+    val emb = graft.query.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val low = emb.filter(col("vec_id") < 250)
+    val high = emb.filter(col("vec_id") >= 250)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/idx"
+    val built = VectorOps.buildIvfIndex(low)
+    VectorOps.writeIvfIndex(built, dir)
+    VectorOps.ivfAppend(spark, dir, high)
+    val grown = VectorOps.readIvfIndex(spark, dir)
+    // appended vectors are queryable...
+    val viaAppend = VectorOps.ivfQuery(grown, queries, k = 5, nProbe = 16)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaAppend.exists(_._2 >= 250), "appended vectors never surface")
+    // ...and with centroids FIXED, results equal a from-scratch assignment
+    // of the union against the SAME centroids
+    val v = VectorOps.toDouble(col("embedding"))
+    val unionAssigned = VectorOps.IvfIndex(built.centroids,
+      emb.select(col("vec_id").as("neighbor_id"), v.as("tv"),
+        graft.functions.GraftFunctions.nearestCentroid(
+          v, built.centroids.sortBy(_._1).flatMap(_._2),
+          built.centroids.head._2.length, euclidean = false).as("cell")))
+    val direct = VectorOps.ivfQuery(unionAssigned, queries, k = 5, nProbe = 16)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaAppend === direct)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("signature-store ticks: dedupIncrement + TableStore compose across batches (L17 e2e)") {
     import graft.store.TableStore
     val dir = java.nio.file.Files.createTempDirectory("sigstore").toString + "/sigs"
