@@ -150,9 +150,15 @@ object Clustering {
       .filter(VectorOps.cosine(col("__va"), col("__vb")) >= cosThreshold)
       .select(col("__id_b").as(idCol)).distinct()
       .withColumn("__dropped", lit(true))
-    assigned.join(dropped, Seq(idCol), "left")
+    val out = assigned.join(dropped, Seq(idCol), "left")
       .withColumn("keep", coalesce(!col("__dropped"), lit(true)))
       .drop("__dropped")
+      .localCheckpoint()
+    // deterministic release of the intermediate snapshot — long-lived
+    // sessions must not carry a corpus-sized block per invocation until GC
+    // (the result materialization above is the price of that release)
+    org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(assigned)
+    out
   }
 
   /** k-NN graph over an embedding corpus: for EVERY vector, its `k`
@@ -254,19 +260,19 @@ object Clustering {
         |FROM embeddings""".stripMargin),
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        // snapshot: the graph feeds both the structural aggregate and the
-        // recall audit (two concurrently-ready stages)
         val graph = knnGraph(emb, k = 5, nCells = 16, nProbe = 12)
-          .localCheckpoint()
         val queries = emb.filter(col("vec_id") < 50)
-        val found = VectorOps.bruteForceTopK(emb, queries, 5)
-          .select("query_id", "neighbor_id")
-          .join(graph.select("query_id", "neighbor_id"),
-            Seq("query_id", "neighbor_id"), "left_semi")
-          .agg((cnt / lit(50.0 * 5)).as("mean_recall"))
-        graph.agg(countDistinct("query_id").as("n_vertices"),
-            cnt.as("n_edges"))
-          .crossJoin(found)
+        // ONE pass over the graph serves both laws: the tiny exact edge
+        // set (50 x 5 rows) broadcasts onto the graph as a hit marker, and
+        // a single aggregate reads off vertex count, edge count, and the
+        // hit fraction — no snapshot, no second consumer
+        val exactPairs = VectorOps.bruteForceTopK(emb, queries, 5)
+          .select("query_id", "neighbor_id").withColumn("__hit", lit(1L))
+        graph.join(broadcast(exactPairs), Seq("query_id", "neighbor_id"),
+            "left")
+          .agg(countDistinct("query_id").as("n_vertices"), cnt.as("n_edges"),
+            (sum(coalesce(col("__hit"), lit(0L))) / lit(50.0 * 5))
+              .as("mean_recall"))
           .select(col("n_vertices"), col("n_edges"),
             (col("mean_recall") >= 0.8).as("mean_recall_ok"))
       }),
