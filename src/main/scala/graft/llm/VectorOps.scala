@@ -585,8 +585,18 @@ object VectorOps {
     val cents = spark.read.parquet(s"$dir/centroids")
       .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     // normalize the partition column's position/type back to the built shape
-    val assigned = spark.read.parquet(s"$dir/assignments")
+    val base = spark.read.parquet(s"$dir/assignments")
       .select(col("neighbor_id"), col("tv"), col("cell").cast("int").as("cell"))
+    // streaming appends (ivfAppendBatch) live under appends/batch=N/cell=M;
+    // `cell` remains a partition filter level there too, so probes prune
+    // files on both layouts
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    val fs = appendsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assigned = if (fs.exists(appendsPath)) {
+      base.unionByName(spark.read.parquet(s"$dir/appends")
+        .select(col("neighbor_id"), col("tv"),
+          col("cell").cast("int").as("cell")))
+    } else base
     IvfIndex(cents, assigned)
   }
 
@@ -612,6 +622,26 @@ object VectorOps {
       graft.functions.GraftFunctions
         .nearestCentroid(v, flat, dim, euclidean = false).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
+  /** IDEMPOTENT batch-keyed append for streaming index maintenance: batch
+    * `batchId`'s assignments land under `appends/batch=<id>/cell=...` with
+    * OVERWRITE of that batch directory, so a foreachBatch replay after a
+    * crash rewrites the same files instead of duplicating them —
+    * exactly-once index contents from an at-least-once sink, the same
+    * replay discipline as the ingest tick markers. [[readIvfIndex]] unions
+    * the appends in; cell stays a partition filter level on both layouts.
+    */
+  def ivfAppendBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batchId: Long, newVectors: DataFrame): Unit = {
+    val idx = readIvfIndex(spark, dir)
+    val (flat, dim) = flatCents(idx.centroids)
+    val v = toDouble(col("embedding"))
+    newVectors.select(col("vec_id").as("neighbor_id"), v.as("tv"),
+      graft.functions.GraftFunctions
+        .nearestCentroid(v, flat, dim, euclidean = false).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/appends/batch=$batchId")
   }
 
   /** Native signed-random-projection LSH for cosine near-dup pairs — pure

@@ -261,6 +261,28 @@ object EventStream {
     * semantics to the reference's hourly re-serve, without the manual
     * watermark bookkeeping.
     */
+  /** T∅ + L18++: CONTINUOUS ANN-index maintenance — every micro-batch of
+    * arriving vectors (vec_id, embedding) lands in the stored IVF index at
+    * `indexDir` through the fixed-centroid append path. The write is the
+    * IDEMPOTENT batch-keyed form ([[graft.llm.VectorOps.ivfAppendBatch]]):
+    * foreachBatch is at-least-once under crash recovery, and a replayed
+    * batch OVERWRITES its own `batch=<id>` directory instead of
+    * duplicating rows — exactly-once index contents, checkpoint-compatible.
+    * Queries against the index pick up new vectors at the next
+    * [[graft.llm.VectorOps.readIvfIndex]]; centroid drift under sustained
+    * appends is the caller's retrain trigger (rebuild + generation swap).
+    */
+  def maintainIvfIndex(vectors: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.VectorOps.ivfAppendBatch(
+          batch.sparkSession, indexDir, batchId, batch)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .start()
+
   def ingestStream(spark: SparkSession, landingDir: String, outDir: String,
       checkpointDir: String, table: String = "watch"): StreamingQuery = {
     val lines = spark.readStream

@@ -379,4 +379,42 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     assert(back.select("username").as[String].collect().toSet
       === Set("u1", "u2", "u3"))
   }
+
+  test("maintainIvfIndex: streamed vector batches become queryable; " +
+    "batch replay does not duplicate (T∅ + L18++ e2e)") {
+    import graft.llm.VectorOps
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.query.Tables(spark, sf("sf0.001"), "embeddings")
+    val dir = Files.createTempDirectory("ivfstream").toString + "/idx"
+    // index built + stored on the first 300 vectors
+    VectorOps.writeIvfIndex(
+      VectorOps.buildIvfIndex(emb.filter(col("vec_id") < 300)), dir)
+    // stream the remaining vectors in as two micro-batches
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val late = emb.filter(col("vec_id") >= 300)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val (b1, b2) = late.splitAt(late.length / 2)
+    val ckpt = Files.createTempDirectory("ivfstream_ck").toString
+    val q = EventStream.maintainIvfIndex(vecs, dir, ckpt)
+    mem.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val grown = VectorOps.readIvfIndex(spark, dir)
+    assert(grown.assignments.count() === emb.count())
+    // streamed vectors surface in queries
+    val res = VectorOps.ivfQuery(grown,
+        emb.filter(col("vec_id") < 5), k = 5, nProbe = 16)
+      .select("neighbor_id").as[Long].collect()
+    assert(res.exists(_ >= 300), "streamed vectors never surface")
+    // crash-replay discipline: re-running a batch id overwrites, never adds
+    VectorOps.ivfAppendBatch(spark, dir, 1L,
+      spark.createDataset(b2.toIndexedSeq).toDF("vec_id", "embedding"))
+    assert(VectorOps.readIvfIndex(spark, dir).assignments.count()
+      === emb.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
 }
