@@ -24,6 +24,7 @@ object SparkEntry {
     graft.llm.VectorOps.all ++
     graft.llm.Sampling.all ++
     graft.llm.Clustering.all ++
+    graft.llm.PhraseIndex.all ++
     graft.llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
