@@ -253,6 +253,55 @@ object ScaleProbe {
       }
     }
 
+    // ---- round-6 phrase index: build linear, search flat -------------------
+    // The claim: build is one map-only pass + partitioned write (linear in
+    // corpus); search reads ONLY the phrase's buckets + verifies a
+    // near-empty candidate set, so search wall-clock stays flat while the
+    // corpus (and the postings) grow 10x.
+    if (want("phrase")) for (copies <- Seq(1, 5, 10)) {
+      val d = replicateDocs(docs, copies).localCheckpoint()
+      val n = d.count()
+      val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+      java.nio.file.Files.createDirectories(base)
+      val dir = java.nio.file.Files
+        .createTempDirectory(base, "pprobe").toString
+      time(s"phrase index build    n=$n") {
+        graft.llm.PhraseIndex.buildPhraseIndex(d, dir)
+      }
+      val hits = time(s"phrase search         n=$n") {
+        graft.llm.PhraseIndex.phraseSearch(spark, dir, d, "key agg row")
+          .count()
+      }
+      println(s"    hits=$hits")
+      d.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+
+    // ---- round-6 incremental IVF append: tick cost vs index size -----------
+    // The claim: an append tick costs O(batch) — one assignment scan of the
+    // BATCH with stored centroids — so growing the existing index 10x must
+    // not grow the tick.
+    if (want("ivfappend")) {
+      val batch = emb.select((col("vec_id") + 900000000L).as("vec_id"),
+        col("embedding")).localCheckpoint()
+      val nb = batch.count()
+      for (copies <- Seq(1, 5, 10)) {
+        val e = replicateEmb(emb, copies)
+        val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+        java.nio.file.Files.createDirectories(base)
+        val dir = java.nio.file.Files
+          .createTempDirectory(base, "iaprobe").toString
+        graft.llm.VectorOps.writeIvfIndex(
+          graft.llm.VectorOps.buildIvfIndex(e), dir)
+        val ni = graft.llm.VectorOps.readIvfIndex(spark, dir)
+          .assignments.count()
+        time(s"ivf append tick (batch=$nb) index=$ni") {
+          graft.llm.VectorOps.ivfAppend(spark, dir, batch)
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      }
+    }
+
     // ---- z-order + footer-stats skipping at growing file counts ------------
     // The question at scale isn't the layout cost (a one-time compaction
     // write) but whether the skip RATIO holds as files multiply and whether
