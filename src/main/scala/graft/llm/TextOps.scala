@@ -568,6 +568,45 @@ object TextOps {
           x => x.getField("chunk")), " "), lit("")).as("text_clean"))
   }
 
+  /** L26: corpus-trained bigram language-model scoring — the CCNet-style
+    * statistical quality signal: documents whose word transitions are
+    * improbable under the corpus's own bigram distribution (gibberish,
+    * shuffled text, wrong-language fragments) score low; fluent text scores
+    * high. Per doc: mean over positions of
+    * `ln((C(w_i, w_{i+1}) + 1) / (C(w_i) + V))` — add-one-smoothed bigram
+    * log-likelihood, V = corpus vocabulary size.
+    *
+    * Scale shape: counts are two hash aggregates over ONE exploded pass
+    * each (map-side partials; keys are 8-byte xxhash64 word/bigram hashes —
+    * strings never shuffle); scoring joins each doc's bigram OCCURRENCES to
+    * the two count tables by hash (hash-keyed shuffle joins; at corpus
+    * scale the count tables are the smaller sides and AQE broadcasts them
+    * when they fit), then one doc_id-keyed mean. V is the one driver
+    * scalar (a count, like tf-idf's doc total). Docs with < 2 words have
+    * no transitions and drop out (the inner-join shape — same contract as
+    * the SQL definition).
+    */
+  def lmScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val wh = transform(ws, w => xxhash64(w))
+    val uc = df.select(explode(wh).as("__uh"))
+      .groupBy("__uh").agg(cnt.as("__cu"))
+    val bc = df.select(explode(ngramHashes(col(textCol), 2)).as("__bh"))
+      .groupBy("__bh").agg(cnt.as("__cb"))
+    val vocab = uc.count()
+    val occ = df.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(wh, lit(1), greatest(size(ws) - 1, lit(0))).as("u"),
+          ngramHashes(col(textCol), 2).as("b"))).as("__p"))
+      .select(col("doc_id"), col("__p.u").as("__uh"), col("__p.b").as("__bh"))
+    occ.join(uc, "__uh").join(bc, "__bh")
+      .select(col("doc_id"),
+        log((col("__cb") + lit(1.0)) / (col("__cu") + lit(vocab.toDouble)))
+          .as("__lp"))
+      .groupBy("doc_id")
+      .agg(cnt.as("n_bigrams"), round(avg("__lp"), 6).as("lm_score"))
+  }
+
   /** L8+: deterministic concat-and-split sequence packing — the step that
     * turns a cleaned corpus into fixed-budget training sequences. Documents
     * are laid end-to-end in (`partitionCols`, `orderCols`) order; each doc's
@@ -1134,6 +1173,32 @@ object TextOps {
         |   AND round(symbol_frac, 6) <= 0.05) AS keep
         |FROM m ORDER BY doc_id""".stripMargin),
       (s, d) => qualityRules(Tables(s, d, "documents")).orderBy("doc_id")),
+
+    // ---- L26: corpus-trained bigram LM quality score -----------------------------
+    // The oracle recomputes the identical add-one-smoothed bigram
+    // log-likelihood by bigram STRINGS; the engine shuffles 8-byte hashes —
+    // hash equality (with the score rounded to absorb summation-order ulps)
+    // proves the hashed substrate loses nothing.
+    Q("q_lm_score", Some(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS u FROM w),
+        |uc AS (SELECT u, count(*) AS cu FROM uni GROUP BY u),
+        |v AS (SELECT count(*) AS vs FROM uc),
+        |occ AS (
+        |  SELECT doc_id, p.u AS u, p.b AS b FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(ws) - 1),
+        |      i -> struct_pack(u := ws[i],
+        |                       b := array_to_string(ws[i:i+1], ' ')))) AS p
+        |    FROM w)),
+        |bc AS (SELECT b, count(*) AS cb FROM occ GROUP BY b),
+        |sc AS (
+        |  SELECT o.doc_id, ln((bc.cb + 1.0) / (uc.cu + v.vs)) AS lp
+        |  FROM occ o JOIN uc ON o.u = uc.u JOIN bc ON o.b = bc.b
+        |  CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS lm_score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => lmScore(Tables(s, d, "documents")).orderBy("doc_id")),
 
     // ---- L1 at paragraph grain: corpus-level chunk dedup -------------------------
     // (oracle partitions by chunk TEXT; the engine shuffles the 64-bit

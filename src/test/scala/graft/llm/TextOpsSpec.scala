@@ -359,6 +359,26 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.getString(3) == s"$seg $seg")
   }
 
+  test("lmScore: corpus-frequent transitions outscore gibberish; " +
+    "bigram accounting is exact; word-less docs drop out") {
+    // 10 fluent docs repeat the same transitions; doc 99 uses corpus WORDS
+    // in never-seen transitions (the shuffled-text failure mode)
+    val fluent = (1L to 10L).map(i => (i, "the quick brown fox jumps"))
+    val gibberish = Seq((99L, "jumps the fox quick brown"))
+    val short = Seq((100L, "single"))
+    val df = (fluent ++ gibberish ++ short).toDF("doc_id", "text")
+    val got = TextOps.lmScore(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // the 1-word doc has no transitions and is absent
+    assert(got.map(_._1) == (1L to 10L) :+ 99L)
+    // every 5-word doc contributes exactly 4 bigrams
+    assert(got.forall(_._2 == 4L))
+    val fluentScore = got.head._3
+    val gibberishScore = got.last._3
+    assert(gibberishScore < fluentScore,
+      s"gibberish $gibberishScore must score below fluent $fluentScore")
+  }
+
   test("packSequences: contiguous layout law and boundary straddle") {
     // per-partition law: offset+n_tokens of doc i lands exactly where
     // doc i+1 starts (seq_id*budget + seq_offset accumulate contiguously)
