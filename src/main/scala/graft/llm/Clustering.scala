@@ -84,9 +84,12 @@ object Clustering {
     val seeds = corpus.orderBy(idCol).limit(k)
       .select(col(vecCol)).collect().map(_.getSeq[Double](0))
     require(seeds.nonEmpty, s"k-means: no non-empty vectors in $vecCol")
+    // a corpus smaller than k seeds fewer clusters — clamp instead of
+    // indexing past the seed array (every row still gets a cluster)
+    val kEff = math.min(k, seeds.length)
     val dim = seeds.head.length
     var cents: IndexedSeq[(Int, Seq[Double])] =
-      seeds.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq
+      seeds.take(kEff).zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq
     for (_ <- 1 to iters) {
       val stats = corpus
         .select(clusterOf(cents)(col(vecCol)).as("cluster"),
@@ -94,14 +97,14 @@ object Clustering {
         .groupBy("cluster", "dim")
         .agg(sum("x").as("s"), cnt.as("n"))
         .collect()
-      val sums = Array.fill(k, dim)(0.0)
-      val ns = new Array[Long](k)
+      val sums = Array.fill(kEff, dim)(0.0)
+      val ns = new Array[Long](kEff)
       stats.foreach { r =>
         val c = r.getInt(0)
         sums(c)(r.getInt(1)) = r.getDouble(2)
         ns(c) = r.getLong(3)
       }
-      cents = IndexedSeq.tabulate(k) { i =>
+      cents = IndexedSeq.tabulate(kEff) { i =>
         if (ns(i) == 0L) (i, cents(i)._2)
         else (i, sums(i).toSeq.map(_ / ns(i)))
       }

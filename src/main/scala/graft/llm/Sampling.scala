@@ -73,6 +73,21 @@ object Sampling {
       .drop("__ord")
   }
 
+  /** Materialize the [[shardShuffle]] order as on-disk training shards —
+    * the artifact a trainer actually reads: `shard=<s>/` parquet
+    * directories whose rows are ALREADY in training order (one writer task
+    * per shard via the shard-keyed repartition, rows sorted by `pos`
+    * within it), so the reader streams each shard file sequentially with
+    * no sort. Deterministic end to end: re-running the write produces the
+    * identical layout.
+    */
+  def writeTrainingShards(df: org.apache.spark.sql.DataFrame, key: Column,
+      nShards: Int, dir: String, salt: Long = 0L): Unit =
+    shardShuffle(df, key, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
   // Oracle-twinned arithmetic bucket: DuckDB has no xxhash64, so the
   // SQL-verified query pins the split SEMANTICS (deterministic, disjoint,
   // covering, re-run stable) through a multiplicative hash both engines

@@ -48,6 +48,15 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(c1 == Seq(0.0, 0.0)) // kept its seed
   }
 
+  test("kmeansFit clamps k to the corpus size instead of crashing") {
+    val df = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(5.0, 5.0))).toDF("vec_id", "v")
+    val cents = Clustering.kmeansFit(df, k = 10, iters = 2)
+    assert(cents.length == 2)
+    val assigned = Clustering.kmeansAssign(df, cents)
+      .select("cluster").as[Int].collect().toSet
+    assert(assigned == Set(0, 1))
+  }
+
   test("clusterOf tie-break goes to the lowest cluster index") {
     val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(1.0, 0.0)))
     val df = Seq((0L, Seq(5.0, 3.0))).toDF("vec_id", "v")

@@ -47,6 +47,30 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert(s3.sortBy(_._1).toSeq !== s1.sortBy(_._1).toSeq)
   }
 
+  test("writeTrainingShards: one pre-sorted file per shard; reading a " +
+    "shard streams the training order with no sort") {
+    val df = spark.range(500).toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/t"
+    Sampling.writeTrainingShards(df, $"id", 4, dir)
+    val want = Sampling.shardShuffle(df, $"id", 4)
+      .select("shard", "pos", "id").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4)
+    for (sd <- shardDirs) {
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName}: expected one file per shard")
+      val shard = sd.getName.stripPrefix("shard=").toLong
+      // file order IS training order: no sort on read
+      val got = spark.read.parquet(files.head.toString)
+        .select("id").as[Long].collect().toSeq
+      assert(got == want(shard), s"shard $shard order mismatch")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("stratifiedTake: exactly k per stratum, stable, honors the order key") {
     val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("id", "parity")
