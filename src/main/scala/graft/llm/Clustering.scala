@@ -213,6 +213,29 @@ object Clustering {
       Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
+  /** L27: semantic clusters as CONNECTED COMPONENTS over the k-NN graph —
+    * the graph-native alternative to centroidal k-means: build the
+    * [[knnGraph]], keep edges at cosine >= `minCos`, and resolve components
+    * with the pointer-doubling min-label propagation the dedup stack
+    * already ships ([[TextOps.dedupClusters]] — O(log diameter) rounds,
+    * one shuffle per round). Unlike k-means it needs no k and finds
+    * arbitrarily-shaped clusters; the cluster id is the component's lowest
+    * vector id (deterministic). Output: (doc_id, cluster_id, keep) per
+    * vector — `keep` marks the component representative, so this doubles
+    * as a transitive-closure near-dup dedup (SemDeDup's within-cluster
+    * pairs, without the cluster prior).
+    *
+    * Scale shape = knnGraph's (bounded candidate fan-out, heap-plan
+    * ranking, id-only edges) + CC's (label frames of (id, id) pairs; edge
+    * set is k x corpus, never corpus^2).
+    */
+  def semanticClusters(corpus: DataFrame, kNeighbors: Int = 8,
+      nCells: Int = 16, nProbe: Int = 8, minCos: Double = 0.5): DataFrame =
+    TextOps.dedupClusters(
+      knnGraph(corpus, kNeighbors, nCells, nProbe)
+        .filter(col("cos") >= minCos)
+        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b")))
+
   /** Planted-group derivation shared by the q_kmeans / q_semantic_dedup
     * oracles (the q_embed_neardup pattern: ground truth is constructed
     * in-query so DuckDB can state the expected outcome exactly): group
@@ -278,6 +301,31 @@ object Clustering {
               .as("mean_recall"))
           .select(col("n_vertices"), col("n_edges"),
             (col("mean_recall") >= 0.8).as("mean_recall_ok"))
+      }),
+
+    // ---- L27: semantic clusters = CC over the k-NN graph -----------------------
+    // Planted ground truth: with the group derivation's separation, every
+    // vector's top-8 neighbors at cos >= 0.5 are same-group, so the
+    // components are EXACTLY the planted groups — and each component's id
+    // is its lowest vec_id, i.e. ids 0..3 land one per group, so the
+    // oracle can state cluster == g outright (a cross-group merge would
+    // collapse two groups onto one id and mismatch; a split would break
+    // single_component).
+    Q("q_semantic_clusters", Some(
+      """SELECT CAST(vec_id % 4 AS INT) AS g, count(*) AS n_members,
+        |  true AS single_component,
+        |  CAST(min(vec_id % 4) AS BIGINT) AS cluster
+        |FROM embeddings GROUP BY 1 ORDER BY g""".stripMargin),
+      (s, d) => {
+        val corpus = plantedGroups(Tables(s, d, "embeddings"))
+          .withColumnRenamed("v", "embedding")
+        semanticClusters(corpus)
+          .join(corpus.select(col("vec_id").as("doc_id"), col("g")), "doc_id")
+          .groupBy("g")
+          .agg(cnt.as("n_members"),
+            (countDistinct("cluster_id") === 1).as("single_component"),
+            min("cluster_id").as("cluster"))
+          .orderBy("g")
       }),
 
     // ---- L22: SemDeDup — cluster, then within-cluster near-dup removal ---------

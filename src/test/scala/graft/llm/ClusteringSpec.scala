@@ -142,6 +142,50 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("semanticClusters: CC over the kNN graph recovers planted " +
+    "components; representatives carry keep=true") {
+    val rows = (0 until 15).map { i =>
+      val g = i % 3
+      val v = Array(0.0f, 0.0f, 0.0f, 0.0f)
+      v(g) = 10.0f
+      v(3) = 0.01f * i
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cc = Clustering.semanticClusters(df, kNeighbors = 3, nCells = 3,
+        nProbe = 3, minCos = 0.5)
+      .select("doc_id", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(cc.length == 15)
+    // components == planted groups; cluster id == the group's lowest id
+    cc.foreach { case (id, cid, keep) =>
+      assert(cid == id % 3, s"vec $id in component $cid")
+      assert(keep == (id == cid))
+    }
+  }
+
+  test("Lloyd law: inertia is non-increasing over iterations") {
+    // pseudo-random 40 x 6-d corpus, no planted structure — the law must
+    // hold on arbitrary data
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(6)(j => math.sin(i * 13 + j * 7) * 5))
+    }
+    val df = rows.toDF("vec_id", "v")
+    def inertia(cents: Seq[(Int, Seq[Double])]): Double =
+      rows.map { case (_, v) =>
+        cents.map { case (_, c) =>
+          v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.min
+      }.sum
+    val byIter = (0 to 4).map(it =>
+      inertia(Clustering.kmeansFit(df, k = 4, iters = it)))
+    byIter.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next <= prev + 1e-9, s"inertia rose: $byIter")
+    }
+    // and it actually improves from the raw seeds on this data
+    assert(byIter.last < byIter.head)
+  }
+
   test("knnGraph on well-separated clusters matches the exact graph") {
     // 12 vectors in 3 planted clusters; with nCells=3 and nProbe=3 the
     // probe covers everything, so the IVF graph must EQUAL brute force
