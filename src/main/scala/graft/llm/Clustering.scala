@@ -319,7 +319,10 @@ object Clustering {
       (s, d) => {
         val corpus = plantedGroups(Tables(s, d, "embeddings"))
           .withColumnRenamed("v", "embedding")
-        semanticClusters(corpus)
+        // nProbe 4 (not the isotropic default 8): the planted corpus is
+        // strongly separated, so probed cells are group-pure and half the
+        // probes already see every same-group neighbor
+        semanticClusters(corpus, nProbe = 4)
           .join(corpus.select(col("vec_id").as("doc_id"), col("g")), "doc_id")
           .groupBy("g")
           .agg(cnt.as("n_members"),

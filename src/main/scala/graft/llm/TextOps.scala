@@ -1174,6 +1174,44 @@ object TextOps {
         |FROM m ORDER BY doc_id""".stripMargin),
       (s, d) => qualityRules(Tables(s, d, "documents")).orderBy("doc_id")),
 
+    // ---- A7+/L28: Count-Min heavy hitters — the mergeable frequency sketch ------
+    // The frequency-side companion to the HLL distinct sketch
+    // (q_distinct_sketch): a CMS over every word occurrence answers "how
+    // often does X appear" from fixed bytes per partition, merged
+    // counter-wise (commutative — merge order can't change estimates,
+    // which keeps the law deterministic under Spark's partition-order
+    // nondeterminism). Law, per exact top-10 word: overestimate-only and
+    // within eps x N — the classic CMS guarantee. DuckDB states the exact
+    // top-10 and the expected outcome.
+    Q("q_heavy_hitters", Some(
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w
+        |      ORDER BY cnt DESC, w LIMIT 10)
+        |SELECT w AS word, cnt, true AS est_ok FROM c
+        |ORDER BY cnt DESC, word""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val eps = 0.001
+        val wordsDf = Tables(s, d, "documents")
+          .select(explode(words(col("text"))).as("w"))
+          .localCheckpoint() // one tokenize pass feeds sketch + exact + N
+        val n = wordsDf.count()
+        val sketch = wordsDf.stat.countMinSketch("w", eps = eps,
+          confidence = 0.99, seed = 42)
+        val top = wordsDf.groupBy("w").agg(cnt.as("cnt"))
+          .orderBy(desc("cnt"), asc("w")).limit(10)
+          .as[(String, Long)].collect()
+        val out = top.toSeq.map { case (w, c) =>
+          val est = sketch.estimateCount(w)
+          (w, c, est >= c && est <= c + (eps * n).toLong)
+        }
+        val res = out.toDF("word", "cnt", "est_ok")
+          .orderBy(desc("cnt"), asc("word"))
+        org.apache.spark.sql.graft.ColumnBridge
+          .releaseLocalCheckpoint(wordsDf)
+        res
+      }),
+
     // ---- L26: corpus-trained bigram LM quality score -----------------------------
     // The oracle recomputes the identical add-one-smoothed bigram
     // log-likelihood by bigram STRINGS; the engine shuffles 8-byte hashes —

@@ -359,6 +359,29 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.getString(3) == s"$seg $seg")
   }
 
+  test("CMS mergeability: per-partition sketches merged == one global " +
+    "sketch, and estimates overcount only") {
+    val df = (1L to 400L)
+      .map(i => (i, if (i % 2 == 0) "srcA" else "srcB",
+        s"w${i % 7} w${i % 3} common"))
+      .toDF("doc_id", "source", "text")
+    val wordsDf = df.select(col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val global = wordsDf.stat.countMinSketch("w", 0.001, 0.99, 42)
+    val merged = wordsDf.filter(col("source") === "srcA")
+      .stat.countMinSketch("w", 0.001, 0.99, 42)
+    merged.mergeInPlace(
+      wordsDf.filter(col("source") === "srcB")
+        .stat.countMinSketch("w", 0.001, 0.99, 42))
+    val vocab = (0 until 7).map(j => s"w$j") :+ "common"
+    vocab.foreach { w =>
+      assert(merged.estimateCount(w) == global.estimateCount(w),
+        s"merge changed the estimate for '$w'")
+      val exact = wordsDf.filter(col("w") === w).count()
+      assert(global.estimateCount(w) >= exact, s"CMS undercounted '$w'")
+    }
+  }
+
   test("lmScore: corpus-frequent transitions outscore gibberish; " +
     "bigram accounting is exact; word-less docs drop out") {
     // 10 fluent docs repeat the same transitions; doc 99 uses corpus WORDS
