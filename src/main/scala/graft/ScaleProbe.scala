@@ -207,6 +207,10 @@ object ScaleProbe {
         graft.llm.TextOps.boilerplateRemove(d, segSize = 8, minDocs = 2)
           .write.format("noop").mode("overwrite").save()
       }
+      time(s"lm score              n=$n") {
+        graft.llm.TextOps.lmScore(d)
+          .write.format("noop").mode("overwrite").save()
+      }
       d.unpersist()
     }
 

@@ -634,6 +634,9 @@ object VectorOps {
     */
   def ivfAppendBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
       batchId: Long, newVectors: DataFrame): Unit = {
+    // an empty micro-batch must not write a file-less batch directory —
+    // parquet schema inference over it would poison every later index read
+    if (newVectors.isEmpty) return
     val idx = readIvfIndex(spark, dir)
     val (flat, dim) = flatCents(idx.centroids)
     val v = toDouble(col("embedding"))
