@@ -19,6 +19,8 @@ object SparkEntry {
     graft.query.JsonQueries.all ++
     graft.query.Pipelines.all ++
     graft.query.Bucketed.all ++
+    graft.query.Cdc.all ++
+    graft.query.Graph.all ++
     graft.plans.PlanQueries.all ++
     graft.llm.TextOps.all ++
     graft.llm.VectorOps.all ++

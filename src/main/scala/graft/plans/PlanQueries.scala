@@ -65,6 +65,33 @@ object PlanQueries {
         TopK.perKey(counts, Seq("lang"),
             Seq(col("cnt").desc, col("ngram").asc), k = 5)
           .orderBy(col("lang"), col("cnt").desc, col("ngram"))
+      }),
+
+    // Latest row per key — the argmax/SCD-current-version idiom ("newest
+    // document version per URL", "latest event per user") as the k=1
+    // degenerate case of the heap plan. This is the single most common
+    // window query in curation pipelines, and the window form is at its
+    // WORST here: every historical version shuffles and sorts to keep one
+    // row per key, while the heap plan's map-side pass forwards exactly
+    // one candidate per key per partition. Tiebreak on event_id keeps the
+    // result unique (two events can share a timestamp).
+    Q("q_latest_version", Some(
+      """SELECT user_id, event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id) AS rn
+        |  FROM events) t WHERE rn = 1
+        |ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select("user_id", "event_id", "ts", "event_type")
+        TopK.perKey(ev, Seq("user_id"),
+            Seq(col("ts").desc, col("event_id").asc), k = 1)
+          .select(col("user_id"), col("event_id"),
+            Tables.tsSec(col("ts")).as("ts_s"), col("event_type"))
+          .orderBy("user_id")
       })
   )
 }

@@ -199,5 +199,72 @@ object Functions {
         .select("event_type", "exact_p50", "exact_p99",
           "p50_in_band", "p99_in_band")
         .orderBy("event_type"))
+  ) ++ Profile.all
+}
+
+/** One-pass table profiling (the `ANALYZE TABLE` / data-quality sweep every
+  * curation pipeline runs before training): per-column null count, exact
+  * distinct count, and min/max, computed in ONE statement over ONE scan of
+  * the table — the wide aggregate row is then pivoted to long form with a
+  * row-local explode, so profiling N columns never re-reads the table N
+  * times (the naive per-column loop DOES, and at 100 TB that is N full
+  * scans).
+  *
+  * Scale note: the exact multi-column `countDistinct` plans through
+  * Catalyst's Expand (one shuffled replica of the scan per distinct
+  * column) — exactness is the oracle contract here; the one-pass scale
+  * path swaps in `approx_count_distinct` (HLL, no Expand), already
+  * verified under `q_approx_distinct`.
+  */
+object Profile {
+
+  private val numCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  private val strCols = Seq("l_returnflag", "l_linestatus")
+
+  val all: Seq[Q] = Seq(
+    Q("q_profile", Some {
+      val parts = numCols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      } ++ strCols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  min($c) AS min_str, max($c) AS max_str
+           |FROM lineitem""".stripMargin
+      }
+      parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val aggs = (numCols ++ strCols).flatMap { c =>
+          Seq((cnt - count(col(c))).as(s"${c}__nn"),
+            countDistinct(col(c)).as(s"${c}__nd"))
+        } ++ numCols.flatMap { c =>
+          Seq(min(col(c)).cast("double").as(s"${c}__mn"),
+            max(col(c)).cast("double").as(s"${c}__mx"))
+        } ++ strCols.flatMap { c =>
+          Seq(min(col(c)).as(s"${c}__mns"), max(col(c)).as(s"${c}__mxs"))
+        }
+        val wide = li.agg(aggs.head, aggs.tail: _*)
+        val rows = numCols.map { c =>
+          struct(lit(c).as("col_name"), col(s"${c}__nn").as("n_nulls"),
+            col(s"${c}__nd").as("n_distinct"),
+            col(s"${c}__mn").as("min_num"), col(s"${c}__mx").as("max_num"),
+            lit(null).cast("string").as("min_str"),
+            lit(null).cast("string").as("max_str"))
+        } ++ strCols.map { c =>
+          struct(lit(c).as("col_name"), col(s"${c}__nn").as("n_nulls"),
+            col(s"${c}__nd").as("n_distinct"),
+            lit(null).cast("double").as("min_num"),
+            lit(null).cast("double").as("max_num"),
+            col(s"${c}__mns").as("min_str"), col(s"${c}__mxs").as("max_str"))
+        }
+        wide.select(explode(array(rows: _*)).as("p"))
+          .select("p.*").orderBy("col_name")
+      })
   )
 }

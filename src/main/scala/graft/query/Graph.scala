@@ -1,0 +1,159 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Q
+import Tables.cnt
+
+/** Iterative graph analytics over edge frames (SURVEY.md §2.11 G1).
+  *
+  * The dedup stack already runs one graph algorithm (pointer-doubling
+  * connected components, `VectorOps.dedupClusters`); this adds the other
+  * canonical iterate-until-k message-passing shape — weighted PageRank —
+  * as a generic operator over (src, dst, w) edge frames. In the
+  * reference's domain this ranks repositories by weighted activity flow
+  * ("popular repositories from recent activity", `gha.ipynb:395`, beyond
+  * raw counts); in a curation pipeline it is reference-rank over a
+  * citation/link graph, the classic quality prior.
+  *
+  * Scale shape per iteration: ranks join edges on src (sort-merge/AQE;
+  * both sides shuffle on the SAME key every round, so exchange reuse
+  * keeps the edge side's shuffle files warm across iterations), then one
+  * hash aggregate by dst whose map-side partials bound the exchange at
+  * distinct-dst x partitions rows. Nothing ever collects to the driver —
+  * ranks live as a frame (node count rows), exactly the GraphX/Pregel
+  * data layout without the RDD API.
+  *
+  * Cross-engine determinism (the oracle contract): ranks are carried as
+  * INTEGERS scaled by 10^14 — each per-edge contribution is computed in
+  * DOUBLE (IEEE ops are bit-identical in any engine given identical
+  * operand order), `round()`ed to a whole scaled unit (both engines round
+  * half away from zero), and summed as int64, which is exact and
+  * order-independent. A double sum would vary with partition-dependent
+  * summation order, and decimal QUANTIZATION is engine-specific (DuckDB
+  * casts double->decimal through a float multiply, Spark through the
+  * exact binary expansion — they disagree by one last-place quantum often
+  * enough to break an 8-round fixpoint; integer round() after an
+  * identical float expression cannot). That makes 8 iterations of float
+  * arithmetic hash-comparable across Spark and DuckDB — `sumMoney`'s
+  * fixed-point trick applied to message passing. Headroom: total mass is
+  * ~10^14 scaled units, ~2^47 — per-dst sums stay far inside int64.
+  */
+object Graph {
+
+  /** Fixed-point scale for rank mass: 14 decimal digits. */
+  private val SCALE = 1e14
+
+  /** Weighted PageRank. `edges`: (src, dst, w: numeric weight > 0);
+    * `nodes`: (node) — every rankable vertex, including sinks with no
+    * out-edges (their mass leaks, the standard simple formulation).
+    * Returns (node, rank: BIGINT scaled by 10^14 — divide by 1e14 for the
+    * [0,1] rank) after `iters` rounds of
+    * r(v) = (1-damping)/N + damping * sum_{u->v} w(u,v)/outw(u) * r(u).
+    *
+    * `nNodes` is the caller-supplied vertex count when known a priori
+    * (avoids a count job); pass None to have it counted.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
+      damping: Double = 0.85, nNodes: Option[Long] = None): DataFrame = {
+    require(iters >= 1, "pageRank needs >=1 iteration")
+    val n = nNodes.getOrElse(nodes.count())
+    require(n > 0, "pageRank over an empty vertex set")
+    // outw once, stapled to each edge; checkpointed so the 8-iteration
+    // lazy plan re-reads blocks instead of re-running the join per round
+    val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+    val e = edges.join(outw, "src")
+      .select("src", "dst", "w", "outw").localCheckpoint()
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    try {
+      val teleport = lit(math.round((1.0 - damping) / n * SCALE))
+      // LAZY checkpoint per round (the dedupClusters pattern): lineage
+      // truncates every iteration — the plan never grows to iters-deep
+      // join nesting — while materialization cascades once, at the final
+      // eager checkpoint, instead of paying a scheduler round-trip per
+      // round. Superseded rounds' blocks release deterministically below.
+      var ranks = nodes
+        .select(col("node"), lit(math.round(1.0 / n * SCALE)).as("rank"))
+        .localCheckpoint(eager = false)
+      val rounds = scala.collection.mutable.ArrayBuffer(ranks)
+      for (_ <- 1 to iters) {
+        val contribs = e.join(ranks.select(col("node"), col("rank")),
+            e("src") === col("node"))
+          .select(col("dst"),
+            round(lit(damping) * col("rank").cast("double") * col("w") / col("outw"))
+              .cast("long").as("c"))
+          .groupBy("dst").agg(sum("c").as("m"))
+        ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+          .select(col("node"),
+            (teleport + coalesce(col("m"), lit(0L))).as("rank"))
+          .localCheckpoint(eager = false)
+        rounds += ranks
+      }
+      val out = ranks.localCheckpoint() // eager: one job materializes the chain
+      rounds.foreach(bridge.releaseLocalCheckpoint) // out is independent of them
+      out
+    } finally {
+      bridge.releaseLocalCheckpoint(e)
+    }
+  }
+
+  /** The DuckDB twin of one pageRank run, unrolled (recursive CTEs forbid
+    * aggregation in the recursive term, so the iterations chain as CTEs).
+    */
+  private def pageRankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST(round(CAST(0.15 AS DOUBLE) / 25 * 1e14) AS BIGINT) +
+         |      coalesce(s.m, 0) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, CAST(sum(CAST(round(CAST(0.85 AS DOUBLE)
+         |        * CAST(r.rank AS DOUBLE) * e.w / e.outw) AS BIGINT)) AS BIGINT) AS m
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst
+         |  ) s ON n.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY 1),
+       |e AS (SELECT edges.src, dst, w, outw FROM edges JOIN outw ON edges.src = outw.src),
+       |nodes AS (SELECT n_nationkey AS node FROM nation),
+       |r0 AS (SELECT node, CAST(round(CAST(1.0 AS DOUBLE) / 25 * 1e14) AS BIGINT) AS rank
+       |       FROM nodes),
+       |$steps
+       |SELECT node, CAST(rank AS DOUBLE) / 1e14 AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- G1: PageRank over the nation trade graph ------------------------------
+    // Edge extraction is the 100 TB part: lineitem x orders x customer x
+    // supplier folded to (customer-nation -> supplier-nation, shipment
+    // count) — the graph "who buys from whom, how much". 8 rank rounds
+    // then run on the aggregated edges. Hash equality across 8 rounds of
+    // message passing pins the decimal-quantized float contract above.
+    Q("q_pagerank", Some(pageRankSql(8)),
+      (s, d) => {
+        val li = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        val c = Tables(s, d, "customer").select("c_custkey", "c_nationkey")
+        val su = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val edges = li
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
+          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .agg(cnt.as("w"))
+        val nodes = Tables(s, d, "nation")
+          .select(col("n_nationkey").as("node"))
+        pageRank(edges, nodes, iters = 8, nNodes = Some(25))
+          .select(col("node"), (col("rank").cast("double") / lit(1e14)).as("rank"))
+          .orderBy("node")
+      })
+  )
+}

@@ -26,6 +26,10 @@ object Pipelines {
     new java.util.concurrent.ConcurrentHashMap[String, CompactDemo]()
   private val zorderDemos =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mergeDemos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val bloomDemos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Shared by every session-scoped demo store (compact/z-order here, the
     * stored-IVF index in VectorOps): a temp dir under target/tmp, removed
@@ -136,6 +140,92 @@ object Pipelines {
         Seq((nParts, rows, demo.before > demo.after, demo.after == nParts))
           .toDF("n_partitions", "rows", "files_reduced",
             "one_file_per_partition")
+      }),
+
+    // ---- S8b: Bloom-sidecar equality file skipping ------------------------------
+    // The store is z-laid on (user_id, value), so event_id SCATTERS across
+    // files — per-file [min,max] on event_id straddles every probe and the
+    // stats sidecar can prune nothing; the 8 KiB-per-file Bloom sidecar
+    // answers "can this file hold id v?" and drops the rest (skip evidence
+    // pinned in BloomSpec). The timed path is the point-lookup read: probe
+    // the sidecar, read the surviving files, row-filter. Oracle = the
+    // plain IN filter: pruning must be invisible to results.
+    Q("q_bloom_scan", Some(
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id IN (17, 251, 733)
+        |ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val dir = bloomDemos.computeIfAbsent(d, _ => {
+          val t = demoRoot("graft_bloom").toString + "/events_b"
+          val ev = Tables(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("value"),
+              to_date(col("ts")).as("date"))
+            .repartition(4)
+          TableStore.append(ev, t)
+          TableStore.compact(s, t, zorderBy = Seq("user_id", "value"),
+            targetFileBytes = 64L * 1024)
+          graft.store.BloomSkip.write(s, t, Seq("event_id"))
+          t
+        })
+        val probes = Seq(17L, 251L, 733L)
+        graft.store.BloomSkip.readPrunedEq(s, dir, "event_id", probes).df
+          .filter(col("event_id").isin(probes: _*))
+          .select("event_id", "user_id", "value")
+          .orderBy("event_id")
+      }),
+
+    // ---- S13: row-level MERGE (upsert-by-key) into the partitioned store --------
+    // Build the events store once (session-scoped), then the TIMED path is
+    // the merge itself: a batch of updates (value bump, type rewrite) and
+    // inserts (fresh keys) confined to the first 7 of 30 date partitions.
+    // Only those 7 partitions are read and rewritten (MergeSpec pins the
+    // untouched-partition files byte-identical); the match is an anti-join
+    // against the broadcast batch keys. The oracle recomputes the merged
+    // state from the raw table (base minus matched keys, plus updates,
+    // plus inserts) — hash equality proves Delta-MERGE row semantics.
+    // Re-merging the same deterministic batch is a state-level no-op, so
+    // bench reruns time a real merge against an already-merged store.
+    Q("q_merge_upsert", Some(
+      """WITH upd AS (
+        |  SELECT event_id, user_id, 'updated' AS event_type, value + 1000 AS value,
+        |         CAST(ts AS DATE) AS date
+        |  FROM events WHERE event_id % 37 = 0 AND CAST(ts AS DATE) <= DATE '2024-01-07'),
+        |ins AS (
+        |  SELECT event_id + 100000000 AS event_id, user_id, 'inserted' AS event_type,
+        |         value, CAST(ts AS DATE) AS date
+        |  FROM events WHERE event_id % 41 = 0 AND CAST(ts AS DATE) <= DATE '2024-01-07'),
+        |base AS (
+        |  SELECT event_id, user_id, event_type, value, CAST(ts AS DATE) AS date
+        |  FROM events
+        |  WHERE NOT (event_id % 37 = 0 AND CAST(ts AS DATE) <= DATE '2024-01-07')),
+        |merged AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT event_type, count(*) AS n,
+        |       count(DISTINCT date) AS n_dates,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        def ev = Tables(s, d, "events").select(
+          col("event_id"), col("user_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("date"))
+        val dir = mergeDemos.computeIfAbsent(d, _ => {
+          val t = demoRoot("graft_merge").toString + "/events_m"
+          TableStore.append(ev.repartition(4), t)
+          t
+        })
+        val cutoff = lit("2024-01-07").cast("date")
+        val upd = ev.filter(col("event_id") % 37 === 0 && col("date") <= cutoff)
+          .withColumn("event_type", lit("updated"))
+          .withColumn("value", col("value") + 1000)
+        val ins = ev.filter(col("event_id") % 41 === 0 && col("date") <= cutoff)
+          .withColumn("event_id", col("event_id") + 100000000L)
+          .withColumn("event_type", lit("inserted"))
+        TableStore.merge(s, upd.unionByName(ins), dir, Seq("event_id"))
+        TableStore.read(s, dir)
+          .groupBy("event_type")
+          .agg(cnt.as("n"), countDistinct("date").as("n_dates"),
+            sum("event_id").as("sum_id"))
+          .orderBy("event_type")
       }),
 
     // ---- Z-order compaction + footer-stats data skipping e2e --------------------

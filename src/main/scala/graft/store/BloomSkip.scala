@@ -1,0 +1,157 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter sidecar for EQUALITY-predicate file skipping (S8b in
+  * SURVEY.md §2.1) — the Delta/Iceberg bloom-index analog for the
+  * generation store.
+  *
+  * The `_stats` min/max sidecar ([[TableStore.readPruned]]) proves absence
+  * only for RANGE predicates over clustered layouts; a point lookup on a
+  * high-cardinality UNCLUSTERED column ("fetch these 3 document ids out of
+  * 100 TB") finds every file's [min,max] straddling the probe and prunes
+  * nothing. A per-file Bloom filter answers "can this file contain value
+  * v?" probabilistically-no/definitely-maybe: false positives only cost
+  * extra files read, never correctness — the same conservative contract as
+  * the stats sidecar.
+  *
+  * Layout: one row per (file, col) with a fixed 8 KiB bitset
+  * (`bloom_g<N>` sibling of the generation dir, same hidden-from-readers
+  * reasoning as `stats_g<N>`). Build is one distributed scan of the
+  * indexed columns — per-file bitsets compose as an associative/
+  * commutative OR `Aggregator`, so map-side partials apply and nothing
+  * driver-sized materializes. The probe path reads ONLY the sidecar: probe
+  * positions are derived driver-side (same `XXH64` kernel the build uses)
+  * and compiled into bit-test column expressions, so the keep/drop verdict
+  * computes inside the sidecar scan and only the dropped-file list reaches
+  * the driver — O(files) strings, never O(files x 8 KiB) bitsets.
+  *
+  * 8 KiB x 5 probes holds ~6k distinct values/file at <1% false-positive —
+  * sized for compacted files carrying high-cardinality ids; a hotter
+  * column (more distinct per file) degrades toward keep-everything,
+  * never toward wrong results.
+  */
+object BloomSkip {
+
+  /** Bits per (file, col) filter: 2^16 = 8 KiB. */
+  val Bits = 1 << 16
+  /** Probes per value. */
+  val K = 5
+
+  private def bloomPath(dataDir: String): Path = {
+    val p = new Path(dataDir)
+    new Path(p.getParent, s"bloom_${p.getName}")
+  }
+
+  /** Probe position `i` for value `v` — MUST match between build (executor
+    * side, via the aggregator) and probe (driver side, compiled into the
+    * sidecar query): Spark's own public XXH64 kernel seeded by the probe
+    * index.
+    */
+  private[store] def position(v: Long, i: Int): Int =
+    (((XXH64.hashLong(v, i.toLong) % Bits) + Bits) % Bits).toInt
+
+  /** Per-group Bloom bitset of long values: fixed 1024-long buffer, OR to
+    * merge — associative + commutative, so it partial-aggregates map-side
+    * like a sum.
+    */
+  private class BloomAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, Array[Long], Array[Long]] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    override def zero: Array[Long] = new Array[Long](Bits / 64)
+    override def reduce(b: Array[Long], v: java.lang.Long): Array[Long] = {
+      if (v != null) {
+        var i = 0
+        while (i < K) {
+          val p = position(v, i)
+          b(p >>> 6) |= 1L << (p & 63)
+          i += 1
+        }
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder()
+  }
+
+  /** Build (or rebuild) the Bloom sidecar for `cols` (long-typed id
+    * columns) over the CURRENT generation's files. One distributed scan
+    * per indexed column; file paths stored relative to the generation dir
+    * (the stats-sidecar convention — the sidecar survives a directory
+    * move and swaps/vacuums with its generation).
+    */
+  def write(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "bloom sidecar needs >=1 column")
+    val dataDir = TableStore.resolveDataDir(spark, dir)
+    val f = dataDirFs(spark, dataDir)
+    val qualBase = f.makeQualified(new Path(dataDir)).toString
+    val agg = udaf(new BloomAgg)
+    val perCol = cols.map { c =>
+      spark.read.parquet(dataDir)
+        .select(input_file_name().as("file"), col(c).cast("long").as("v"))
+        .groupBy("file").agg(agg(col("v")).as("bits"))
+        .withColumn("col", lit(c))
+    }
+    val rel = regexp_replace(col("file"),
+      lit(java.util.regex.Pattern.quote(qualBase + "/")), lit(""))
+    perCol.reduce(_ unionByName _)
+      .select(rel.as("file"), col("col"), col("bits"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(bloomPath(dataDir).toString)
+  }
+
+  /** Equality-pruned read: keep only files whose Bloom filter admits at
+    * least one probe value (files without a sidecar row — e.g. appended
+    * after the last [[write]] — are kept, conservative). The caller still
+    * applies the row filter; pruning is a superset guarantee.
+    */
+  def readPrunedEq(spark: SparkSession, dir: String, colName: String,
+      values: Seq[Long]): TableStore.PrunedRead = {
+    require(values.nonEmpty, "readPrunedEq needs >=1 probe value")
+    val dataDir = TableStore.resolveDataDir(spark, dir)
+    val f = dataDirFs(spark, dataDir)
+    val bp = bloomPath(dataDir)
+    val files = TableStore.listParquet(spark, dataDir)
+    val kept =
+      if (f.exists(new Path(bp, "_SUCCESS"))) {
+        // one value MAY be present iff all K of its bits are set; a file
+        // survives iff ANY value may be present. Positions are literals —
+        // the whole verdict is a codegen'd boolean over the bits array.
+        def mayContain(v: Long): Column =
+          (0 until K).map { i =>
+            val p = position(v, i)
+            (element_at(col("bits"), p / 64 + 1)
+              .bitwiseAND(lit(1L << (p & 63)))) =!= 0L
+          }.reduce(_ && _)
+        val admits = values.map(mayContain).reduce(_ || _)
+        val dropped = spark.read.parquet(bp.toString)
+          .filter(col("col") === colName && !admits)
+          .select("file").collect().iterator
+          .map(r => f.makeQualified(new Path(dataDir, r.getString(0))).toString)
+          .toSet
+        files.filterNot(dropped)
+      } else files
+    val df =
+      if (files.isEmpty) spark.read.parquet(dataDir)
+      else if (kept.isEmpty)
+        spark.read.option("basePath", dataDir).parquet(files.head)
+          .where(lit(false))
+      else spark.read.option("basePath", dataDir).parquet(kept: _*)
+    TableStore.PrunedRead(df, kept.size, files.size, statsSource = "bloom")
+  }
+
+  private def dataDirFs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

@@ -142,6 +142,52 @@ object TableStore {
     if (!f.exists(marker)) f.create(marker).close()
   }
 
+  /** S13: row-level MERGE (Delta `MERGE INTO ... WHEN MATCHED UPDATE ALL /
+    * WHEN NOT MATCHED INSERT ALL` with partition-local keys) — the upsert
+    * depth the reference's Delta store exposes but never uses (its tables
+    * are append-only, `preprocess.py:165-175`). `updates` must carry the
+    * `date` partition column; rows replace existing rows sharing the same
+    * `keyCols` value IN THE SAME PARTITION, or insert otherwise.
+    *
+    * CONTRACT: the logical key is (`date`, keyCols) — a row never moves
+    * between partitions via merge. An update that changes a row's date is
+    * an insert into the new partition; the old row must be removed by the
+    * caller (dropPartition / a tombstone batch). This is the standard
+    * partition-scoped upsert: it lets the merge touch ONLY the partitions
+    * named by the batch instead of scanning the table for matches.
+    *
+    * Scale shape: touched dates come off the (small) batch — one distinct
+    * collect bounded by the batch's date spread; only those partitions are
+    * read and rewritten (dynamic partition overwrite); the match is a
+    * LEFT ANTI join of the touched slice against the batch keys, which AQE
+    * broadcasts while the batch fits (the usual regime — a merge batch is
+    * hours of data, the table is years). Untouched partitions are never
+    * read, never written. Idempotent: re-merging the same batch is a no-op
+    * state-wise.
+    */
+  def merge(spark: SparkSession, updates: DataFrame, dir: String,
+      keyCols: Seq[String]): Unit = {
+    require(updates.columns.contains("date"), "merge: updates need a `date` column")
+    require(keyCols.nonEmpty && keyCols.forall(updates.columns.contains),
+      s"merge: key columns ${keyCols.mkString(",")} must exist in the batch")
+    import org.apache.spark.sql.functions.col
+    val batch = updates.localCheckpoint() // read once: touched-date scan + anti-join probe + union
+    try {
+      val touched = batch.select("date").distinct().collect().map(_.get(0))
+      if (touched.isEmpty) return
+      val cols = batch.columns.toSeq
+      val current = read(spark, dir)
+        .filter(col("date").isin(touched: _*))
+        .select(cols.map(col): _*)
+      val joinKeys = "date" +: keyCols
+      val survivors = current.join(batch.select(joinKeys.map(col): _*),
+        joinKeys, "left_anti")
+      upsertPartitions(spark, survivors.unionByName(batch), dir)
+    } finally {
+      org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(batch)
+    }
+  }
+
   /** Remove one `date=` partition entirely (recovery path for a partition
     * whose every row came from a rolled-back batch).
     */
@@ -501,7 +547,7 @@ object TableStore {
     case _ => None
   }
 
-  private def listParquet(spark: SparkSession, dir: String): Seq[String] =
+  private[store] def listParquet(spark: SparkSession, dir: String): Seq[String] =
     listParquetStatus(spark, dir).map(_._1)
 
   /** Recursive (path, bytes) of every parquet DATA file under `dir` —

@@ -1,0 +1,83 @@
+package graft.store
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+/** S8b Bloom-sidecar equality skipping. */
+class BloomSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, "bloom").toString
+  }
+
+  /** A store whose id space is SCATTERED across date partitions (id % 4
+    * picks the date), so min/max covers everything and only the bloom can
+    * prune.
+    */
+  private def scatteredStore(): String = {
+    val dir = tmpDir() + "/t"
+    val df = (0L until 4000L).map { i =>
+      (i, s"p$i", java.sql.Date.valueOf(s"2024-01-0${i % 4 + 1}"))
+    }.toDF("id", "payload", "date")
+    TableStore.append(df.repartition(4), dir)
+    TableStore.compact(spark, dir)
+    BloomSkip.write(spark, dir, Seq("id"))
+    dir
+  }
+
+  test("bloom prune keeps the files holding the probe ids, loses no rows") {
+    val dir = scatteredStore()
+    val probes = Seq(17L, 1031L, 3999L)
+    val pr = BloomSkip.readPrunedEq(spark, dir, "id", probes)
+    assert(pr.statsSource === "bloom")
+    assert(pr.filesKept < pr.filesTotal,
+      s"no skipping: kept ${pr.filesKept}/${pr.filesTotal}")
+    val got = pr.df.filter($"id".isin(probes: _*))
+      .select("id", "payload").orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq === probes.sorted)
+    assert(got.map(_.getString(1)).toSeq === probes.sorted.map(i => s"p$i"))
+  }
+
+  test("a probe id absent from the table prunes every file") {
+    val dir = scatteredStore()
+    val pr = BloomSkip.readPrunedEq(spark, dir, "id", Seq(999999999L))
+    // 8 KiB x 5 probes at ~1k distinct/file: a single alien value passing
+    // all 5 bit tests in EVERY file is cosmically unlikely; allow one FP
+    assert(pr.filesKept <= 1, s"kept ${pr.filesKept}/${pr.filesTotal}")
+    assert(pr.df.filter($"id" === 999999999L).count() === 0)
+  }
+
+  test("no bloom sidecar -> conservative keep-everything fallback") {
+    val dir = tmpDir() + "/t"
+    val df = (0L until 100L).map(i =>
+      (i, java.sql.Date.valueOf("2024-01-01"))).toDF("id", "date")
+    TableStore.append(df, dir)
+    val pr = BloomSkip.readPrunedEq(spark, dir, "id", Seq(5L))
+    assert(pr.filesKept === pr.filesTotal)
+    assert(pr.df.filter($"id" === 5L).count() === 1)
+  }
+
+  test("files appended AFTER the sidecar write are kept (stale sidecar is safe)") {
+    val dir = scatteredStore()
+    val late = Seq((999000L, "late", java.sql.Date.valueOf("2024-01-09")))
+      .toDF("id", "payload", "date")
+    TableStore.append(late, dir)
+    val pr = BloomSkip.readPrunedEq(spark, dir, "id", Seq(999000L))
+    assert(pr.df.filter($"id" === 999000L).count() === 1,
+      "a sidecar-less file must never be skipped")
+  }
+
+  test("probe positions are stable across build and probe sides") {
+    // the build hashes executor-side through the aggregator, the probe
+    // driver-side through position(): both must be THIS function
+    val p = (0 until BloomSkip.K).map(i => BloomSkip.position(42L, i))
+    assert(p === p.map(identity)) // deterministic
+    assert(p.forall(x => x >= 0 && x < BloomSkip.Bits))
+    assert(p.distinct.size > 1) // k probes spread
+  }
+}
