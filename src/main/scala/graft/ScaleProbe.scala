@@ -19,8 +19,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // optional section filter: comma-separated names from {lsh, cosine,
-    // textops, tick, ngram, cluster, boilerplate, bucket, zorder};
-    // absent/empty = run everything
+    // textops, tick, ngram, cluster, boilerplate, bucket, phrase,
+    // ivfappend, zorder, merge, bloom, pagerank}; absent/empty = run all
     val sections: Set[String] =
       args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty).getOrElse(Set.empty)
@@ -350,6 +350,130 @@ object ScaleProbe {
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(dir).getParentFile)
       }
+    }
+    // ---- round-6 merge: fixed batch, table x10 -> flat ---------------------
+    // The claim: TableStore.merge is O(touched partitions). Replication
+    // here adds NEW date partitions (copy c shifts dates +40c days), the
+    // batch always touches the same 7 original dates — so the table grows
+    // 10x while merge wall-clock stays flat.
+    if (want("merge")) {
+      import graft.store.TableStore
+      val ev = graft.query.Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), to_date(col("ts")).as("date"))
+      for (copies <- Seq(1, 5, 10)) {
+        val big = (0 until copies).map(c => ev.select(
+          (col("event_id") + lit(c * 10000000L)).as("event_id"),
+          col("user_id"), col("event_type"), col("value"),
+          date_add(col("date"), c * 40).as("date"))).reduce(_ union _)
+          .localCheckpoint()
+        val n = big.count()
+        val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+        java.nio.file.Files.createDirectories(base)
+        val dir = java.nio.file.Files
+          .createTempDirectory(base, "mprobe").toString + "/t"
+        TableStore.append(big.repartition(4), dir)
+        val batch = ev.filter(col("event_id") % 37 === 0 &&
+            col("date") <= lit("2024-01-07").cast("date"))
+          .withColumn("value", col("value") + 1000)
+        time(s"merge fixed batch     n=$n") {
+          TableStore.merge(spark, batch, dir, Seq("event_id"))
+        }
+        big.unpersist()
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir).getParentFile)
+      }
+    }
+
+    // ---- round-6 bloom sidecar: build linear, point lookup sublinear -------
+    // The claim: the bloom build is one scan (linear); the point lookup
+    // reads the sidecar + surviving files only, while the full filtered
+    // scan reads everything — the gap widens with table size.
+    if (want("bloom")) {
+      import graft.store.{BloomSkip, TableStore}
+      val ev = graft.query.Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("date"))
+      for (copies <- Seq(1, 5, 10)) {
+        val big = (0 until copies).map(c => ev.select(
+          (col("event_id") + lit(c * 10000000L)).as("event_id"),
+          col("user_id"), col("value"), col("date"))).reduce(_ union _)
+          .localCheckpoint()
+        val n = big.count()
+        val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+        java.nio.file.Files.createDirectories(base)
+        val dir = java.nio.file.Files
+          .createTempDirectory(base, "blprobe").toString + "/t"
+        TableStore.append(big.repartition(4), dir)
+        TableStore.compact(spark, dir, zorderBy = Seq("user_id", "value"),
+          targetFileBytes = 64L * 1024)
+        time(s"bloom build           n=$n") {
+          BloomSkip.write(spark, dir, Seq("event_id"))
+        }
+        val probes = Seq(17L, 733L, 9000017L)
+        val pr = time(s"bloom point lookup    n=$n") {
+          val p = BloomSkip.readPrunedEq(spark, dir, "event_id", probes)
+          p.df.filter(col("event_id").isin(probes: _*)).count() -> p
+        }
+        println(s"    files kept ${pr._2.filesKept}/${pr._2.filesTotal}")
+        val full = time(s"full filtered scan    n=$n") {
+          TableStore.read(spark, dir)
+            .filter(col("event_id").isin(probes: _*)).count()
+        }
+        require(pr._1 == full, s"bloom pruning changed the result: ${pr._1} != $full")
+        big.unpersist()
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir).getParentFile)
+      }
+    }
+
+    // ---- round-6 pagerank: graph x10 -> per-round cost tracks edges --------
+    // The claim: each iteration is one edges-join + one dst-aggregate, so
+    // wall-clock tracks edge count. Replication unions offset node-id
+    // copies of the nation trade graph — 10x nodes, 10x edges, disjoint
+    // components (ranks must be identical across copies, asserted).
+    if (want("pagerank")) {
+      val li = graft.query.Tables(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+      val o = graft.query.Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_custkey")
+      val c0 = graft.query.Tables(spark, sfDir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val su = graft.query.Tables(spark, sfDir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      val baseEdges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c0, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w")).localCheckpoint()
+      val baseNodes = graft.query.Tables(spark, sfDir, "nation")
+        .select(col("n_nationkey").as("node")).localCheckpoint()
+      for (copies <- Seq(1, 5, 10)) {
+        val edges = (0 until copies).map(k => baseEdges.select(
+          (col("src") + lit(k * 100L)).as("src"),
+          (col("dst") + lit(k * 100L)).as("dst"), col("w")))
+          .reduce(_ union _)
+        val nodes = (0 until copies).map(k =>
+          baseNodes.select((col("node") + lit(k * 100L)).as("node")))
+          .reduce(_ union _)
+        val nE = edges.count()
+        val ranks = time(s"pagerank 8 rounds     edges=$nE") {
+          graft.query.Graph.pageRank(edges, nodes, iters = 8,
+            nNodes = Some(25L * copies))
+        }
+        // disjoint copies of the same graph: every copy's rank vector must
+        // equal the others' up to the 1/N teleport rescale — distinct
+        // (node mod 100 -> set of ranks) collapses to 25 rows
+        val distinctPerBase = ranks
+          .select(pmod(col("node"), lit(100L)).as("b"), col("rank"))
+          .distinct().groupBy("b").count()
+          .agg(max("count")).head().getLong(0)
+        require(distinctPerBase == 1L,
+          s"copies diverged: $distinctPerBase rank values per base node")
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(ranks)
+      }
+      org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(baseEdges)
+      org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(baseNodes)
     }
     spark.stop()
   }
