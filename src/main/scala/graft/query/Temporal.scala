@@ -238,5 +238,88 @@ object Temporal {
         .select(col("user_id"),
           tsSec(col("session_window.start")).as("session_start"), col("cnt"))
         .orderBy("user_id", "session_start"))
+  ) ++ Behavior.all
+}
+
+/** Ordered-behavior analytics over the event stream (SURVEY.md §2.5 W+):
+  * funnels and cohort retention — the two queries every product-analytics
+  * engine ships and the reference's "recent trends" goal grows into. Both
+  * reduce to aggregates and joins KEYED ON user_id: one hash partitioning
+  * carries every stage (exchange reuse), nothing driver-side, no window
+  * over the raw stream.
+  */
+object Behavior {
+
+  private def ev(s: SparkSession, d: String) =
+    Tables(s, d, "events").select("user_id", "event_type", "ts")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- W+f: 3-step ordered funnel (signup -> click -> purchase) --------------
+    // Each stage is "earliest qualifying event STRICTLY AFTER the previous
+    // stage's time", per user; the output row counts survivors per stage.
+    // Stage joins stay user_id-keyed: the per-stage frame is users-sized
+    // (shrinking), joined back to the co-partitioned events — at 100 TB
+    // the events side partitions once and every stage reuses it.
+    Q("q_funnel", Some(
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        |SELECT count(*) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_click_after,
+        |       (SELECT count(*) FROM s3) AS n_purchase_after
+        |FROM s1""".stripMargin),
+      (s, d) => {
+        val e = ev(s, d)
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = e.join(s1, "user_id")
+          .filter(col("event_type") === "click" && col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = e.join(s2, "user_id")
+          .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .agg(count("t1").as("n_signup"), count("t2").as("n_click_after"),
+            count("t3").as("n_purchase_after"))
+      }),
+
+    // ---- W+r: weekly cohort retention ------------------------------------------
+    // Cohort = Monday-truncated week of a user's FIRST event; cell (c, k)
+    // counts cohort-c users active in week c+k. Two user-keyed aggregates
+    // + one user-keyed join; both engines truncate weeks to Monday, and
+    // offsets divide exactly (both sides are week-aligned).
+    Q("q_retention", Some(
+      """WITH first_seen AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+        |       count(*) AS n_active
+        |FROM activity JOIN first_seen USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        val e = ev(s, d)
+        val firstSeen = e.groupBy("user_id")
+          .agg(date_trunc("week", min("ts")).as("cohort"))
+        val activity = e
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        activity.join(firstSeen, "user_id")
+          .groupBy(
+            date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+            (datediff(col("wk"), col("cohort")) / 7).cast("long")
+              .as("week_offset"))
+          .agg(cnt.as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      })
   )
 }
