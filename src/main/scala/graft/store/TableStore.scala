@@ -885,10 +885,12 @@ object TableStore {
     if (!f.exists(root)) return
     val ClaimName = "^g(\\d+)\\.claim$".r
     val StatsName = "^stats_g(\\d+)$".r
+    val BloomName = "^bloom_g(\\d+)$".r
     f.listStatus(root).foreach { s =>
       if (s.isDirectory) s.getPath.getName match {
         case GenName(n) if n.toInt < keepFrom => f.delete(s.getPath, true)
         case StatsName(n) if n.toInt < keepFrom => f.delete(s.getPath, true)
+        case BloomName(n) if n.toInt < keepFrom => f.delete(s.getPath, true)
         case name if name.startsWith("date=") && keepFrom >= 0 =>
           f.delete(s.getPath, true)
         case _ => ()

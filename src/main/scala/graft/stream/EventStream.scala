@@ -283,6 +283,28 @@ object EventStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming CDC apply (the Delta streaming-MERGE shape): each
+    * micro-batch of keyed upserts MERGEs into the partitioned store
+    * ([[graft.store.TableStore.merge]] — partition-local keys, touched
+    * partitions only). Exactly-once BY IDEMPOTENCE rather than by batch
+    * bookkeeping: foreachBatch is at-least-once under crash replay, and a
+    * replayed batch re-merges the same rows onto the same keys — a state
+    * no-op (the MergeSpec law) — where a blind append sink would
+    * duplicate. The batch must carry the store's `date` partition column;
+    * late-arriving corrections land in their ORIGINAL partition, which is
+    * exactly what the partition-local key contract prescribes.
+    */
+  def mergeStream(updates: DataFrame, storeDir: String,
+      checkpointDir: String, keyCols: Seq[String]): StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.store.TableStore.merge(batch.sparkSession, batch,
+          storeDir, keyCols)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .start()
+
   def ingestStream(spark: SparkSession, landingDir: String, outDir: String,
       checkpointDir: String, table: String = "watch"): StreamingQuery = {
     val lines = spark.readStream

@@ -72,6 +72,28 @@ class BloomSpec extends AnyFunSuite with SparkFixture {
       "a sidecar-less file must never be skipped")
   }
 
+  test("compaction supersedes the bloom sidecar safely; vacuum reclaims it") {
+    val dir = scatteredStore()
+    // compact writes generation N+1; its bloom sidecar does not exist yet,
+    // so the pruned read falls back to keep-everything — never stale bits
+    TableStore.compact(spark, dir)
+    val pr = BloomSkip.readPrunedEq(spark, dir, "id", Seq(17L))
+    assert(pr.filesKept === pr.filesTotal)
+    assert(pr.df.filter($"id" === 17L).count() === 1)
+    // rebuilding targets the live generation; the orphaned old-generation
+    // sidecar is reclaimed by the NEXT compaction's vacuum
+    BloomSkip.write(spark, dir, Seq("id"))
+    val pr2 = BloomSkip.readPrunedEq(spark, dir, "id", Seq(17L))
+    assert(pr2.filesKept < pr2.filesTotal)
+    TableStore.compact(spark, dir)
+    TableStore.compact(spark, dir) // second swap GCs generation-0 siblings
+    val root = new java.io.File(dir.stripPrefix("file:"))
+    val orphans = root.listFiles().map(_.getName)
+      .filter(n => n.startsWith("bloom_g") || n.startsWith("stats_g"))
+      .filter(_.endsWith("g0"))
+    assert(orphans.isEmpty, s"generation-0 sidecars leaked: ${orphans.toSeq}")
+  }
+
   test("probe positions are stable across build and probe sides") {
     // the build hashes executor-side through the aggregator, the probe
     // driver-side through position(): both must be THIS function

@@ -417,4 +417,41 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
   }
+
+  test("mergeStream: streamed upserts land as MERGE state; replay is a no-op (T∅ + S13 e2e)") {
+    import graft.store.TableStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mergestream").toString + "/t"
+    val base = (0L until 10L).map(i =>
+      (i, s"v0-$i", java.sql.Date.valueOf("2024-01-01")))
+      .toDF("id", "payload", "date")
+    TableStore.append(base, dir)
+    val mem = MemoryStream[(Long, String, java.sql.Date)]
+    val updates = mem.toDF().toDF("id", "payload", "date")
+    val ckpt = Files.createTempDirectory("mergestream_ck").toString
+    val q = EventStream.mergeStream(updates, dir, ckpt, Seq("id"))
+    // batch 1: update ids 3,4; batch 2: insert 100 + re-update 3
+    mem.addData(Seq((3L, "v1-3", java.sql.Date.valueOf("2024-01-01")),
+      (4L, "v1-4", java.sql.Date.valueOf("2024-01-01"))))
+    q.processAllAvailable()
+    mem.addData(Seq((100L, "new-100", java.sql.Date.valueOf("2024-01-01")),
+      (3L, "v2-3", java.sql.Date.valueOf("2024-01-01"))))
+    q.processAllAvailable()
+    q.stop()
+    val back = TableStore.read(spark, dir)
+    assert(back.count() === 11)
+    assert(back.filter($"id" === 3).select("payload").as[String].head() === "v2-3")
+    assert(back.filter($"id" === 4).select("payload").as[String].head() === "v1-4")
+    assert(back.filter($"id" === 100).count() === 1)
+    // at-least-once replay discipline: re-merging batch 2 changes nothing
+    TableStore.merge(spark,
+      Seq((100L, "new-100", java.sql.Date.valueOf("2024-01-01")),
+        (3L, "v2-3", java.sql.Date.valueOf("2024-01-01")))
+        .toDF("id", "payload", "date"), dir, Seq("id"))
+    val again = TableStore.read(spark, dir)
+    assert(again.count() === 11)
+    assert(again.filter($"id" === 3).select("payload").as[String].head() === "v2-3")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
 }
