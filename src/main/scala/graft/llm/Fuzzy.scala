@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.query.Tables
+
+/** Fuzzy self-join / entity resolution for short strings (SURVEY.md §2.11
+  * L29): all pairs within Levenshtein distance 1 — dirty product names,
+  * author aliases, OCR'd titles — WITHOUT the all-pairs comparison.
+  *
+  * Blocking is SymSpell's symmetric-delete scheme: each string emits its
+  * single-character-deletion variants plus itself. Two strings at edit
+  * distance <= 1 ALWAYS share a variant (substitution at i: both delete i;
+  * insertion/deletion: the longer side's delete equals the shorter side's
+  * identity), so recall is exact — no similarity is missed, unlike LSH.
+  * Distance-2 lookalikes can collide (delete at different positions);
+  * the verify stage's exact `levenshtein` filter restores precision.
+  *
+  * Scale shape: variant generation is a row-local codegen'd HOF explode
+  * (strings of length L emit L+1 variants); the candidate join runs on
+  * 8-byte `xxhash64(variant)` keys carrying IDS ONLY — variant strings
+  * never shuffle; candidate pairs dedup before verify; the true strings
+  * re-attach by id for the exact distance check. The all-pairs alternative
+  * is |corpus|² comparisons; this is |corpus| x (L+1) hash rows + the
+  * (near-empty after dedup) candidate set.
+  */
+object Fuzzy {
+
+  /** Distinct id pairs (id_a < id_b) whose strings are within Levenshtein
+    * distance 1 (the symmetric-delete block is exact for 1). Input:
+    * (idCol: long, strCol: string, non-null). Output: (id_a, id_b,
+    * name_a, name_b, dist).
+    *
+    * CALL THIS ON A RESOLVED VOCABULARY (one row per distinct string,
+    * e.g. min-id representative), not on the raw corpus: identical
+    * strings trivially share every variant, so K copies of one value
+    * yield K² candidate pairs before anything can filter them — measured
+    * 29.6 s / 221 MB shuffle on 20k rows carrying 64 distinct names,
+    * vs 0.6 s on the 64-name vocabulary. Distinct-then-resolve is also
+    * the semantics entity resolution wants: the verdict is about VALUES;
+    * rows inherit it by joining back on the string.
+    */
+  def fuzzyJoinPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("name"))
+    // self + every single-deletion variant, hashed; ids only past this point
+    val variants = base.select(col("id"), explode(array_union(
+        array(col("name")),
+        transform(sequence(lit(0), length(col("name")) - 1),
+          i => concat(col("name").substr(lit(1), i),
+            col("name").substr(i + lit(2), length(col("name")))))))
+      .as("variant"))
+      .select(col("id"), xxhash64(col("variant")).as("vh"))
+      .distinct()
+    val a = variants.select(col("vh"), col("id").as("id_a"))
+    val b = variants.select(col("vh"), col("id").as("id_b"))
+    val candidates = a.join(b, "vh")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- L29: fuzzy join over the resolved part-name vocabulary -----------------
+    // The vocabulary (distinct names, min-id representative — the
+    // distinct-first rule from the scaladoc) is corrupted wholesale: every
+    // name gains a distance-1 twin (first char -> 'x') under a shifted id.
+    // The join must recover every (original, corrupt) pair plus any
+    // naturally-close name pairs. The oracle is the literal definition —
+    // brute-force cross join with exact levenshtein — so hash equality
+    // proves the symmetric-delete blocking loses nothing.
+    Q("q_fuzzy_join", Some(
+      """WITH n AS (
+        |  SELECT p_name AS name, min(p_partkey) AS id FROM part GROUP BY 1),
+        |u AS (
+        |  SELECT id, name FROM n
+        |  UNION ALL
+        |  SELECT id + 1000000, 'x' || substr(name, 2) FROM n)
+        |SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM u a JOIN u b ON a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => {
+        val vocab = Tables(s, d, "part")
+          .groupBy(col("p_name").as("name"))
+          .agg(min("p_partkey").as("id"))
+        val corrupted = vocab.select((col("id") + 1000000L).as("id"),
+          concat(lit("x"), expr("substring(name, 2)")).as("name"))
+        fuzzyJoinPairs(vocab.select("id", "name").unionByName(corrupted),
+            "id", "name")
+          .orderBy("id_a", "id_b")
+      })
+  )
+}

@@ -320,6 +320,55 @@ object Behavior {
               .as("week_offset"))
           .agg(cnt.as("n_active"))
           .orderBy("cohort_week", "week_offset")
+      }),
+
+    // ---- W+g: time-series resample + forward fill (gap filling) ----------------
+    // Regularize the sparse event stream onto an hourly spine per user and
+    // carry the last observation forward — the resample step before any
+    // per-entity time-series modeling. Spine = users x sequence(hours), a
+    // row-local explode (no shuffle); observations aggregate once on
+    // (user, hour); the fill is one window pass over the SAME user
+    // partitioning. Hours before a user's first observation stay NULL
+    // (nothing to carry), pinned by the filled flag. max() not avg() per
+    // hour: exact, order-independent, so the carried values hash-compare.
+    Q("q_gap_fill", Some(
+      """WITH spine AS (
+        |  SELECT user_id, unnest(generate_series(
+        |    TIMESTAMP '2024-01-05 00:00:00',
+        |    TIMESTAMP '2024-01-06 23:00:00', INTERVAL 1 HOUR)) AS hr
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |obs AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, max(value) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-07 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  (v IS NULL) AS filled
+        |FROM spine LEFT JOIN obs USING (user_id, hr)
+        |ORDER BY user_id, hour""".stripMargin),
+      (s, d) => {
+        val e = Tables(s, d, "events")
+        val lo = lit("2024-01-05 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-06 23:00:00").cast("timestamp")
+        val spine = e.select("user_id").distinct()
+          .select(col("user_id"), explode(sequence(lo, hi,
+            expr("interval 1 hour"))).as("hr"))
+        val obs = e
+          .filter(col("ts") >= lo &&
+            col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(max("value").as("v"))
+        val w = Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(obs, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), tsSec(col("hr")).as("hour"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+            col("v").isNull.as("filled"))
+          .orderBy("user_id", "hour")
       })
   )
 }
