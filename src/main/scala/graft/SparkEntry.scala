@@ -24,6 +24,7 @@ object SparkEntry {
     graft.plans.PlanQueries.all ++
     graft.llm.TextOps.all ++
     graft.llm.Fuzzy.all ++
+    graft.llm.Compress.all ++
     graft.llm.VectorOps.all ++
     graft.llm.Sampling.all ++
     graft.llm.Clustering.all ++

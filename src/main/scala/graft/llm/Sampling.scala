@@ -190,6 +190,32 @@ object Sampling {
         struct((col("doc_id") * 31L) % 1000003L, col("doc_id")),
         20)
         .select("lang", "doc_id")
-        .orderBy("lang", "doc_id"))
+        .orderBy("lang", "doc_id")),
+
+    // ---- L6+: weighted sampling WITHOUT replacement (Efraimidis-Spirakis) ------
+    // Top-k by priority u^(1/w) — equivalently argmax ln(u)/w — gives an
+    // exact weight-proportional sample without replacement in ONE pass:
+    // here the 20 sample slots lean toward long documents (w = n_chars)
+    // but long docs can't be drawn twice, the property rate-based mixing
+    // (q_mix_weighted) can't provide. u derives from the oracle-twinned
+    // arithmetic hash (deterministic, re-run stable, no RNG); the top-k is
+    // a TakeOrdered — no shuffle, no sort of the corpus. Priorities round
+    // to 9 decimals with a doc_id tiebreak so the cross-engine `ln` ulp
+    // can't flip the selection.
+    Q("q_weighted_sample", Some(
+      """SELECT doc_id, source, n_chars,
+        |  round(ln((((doc_id % 1000003) * 2654435761) % 1000000007 + 1)
+        |            / 1000000008.0) / n_chars, 9) AS priority
+        |FROM documents
+        |ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin),
+      (s, d) => {
+        val u = (((col("doc_id") % 1000003L) * 2654435761L) % 1000000007L
+          + lit(1L)) / lit(1000000008.0)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(log(u) / col("n_chars"), 9).as("priority"))
+          .orderBy(desc("priority"), asc("doc_id"))
+          .limit(20)
+      })
   )
 }
