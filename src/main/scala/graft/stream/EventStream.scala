@@ -66,6 +66,32 @@ object EventStream {
       .drop("__rk")
   }
 
+  /** T∅: the LEFT-OUTER form of [[intervalJoin]] — probe rows with no
+    * base event in their gap still emit, with nulls, once the watermark
+    * proves no match can arrive ("purchases with no preceding click" is
+    * the null-matched slice — the streaming anti-join idiom). Same
+    * bounded state as the inner form: both watermarks + the time-bounded
+    * condition keep two horizons of rows; unmatched results are simply
+    * DEFERRED until the left row ages past the join window (the price of
+    * proving absence on a stream).
+    */
+  def intervalJoinLeft(probe: DataFrame, base: DataFrame,
+      key: String = "user_id", tsCol: String = "ts",
+      gap: String = "10 minutes", lateness: String = "1 hour"): DataFrame = {
+    val l = probe.withWatermark(tsCol, lateness)
+      .select(col(key), col(tsCol).as("probe_ts"),
+        col("event_type").as("probe_type"))
+    val r = base.withWatermark(tsCol, lateness)
+      .select(col(key).as("__rk"), col(tsCol).as("base_ts"),
+        col("event_type").as("base_type"))
+    l.join(r,
+      col(key) === col("__rk") &&
+        col("base_ts") >= col("probe_ts") - expr(s"interval $gap") &&
+        col("base_ts") < col("probe_ts"),
+      "leftOuter")
+      .drop("__rk")
+  }
+
   /** T∅: stream-static enrichment — each micro-batch joins against a
     * batch dimension table (the "attach user profile / repo metadata to
     * the event stream" shape). No streaming state at all: the static side

@@ -237,6 +237,37 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("intervalJoinLeft ALSO emits unmatched probes with nulls once the watermark proves absence") {
+    implicit val sqlCtx = spark.sqlContext
+    val probe = MemoryStream[Ev]
+    val base = MemoryStream[Ev]
+    val q = EventStream.intervalJoinLeft(probe.toDF(), base.toDF())
+      .writeStream.format("memory").queryName("ssjoinl")
+      .outputMode("append").start()
+    try {
+      base.addData(
+        Ev(ts("2024-02-29 01:00:00"), "view", 1))   // in-gap → match for user 1
+      probe.addData(
+        Ev(ts("2024-02-29 01:05:00"), "purchase", 1),
+        Ev(ts("2024-02-29 01:05:00"), "purchase", 2)) // user 2: no base event
+      q.processAllAvailable()
+      // push both watermarks way past probe_ts + gap: user 2's absence is
+      // now PROVEN and its null-matched row must flush
+      base.addData(Ev(ts("2024-02-29 09:00:00"), "view", 9))
+      probe.addData(Ev(ts("2024-02-29 09:00:00"), "purchase", 9))
+      q.processAllAvailable()
+      base.addData(Ev(ts("2024-02-29 12:00:00"), "view", 9))
+      probe.addData(Ev(ts("2024-02-29 12:00:00"), "purchase", 9))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoinl")
+        .filter($"user_id".isin(1L, 2L))
+        .select($"user_id", $"base_type")
+        .as[(Long, Option[String])].collect().toSet
+      assert(rows === Set((1L, Some("view")), (2L, None)),
+        s"got $rows — matched pair AND proven-absent null row expected")
+    } finally q.stop()
+  }
+
   test("closedSessions emits a session only when a later event closes it (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
