@@ -23,6 +23,7 @@ object SparkEntry {
     graft.query.Graph.all ++
     graft.plans.PlanQueries.all ++
     graft.llm.TextOps.all ++
+    graft.llm.Bpe.all ++
     graft.llm.Fuzzy.all ++
     graft.llm.Compress.all ++
     graft.llm.VectorOps.all ++

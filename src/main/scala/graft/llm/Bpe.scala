@@ -1,0 +1,210 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.query.Tables
+import Tables.cnt
+
+/** L31: distributed BPE tokenizer training + encoding — the step that turns
+  * a cleaned corpus into the tokenizer the training run will use (the
+  * Sennrich 2016 byte-pair-encoding algorithm, as `subword-nmt learn_bpe` /
+  * SentencePiece's BPE trainer implement it).
+  *
+  * Scale shape (why this distributes): BPE never iterates over the corpus —
+  * it iterates over the WORD-FREQUENCY TABLE. The corpus crosses the wire
+  * exactly once (the word-count hash aggregate, map-side partials, 8-byte
+  * word keys would be possible but counts join back to merge state so words
+  * stay); every merge round after that runs on the vocabulary frame, whose
+  * size is corpus-size-INDEPENDENT by Heaps' law (~millions of rows at
+  * 100 TB — a few hundred MB, comfortably a handful of partitions). Each
+  * round = one pair-count hash aggregate over the vocab frame + one 1-row
+  * argmax to the driver + one row-local `replace` — so training cost is
+  * O(rounds × vocab), not O(rounds × corpus). This is exactly the
+  * learn-on-counts trick every production BPE trainer uses; here the vocab
+  * frame is distributed, so a web-scale vocabulary (hundreds of millions of
+  * distinct "words" from noisy crawl text) still fits.
+  *
+  * Symbol-sequence representation: each word is kept as ONE string with a
+  * `|` separator BEFORE every symbol (`"low"` → `"|l|o|w"`). A merge of
+  * pair (a,b) is then the literal left-to-right non-overlapping
+  * `replace(seq, "|a|b", "|ab")` — the leading separator makes the pattern
+  * anchor only at symbol STARTS (symbol "xa" followed by "b" is `"|xa|b"`,
+  * which never contains `"|a|b"`), and left-to-right non-overlap is the
+  * classic BPE apply order (`"|e|e|e"` merging (e,e) → `"|ee|e"`). Both
+  * Spark's and DuckDB's `replace` share these semantics, which is what
+  * makes the trainer exactly oracle-able. The separator must not occur in
+  * the corpus alphabet; [[train]] fails loudly if it does rather than
+  * silently corrupting symbol boundaries.
+  *
+  * Determinism: pair counts are exact integer sums; the argmax orders by
+  * (count DESC, lhs, rhs) — a total order, so the learned merge list is
+  * engine- and partitioning-independent.
+  */
+object Bpe {
+
+  /** One learned merge: at `round`, symbols `lhs`+`rhs` fused (count =
+    * occurrences under the vocabulary state of that round).
+    */
+  final case class Merge(round: Int, lhs: String, rhs: String, cnt: Long)
+
+  private val SEP = "|"
+
+  /** Word-frequency table of `textCol` (whitespace tokens): (w, c).
+    * The ONE corpus-wide shuffle of the whole trainer.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(cnt.as("c"))
+
+  /** Learn `rounds` BPE merges from the corpus. Returns the merge list in
+    * learned order (its length may be < `rounds` if the vocabulary runs
+    * out of adjacent pairs first). The returned list is the tokenizer —
+    * feed it to [[tokensPerWord]] / [[encode]].
+    */
+  def train(df: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val wc = wordCounts(df, textCol)
+    // separator-collision guard: a '|' inside a word would read as a
+    // symbol boundary and silently corrupt merges — fail instead
+    require(wc.filter(col("w").contains(SEP)).isEmpty,
+      s"corpus words must not contain the '$SEP' symbol separator")
+    // vocab frame: (w, c, seq) — eager checkpoint; every round replans
+    // from these blocks, not from the corpus scan
+    val vocab0 = wc
+      .withColumn("seq", regexp_replace(col("w"), "(.)", SEP + "$1"))
+      .localCheckpoint()
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    try {
+      var vocab = vocab0
+      val merges = Seq.newBuilder[Merge]
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        // pair counts over the vocab frame (weighted by word count);
+        // expr-SQL because HOF-lambda struct field NAMES are only
+        // reliable in the SQL form
+        val top = vocab
+          .select(col("c"),
+            split(col("seq").substr(lit(2), length(col("seq"))), "\\|").as("sy"))
+          .select(col("c"), expr(
+            "explode(zip_with(" +
+              "slice(sy, 1, greatest(size(sy) - 1, 0))," +
+              "slice(sy, 2, greatest(size(sy) - 1, 0))," +
+              "(a, b) -> struct(a AS lhs, b AS rhs)))").as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum("c").as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (lhs, rhs, n) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += Merge(r, lhs, rhs, n)
+          vocab = vocab.withColumn("seq",
+            replace(col("seq"), lit(SEP + lhs + SEP + rhs), lit(SEP + lhs + rhs)))
+          r += 1
+        }
+      }
+      merges.result()
+    } finally bridge.releaseLocalCheckpoint(vocab0)
+  }
+
+  /** The learned merge list as a frame: (round, lhs, rhs, merged, cnt). */
+  def trainDF(spark: SparkSession, df: DataFrame, textCol: String,
+      rounds: Int): DataFrame =
+    spark.createDataFrame(train(df, textCol, rounds))
+      .select(col("round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+
+  /** Column expression: symbol count of one word under `merges` — the
+    * initial per-char sequence with each merge applied in learned order,
+    * then separators counted. Row-local, codegen'd: `merges.length`
+    * stacked literal `replace`s per word, no lookup table needed.
+    */
+  def tokensPerWord(word: Column, merges: Seq[Merge]): Column = {
+    val seq0 = regexp_replace(word, "(.)", SEP + "$1")
+    val seqN = merges.foldLeft(seq0)((s, m) =>
+      replace(s, lit(SEP + m.lhs + SEP + m.rhs), lit(SEP + m.lhs + m.rhs)))
+    (length(seqN) - length(replace(seqN, lit(SEP), lit("")))).cast("long")
+  }
+
+  /** Per-doc token accounting under a trained tokenizer: (id cols...,
+    * n_tokens, n_words). The whole encode is ONE map-only pass — tokens
+    * per word is a row-local expression chain inside the explode, and the
+    * doc-grain aggregate is the only shuffle (map-side partials).
+    */
+  def encode(df: DataFrame, textCol: String, merges: Seq[Merge],
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(idCol)
+      .agg(sum(tokensPerWord(col("w"), merges)).as("n_tokens"),
+        cnt.as("n_words"))
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracle twins (unrolled rounds — recursive CTEs cannot carry the
+  // argmax subquery)
+
+  private def trainCtes(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT sy[j] AS lhs, sy[j+1] AS rhs, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(seq[2:], '|') AS sy, c FROM s${i - 1}),
+         |       unnest(range(1, len(sy))) AS t(j)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |s$i AS (SELECT w, c, replace(seq, '|'||m.lhs||'|'||m.rhs, '|'||m.lhs||m.rhs) AS seq
+         |        FROM s${i - 1}, m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""wc AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |s0 AS (SELECT w, c, regexp_replace(w, '(.)', '|\\1', 'g') AS seq FROM wc),
+       |$steps""".stripMargin
+  }
+
+  private def trainSql(rounds: Int): String = {
+    val union = (1 to rounds)
+      .map(i => s"SELECT $i AS round, lhs, rhs, lhs||rhs AS merged, cnt FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${trainCtes(rounds)}\nSELECT * FROM (\n$union) ORDER BY round"
+  }
+
+  private def encodeSql(rounds: Int): String =
+    s"""WITH ${trainCtes(rounds)},
+       |tok AS (SELECT w, len(seq) - len(replace(seq, '|', '')) AS n_sym
+       |        FROM s$rounds)
+       |SELECT d.doc_id, CAST(sum(t.n_sym) AS BIGINT) AS n_tokens,
+       |  count(*) AS n_words
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents WHERE doc_id < 100) d
+       |JOIN tok t ON d.w = t.w
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  private val Rounds = 8
+
+  val all: Seq[Q] = Seq(
+
+    // ---- L31: BPE tokenizer training — the learned merge list ---------------
+    // Hash equality across 8 rounds of count→argmax→merge proves both
+    // engines derive the identical tokenizer (any count drift, tiebreak
+    // drift, or replace-semantics drift flips a later round).
+    Q("q_bpe_train", Some(trainSql(Rounds)),
+      (s, d) => trainDF(s, Tables(s, d, "documents"), "text", Rounds)
+        .orderBy("round")),
+
+    // ---- L31: BPE encoding — per-doc token accounting under the tokenizer ----
+    // The consumer-side contract: token budgeting (packing, cost
+    // estimation, context-length stats) must agree with the trainer.
+    Q("q_bpe_encode", Some(encodeSql(Rounds)),
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val merges = train(docs, "text", Rounds)
+        encode(docs.filter(col("doc_id") < 100), "text", merges)
+          .orderBy("doc_id")
+      })
+  )
+}

@@ -664,6 +664,56 @@ object TextOps {
     corpus.join(evalTexts, col(textCol) === col("__eval_text"), "left_anti")
   }
 
+  /** L9++: the too-big-to-broadcast path [[decontaminate]]'s scaladoc
+    * promises, made real — two-pass bloom-then-exact decontamination for an
+    * eval set that cannot live in every executor as a hash table.
+    *
+    * Pass 1 (build): one distributed aggregate over the eval side builds a
+    * Bloom filter of `xxhash64(text)` (map-side partial bitsets OR-merge;
+    * only the final filter — `optimalNumOfBits(n, fpp)` bits, a few MB for
+    * millions of eval rows — ever reaches the driver, never eval rows).
+    * Pass 2 (sweep): the corpus scans ONCE through the bloom probe — the
+    * SAME codegen'd `BloomFilterMightContain` expression Spark's own
+    * runtime-filter rewrite injects, with the filter inlined as a binary
+    * literal riding the task broadcast. Bloom-negative rows are kept
+    * outright (a Bloom filter has no false negatives); only the
+    * bloom-positive sliver (~fpp of clean rows + true hits) enters the
+    * exact anti-join, which may now SHUFFLE both sides on the text hash —
+    * bounded by the sliver, not the corpus.
+    *
+    * Result equality with [[decontaminate]] is exact: the bloom only
+    * routes rows between "kept by no-false-negative" and "kept by exact
+    * anti-join"; false positives cost shuffle bytes, never rows.
+    */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, expectedEvalRows: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val bf = evalSet.select(xxhash64(col(textCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedEvalRows, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = bridge.column(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      bridge.expressionEager(xxhash64(col(textCol)))))
+    // NULL text probes NULL; SQL equality can never match it in the exact
+    // anti-join, so it belongs to the kept-clean branch — coalesce both
+    // branch predicates so the row lands in exactly one (a bare filter
+    // would silently drop it from BOTH)
+    val clean = corpus.filter(coalesce(!mightContain, lit(true)))
+    val candidates = corpus.filter(coalesce(mightContain, lit(false)))
+    // exact pass on the sliver: NOT broadcast — the premise is an eval set
+    // too big for that; a shuffled anti-join on the sliver is the contract
+    val survivors = candidates.join(
+      evalSet.select(col(textCol).as("__eval_text")).distinct(),
+      col(textCol) === col("__eval_text"), "left_anti")
+    clean.unionByName(survivors)
+  }
+
   /** L9+: n-gram overlap decontamination — the eval-leakage sweep training
     * sets run before release (the GPT-3 / Llama reports both describe it):
     * drop every corpus doc that shares ANY n-word span with an eval
@@ -847,6 +897,22 @@ object TextOps {
       (s, d) => {
         val docs = Tables(s, d, "documents")
         decontaminate(docs, docs.filter(col("doc_id") % 10 === 0), "text")
+          .select("doc_id").orderBy("doc_id")
+      }),
+
+    // ---- L9++: two-pass bloom decontamination (too-big-to-broadcast path) -------
+    // Same oracle as q_decontaminate — the bloom is a router, not a
+    // semantics change; hash equality proves no row leaks through either
+    // the no-false-negative shortcut or the exact sliver pass.
+    Q("q_decontaminate_bloom", Some(
+      """SELECT d.doc_id FROM documents d WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents e
+        |  WHERE e.doc_id % 10 = 0 AND e.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        decontaminateBloom(docs, docs.filter(col("doc_id") % 10 === 0),
+          "text", expectedEvalRows = 100000L)
           .select("doc_id").orderBy("doc_id")
       }),
 
