@@ -20,7 +20,7 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // optional section filter: comma-separated names from {lsh, cosine,
     // textops, tick, ngram, cluster, boilerplate, bucket, phrase,
-    // ivfappend, zorder, merge, bloom, pagerank}; absent/empty = run all
+    // ivfappend, zorder, merge, bloom, pagerank, bpe}; absent/empty = run all
     val sections: Set[String] =
       args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty).getOrElse(Set.empty)
@@ -474,6 +474,29 @@ object ScaleProbe {
       }
       org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(baseEdges)
       org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(baseNodes)
+    }
+
+    // ---- BPE trainer: corpus grows 10x, vocabulary FIXED ----------------------
+    // The claim to measure: training cost after the one word-count shuffle
+    // is corpus-size-INDEPENDENT (merge rounds run on the vocabulary
+    // frame). Synthetic corpus: 40 words/doc drawn deterministically from
+    // a fixed 5k-pseudoword vocabulary (md5-hex words — the symbol
+    // alphabet is 0-9a-f, 16 chars, so 8 rounds always find merges).
+    if (want("bpe")) {
+      println("\n== BPE train: corpus 10x, vocab fixed at 5k ==")
+      def corpus(nDocs: Long): org.apache.spark.sql.DataFrame =
+        spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(40)),
+            i => substring(md5(pmod(xxhash64(col("id") * 41L + i), lit(5000L))
+              .cast("string")), 1, 8))).as("text"))
+      for (n <- Seq(20000L, 100000L, 200000L)) {
+        val c = corpus(n).localCheckpoint()
+        val merges = time(f"bpe 8 rounds          docs=$n%-7d") {
+          graft.llm.Bpe.train(c, "text", 8)
+        }
+        require(merges.length == 8, s"expected 8 merges, got ${merges.length}")
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(c)
+      }
     }
     spark.stop()
   }

@@ -20,6 +20,7 @@ object SparkEntry {
     graft.query.Pipelines.all ++
     graft.query.Bucketed.all ++
     graft.query.Cdc.all ++
+    graft.query.Constraints.all ++
     graft.query.Graph.all ++
     graft.plans.PlanQueries.all ++
     graft.llm.TextOps.all ++
