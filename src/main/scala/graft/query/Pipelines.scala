@@ -30,6 +30,8 @@ object Pipelines {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val bloomDemos =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val evolveDemos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Shared by every session-scoped demo store (compact/z-order here, the
     * stored-IVF index in VectorOps): a temp dir under target/tmp, removed
@@ -140,6 +142,45 @@ object Pipelines {
         Seq((nParts, rows, demo.before > demo.after, demo.after == nParts))
           .toDF("n_partitions", "rows", "files_reduced",
             "one_file_per_partition")
+      }),
+
+    // ---- S15: schema evolution (widen-on-append, declared-schema read) ----------
+    // Builds once per session: v1 appends even-keyed orders WITHOUT the
+    // priority column, v2 appends odd-keyed orders WITH it (the evolved
+    // batch). The timed path reads the evolved table under the declared
+    // sidecar schema: historical rows surface the new column as NULL.
+    // Oracle recomputes the same accounting from the source table — hash
+    // equality proves no row lost its identity and exactly the v1 rows
+    // read NULL.
+    Q("q_schema_evolution", Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0
+        |    OR o_orderpriority IS NULL) AS BIGINT)
+        |    AS n_null_priority,
+        |  CAST(count(DISTINCT o_orderpriority)
+        |    FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT)
+        |    AS n_priorities,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders""".stripMargin),
+      (s, d) => {
+        val dir = evolveDemos.computeIfAbsent(d, _ => {
+          val t = demoRoot("graft_evolve").toString + "/orders_e"
+          val o = Tables(s, d, "orders")
+            .withColumn("date", to_date(col("o_orderdate")))
+          TableStore.appendEvolving(
+            o.filter(col("o_orderkey") % 2 === 0)
+              .select("o_orderkey", "date"), t)
+          TableStore.appendEvolving(
+            o.filter(col("o_orderkey") % 2 === 1)
+              .select("o_orderkey", "o_orderpriority", "date"), t)
+          t
+        })
+        TableStore.readEvolved(s, dir)
+          .agg(cnt.as("n_rows"),
+            sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+              .as("n_null_priority"),
+            count_distinct(col("o_orderpriority")).as("n_priorities"),
+            sum("o_orderkey").as("key_sum"))
       }),
 
     // ---- S8b: Bloom-sidecar equality file skipping ------------------------------

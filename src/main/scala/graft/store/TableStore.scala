@@ -2,7 +2,7 @@ package graft.store
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Date-partitioned Parquet table store (S4/S6/S7/S8/S9 in SURVEY.md §2.1).
   *
@@ -260,7 +260,8 @@ object TableStore {
     require(gens.contains(generation),
       s"generation $generation not present for $dir (retained: " +
         s"${gens.mkString(", ")}) — older generations are vacuumed")
-    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val reader = schema.orElse(declaredSchema(spark, dir))
+      .fold(spark.read)(s => spark.read.schema(s))
     reader.parquet(s"$dir/g$generation")
   }
 
@@ -271,6 +272,92 @@ object TableStore {
     */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(resolveDataDir(spark, dir))
+
+  // ---- S15: schema evolution (widen-on-append, declared-schema reads) --------
+
+  /** Sidecar holding the table's DECLARED schema (`_schema.json` at the
+    * table root — schema outlives generations; compaction rewrites data,
+    * not the contract). Absent for tables that never evolved: their files
+    * all share one schema and footer inference is exact.
+    */
+  private def schemaPath(dir: String): Path = new Path(dir, "_schema.json")
+
+  /** The declared (evolved) schema, if this table has one. */
+  def declaredSchema(spark: SparkSession, dir: String): Option[StructType] = {
+    val f = fs(spark, dir)
+    val p = schemaPath(dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(DataType.fromJson(new String(bytes, "UTF-8"))
+          .asInstanceOf[StructType])
+      } finally in.close()
+    }
+  }
+
+  /** Widen `base` with the new columns of `incoming`, Delta
+    * `mergeSchema`-style: existing columns must keep their exact type
+    * (conflicts fail loudly — silent coercion corrupts a 100 TB table
+    * quietly; cast BEFORE appending), new columns append at the end as
+    * nullable (historical rows read as NULL).
+    */
+  private[store] def widen(base: StructType, incoming: StructType): StructType = {
+    val byName = base.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      byName.get(f.name).foreach { b =>
+        require(b.dataType == f.dataType,
+          s"schema conflict on '${f.name}': table has ${b.dataType}, " +
+            s"batch has ${f.dataType} — cast the batch before appending")
+      }
+    }
+    val added = incoming.fields.filterNot(f => byName.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(base.fields ++ added)
+  }
+
+  /** S15: append with schema evolution — the Delta
+    * `option("mergeSchema", true)` write. The batch may carry columns the
+    * table has never seen; the table's declared schema widens (monotone —
+    * columns are never dropped or retyped) and historical rows read the
+    * new columns as NULL. The sidecar commits BEFORE the data: a crash
+    * between the two leaves a declared column no file carries yet, which
+    * reads as all-NULL — forward-compatible; the replayed batch completes
+    * it. (Data-first would leave committed rows invisible in the new
+    * column — silent data loss to readers.)
+    *
+    * Scale note: this is why reads use a DECLARED schema instead of
+    * `mergeSchema=true` footer merging — merging footers is a distributed
+    * O(files) job per read at 100 TB; the sidecar makes schema resolution
+    * O(1), exactly the Delta-log design.
+    */
+  def appendEvolving(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val base = declaredSchema(spark, dir)
+      .orElse(currentGeneration(spark, dir).map(_ =>
+        read(spark, dir).schema))
+      .getOrElse(StructType(Nil))
+    val widened = widen(base, df.schema)
+    if (declaredSchema(spark, dir).forall(_ != widened)) {
+      val f = fs(spark, dir)
+      f.mkdirs(new Path(dir))
+      val out = f.create(schemaPath(dir), true)
+      try out.write(widened.json.getBytes("UTF-8")) finally out.close()
+    }
+    append(df, dir)
+  }
+
+  /** Read under the declared schema when the table evolved (files missing
+    * a declared column yield NULL — by-name parquet resolution); plain
+    * footer-inferred read otherwise.
+    */
+  def readEvolved(spark: SparkSession, dir: String): DataFrame =
+    declaredSchema(spark, dir) match {
+      case Some(s) => read(spark, dir, s)
+      case None => read(spark, dir)
+    }
 
   /** Parquet data files of the CURRENT generation (recursive). */
   def dataFiles(spark: SparkSession, dir: String): Seq[String] =
@@ -425,7 +512,8 @@ object TableStore {
           (keptByFooters(spark, files, ranges), "footers")
         }
       else (keptByFooters(spark, files, ranges), "footers")
-    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val reader = schema.orElse(declaredSchema(spark, dir))
+      .fold(spark.read)(s => spark.read.schema(s))
     val df =
       if (files.isEmpty) reader.parquet(dataDir)
       else if (kept.isEmpty)
@@ -651,7 +739,8 @@ object TableStore {
         math.max(1L, (b + targetFileBytes - 1) / targetFileBytes))
       .toMap
     val tgt = s"$dir/g$nextN"
-    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val reader = schema.orElse(declaredSchema(spark, dir))
+      .fold(spark.read)(s => spark.read.schema(s))
     val df = reader.parquet(srcDir)
     val totalBuckets = math.max(1L, bucketsFor.values.sum)
     if (zorderBy.nonEmpty) {
@@ -797,7 +886,8 @@ object TableStore {
       .view.mapValues(b =>
         math.max(1L, (b + targetFileBytes - 1) / targetFileBytes))
       .toMap
-    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val reader = schema.orElse(declaredSchema(spark, dir))
+      .fold(spark.read)(s => spark.read.schema(s))
     val df = reader.option("basePath", dataDir).parquet(partDirs: _*)
     // stage OUTSIDE the generation dir (readers of the generation never
     // see it); the static-mode committer writes stage/_SUCCESS LAST, which
