@@ -32,6 +32,8 @@ object Pipelines {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val evolveDemos =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val deleteDemos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Shared by every session-scoped demo store (compact/z-order here, the
     * stored-IVF index in VectorOps): a temp dir under target/tmp, removed
@@ -181,6 +183,40 @@ object Pipelines {
               .as("n_null_priority"),
             count_distinct(col("o_orderpriority")).as("n_priorities"),
             sum("o_orderkey").as("key_sum"))
+      }),
+
+    // ---- S17: row-level DELETE (partition-pruned rewrite) ------------------------
+    // Builds once per session: append events, DELETE WHERE
+    // event_type='error'. The oracle recomputes deleted/surviving
+    // accounting from the source — hash equality proves the rewrite
+    // removed exactly the matching rows and nothing else (NULL-typed rows
+    // survive per SQL DELETE semantics).
+    Q("q_delete_where", Some(
+      """SELECT
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+        |    AS n_deleted,
+        |  CAST(count(*) FILTER (WHERE event_type <> 'error'
+        |    OR event_type IS NULL) AS BIGINT) AS n_rows_after,
+        |  CAST(sum(event_id) FILTER (WHERE event_type <> 'error'
+        |    OR event_type IS NULL) AS BIGINT) AS id_sum_after
+        |FROM events""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val state = deleteDemos.computeIfAbsent(d, _ => {
+          val t = demoRoot("graft_delete").toString + "/events_d"
+          val ev = Tables(s, d, "events")
+            .select(col("event_id"), col("event_type"),
+              to_date(col("ts")).as("date"))
+          TableStore.append(ev, t)
+          val n = TableStore.deleteWhere(s, t, col("event_type") === "error")
+          s"$t|$n"
+        })
+        val Array(dir, nDel) = state.split('|')
+        TableStore.read(s, dir)
+          .agg(cnt.as("n_rows_after"),
+            sum("event_id").as("id_sum_after"))
+          .select(lit(nDel.toLong).as("n_deleted"),
+            col("n_rows_after"), col("id_sum_after"))
       }),
 
     // ---- S8b: Bloom-sidecar equality file skipping ------------------------------

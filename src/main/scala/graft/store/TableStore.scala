@@ -188,6 +188,45 @@ object TableStore {
     }
   }
 
+  /** S17: row-level DELETE (`DELETE FROM ... WHERE predicate` — the Delta
+    * DELETE analog, and the GDPR/right-to-erasure path when the predicate
+    * is a key list). Returns the number of rows deleted.
+    *
+    * Partition-pruned rewrite: one scan under the predicate discovers the
+    * touched dates AND the per-date match counts (a single aggregate job —
+    * when the predicate constrains `date`, Catalyst prunes that scan to
+    * the candidate partitions); only touched partitions are re-read and
+    * rewritten (dynamic partition overwrite, the [[merge]] machinery), the
+    * rest of the table is never opened. Partitions whose every row matched
+    * are DROPPED explicitly — dynamic overwrite only replaces partitions
+    * present in the written data, so an emptied partition would otherwise
+    * silently survive with its old rows.
+    *
+    * SQL DELETE null semantics: rows where the predicate evaluates NULL
+    * are NOT deleted (only true deletes), matching `DELETE FROM ... WHERE`.
+    * Idempotent: re-running the same delete removes 0 rows.
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val perDate = readEvolved(spark, dir).filter(predicate)
+      .groupBy("date").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    if (perDate.isEmpty) return 0L
+    val touched = perDate.keys.toSeq
+    val slice = readEvolved(spark, dir).filter(col("date").isin(touched: _*))
+    val totals = slice.groupBy("date").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val (emptied, partial) = touched.partition(d => perDate(d) == totals(d))
+    if (partial.nonEmpty) {
+      val survivors = slice.filter(col("date").isin(partial: _*))
+        .filter(coalesce(not(predicate), lit(true)))
+      upsertPartitions(spark, survivors, dir)
+    }
+    emptied.foreach(d => dropPartition(spark, dir, d.toString))
+    perDate.values.sum
+  }
+
   /** Remove one `date=` partition entirely (recovery path for a partition
     * whose every row came from a rolled-back batch).
     */
