@@ -18,6 +18,7 @@ object SparkEntry {
     graft.query.Temporal.all ++
     graft.query.JsonQueries.all ++
     graft.query.Pipelines.all ++
+    graft.query.SketchQueries.all ++
     graft.query.Bucketed.all ++
     graft.query.Cdc.all ++
     graft.query.Constraints.all ++

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Laws for the mergeable KLL / Theta sketch aggregates. The serialization
+  * roundtrip is load-bearing (partial aggregation serializes buffers at the
+  * shuffle boundary), so every law here runs through a real multi-partition
+  * aggregation — not a single-JVM-object shortcut.
+  */
+class SketchAggsSpec extends AnyFunSuite with SparkFixture {
+  import SketchAggs._
+
+  private def nums(n: Int, parts: Int = 7) = {
+    import spark.implicits._
+    spark.sparkContext
+      .parallelize((1 to n).map(i => (i.toLong, i.toDouble)), parts)
+      .toDF("id", "v")
+  }
+
+  test("KLL: sketch quantiles track exact quantiles within rank error") {
+    val df = nums(10000)
+    val row = df
+      .agg(kllAgg(col("v")).as("sk"))
+      .select(kllQuantiles(col("sk"), Seq(0.1, 0.5, 0.99)).as("q"))
+      .head()
+    val qs = row.getSeq[Double](0)
+    // uniform 1..10000: value at rank p is ~p*10000; k=200 → ~1.65% rank err
+    assert(math.abs(qs(0) - 1000) <= 300, s"p10=${qs(0)}")
+    assert(math.abs(qs(1) - 5000) <= 300, s"p50=${qs(1)}")
+    assert(math.abs(qs(2) - 9900) <= 300, s"p99=${qs(2)}")
+  }
+
+  test("KLL: merge of per-group sketches ≡ one global sketch (same bands)") {
+    val df = nums(8000).withColumn("g", col("id") % 13)
+    val direct = df.agg(kllAgg(col("v")).as("sk"))
+      .select(kllQuantiles(col("sk"), Seq(0.5)).as("q")).head().getSeq[Double](0)
+    val merged = df.groupBy("g").agg(kllAgg(col("v")).as("sk"))
+      .agg(kllMergeAgg(col("sk")).as("sk"))
+      .select(kllQuantiles(col("sk"), Seq(0.5)).as("q")).head().getSeq[Double](0)
+    // merged sketch keeps the SAME rank-error contract, not bitwise equality
+    assert(math.abs(direct.head - 4000) <= 300)
+    assert(math.abs(merged.head - 4000) <= 300)
+  }
+
+  test("KLL: nulls are skipped; all-null group yields empty sketch → null quantiles") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.0), (2L, null), (3L, 3.0)).toDF("id", "v")
+    val qs = df.agg(kllAgg(col("v")).as("sk"))
+      .select(kllQuantiles(col("sk"), Seq(0.0, 1.0)).as("q"))
+      .head().getSeq[Double](0)
+    assert(qs == Seq(1.0, 3.0)) // min/max over the two non-null values
+    val empty = df.filter(col("id") === 2L)
+      .agg(kllAgg(col("v")).as("sk"))
+      .select(kllQuantiles(col("sk"), Seq(0.5)).as("q")).head()
+    assert(empty.isNullAt(0))
+  }
+
+  test("Theta: below nominal entries the estimate is EXACT; set ops agree with set algebra") {
+    import spark.implicits._
+    // A = 1..1000, B = 501..1500 → |A|=1000 |A∩B|=500 |A\B|=500 |A∪B|=1500
+    val df = (1 to 1500).map { i =>
+      (i.toLong, i <= 1000, i > 500)
+    }.toDF("id", "inA", "inB").repartition(5)
+    val r = df.agg(
+        thetaAgg(when(col("inA"), col("id"))).as("ska"),
+        thetaAgg(when(col("inB"), col("id"))).as("skb"))
+      .select(
+        thetaEstimate(col("ska")).as("na"),
+        thetaSetEstimate(col("ska"), col("skb"), "intersect").as("nboth"),
+        thetaSetEstimate(col("ska"), col("skb"), "anotb").as("nonly"),
+        thetaSetEstimate(col("ska"), col("skb"), "union").as("neither"))
+      .head()
+    assert(r.getDouble(0) == 1000.0)
+    assert(r.getDouble(1) == 500.0)
+    assert(r.getDouble(2) == 500.0)
+    assert(r.getDouble(3) == 1500.0)
+  }
+
+  test("Theta: union of stored sketch bytes ≡ sketch of the union of rows") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (i.toLong, i % 3)).toDF("id", "g")
+      .repartition(4)
+    val whole = df.agg(thetaAgg(col("id")).as("sk"))
+      .select(thetaEstimate(col("sk"))).head().getDouble(0)
+    val merged = df.groupBy("g").agg(thetaAgg(col("id")).as("sk"))
+      .agg(thetaUnionAgg(col("sk")).as("sk"))
+      .select(thetaEstimate(col("sk"))).head().getDouble(0)
+    assert(whole == 3000.0)
+    assert(merged == whole) // disjoint groups, sub-threshold: both exact
+  }
+
+  test("Theta: duplicates across partitions count once (it is a SET sketch)") {
+    import spark.implicits._
+    val df = ((1 to 500) ++ (1 to 500)).map(_.toLong).toDF("id")
+      .repartition(8)
+    val est = df.agg(thetaAgg(col("id")).as("sk"))
+      .select(thetaEstimate(col("sk"))).head().getDouble(0)
+    assert(est == 500.0)
+  }
+}
