@@ -19,6 +19,7 @@ object SparkEntry {
     graft.query.JsonQueries.all ++
     graft.query.Pipelines.all ++
     graft.query.SketchQueries.all ++
+    graft.query.TimeSeries.all ++
     graft.query.Bucketed.all ++
     graft.query.Cdc.all ++
     graft.query.Constraints.all ++

@@ -1,0 +1,109 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import Tables.cnt
+
+/** Time-series analytics over the event stream (SURVEY.md §2.5 extension):
+  * exponentially-decayed counts and rolling z-score anomaly flags — the
+  * drift/spike monitors a training-data ingest pipeline runs per source
+  * per day.
+  *
+  * Scale shape (both queries): the ONLY corpus-scale operation is the
+  * daily rollup (one hash aggregate; map-side partials collapse each
+  * partition to ≤ |types|×|days| rows before the wire). Everything after —
+  * the 14-day decayed-sum self-join, the 7-day window — runs on the rollup,
+  * whose cardinality is types × days (thousands), independent of raw event
+  * count. At 100 TB that post-rollup stage is driver-trivial and the join
+  * fanout is bounded at 14 rows per output row by the band predicate.
+  */
+object TimeSeries {
+
+  private def daily(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(cnt.as("cnt"))
+
+  private val dailySql =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- W+: exponentially-decayed daily counts (half-life 7 d, 14 d band) --
+    // EWMA-family trend smoothing as a BANDED self-join on the rollup:
+    // decayed(t) = Σ_{0≤t-t'≤13} cnt(t') · 0.5^((t-t')/7). The window
+    // truncation makes the definition identical in both engines (a
+    // recursive EWMA is not expressible as a window aggregate; the
+    // 14-day tail it drops weighs ≤ 0.5^2 of a term). The band predicate
+    // bounds fanout at 14; weights are a deterministic closed form.
+    Q("q_ewma", Some(
+      s"""WITH daily AS ($dailySql)
+        |SELECT a.event_type,
+        |  strftime(a.day, '%Y-%m-%d') AS day,
+        |  a.cnt AS cnt,
+        |  round(sum(b.cnt * pow(0.5,
+        |    date_diff('day', b.day, a.day) / 7.0)), 6) AS decayed
+        |FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type
+        | AND date_diff('day', b.day, a.day) BETWEEN 0 AND 13
+        |GROUP BY a.event_type, a.day, a.cnt
+        |ORDER BY a.event_type, day""".stripMargin),
+      (s, d) => {
+        val base = daily(s, d)
+        val a = base.select(col("event_type"), col("day"),
+          col("cnt"))
+        val b = base.select(col("event_type").as("event_type_b"),
+          col("day").as("day_b"), col("cnt").as("cnt_b"))
+        a.join(b, col("event_type") === col("event_type_b") &&
+            datediff(col("day"), col("day_b")).between(0, 13))
+          .groupBy(col("event_type"), col("day"), col("cnt"))
+          .agg(round(sum(col("cnt_b") *
+            pow(lit(0.5), datediff(col("day"), col("day_b")) / 7.0)), 6)
+            .as("decayed"))
+          .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd")
+            .as("day"), col("cnt"), col("decayed"))
+          .orderBy("event_type", "day")
+      }),
+
+    // ---- W+: rolling z-score anomaly flags ----------------------------------
+    // Per (type, day): z = (cnt − mean7) / stddev7 over the trailing
+    // 7 rows; |z| > 2 flags a spike/collapse. Rows without a full window
+    // (rn < 7) or a degenerate flat window (sd = 0) are excluded — both
+    // make z undefined, and the exclusion keeps the two engines' NULL/inf
+    // conventions out of the hash. round(z, 4) absorbs the Welford-vs-
+    // two-pass variance low-order bits.
+    Q("q_anomaly", Some(
+      s"""WITH daily AS ($dailySql),
+        |w AS (
+        |  SELECT event_type, day, cnt,
+        |    avg(cnt) OVER w7 AS mu,
+        |    stddev_samp(cnt) OVER w7 AS sd,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+        |  round((cnt - mu) / sd, 4) AS z,
+        |  (abs((cnt - mu) / sd) > 2) AS is_anomaly
+        |FROM w WHERE rn >= 7 AND sd > 0
+        |ORDER BY event_type, day""".stripMargin),
+      (s, d) => {
+        val w7 = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, Window.currentRow)
+        val wn = Window.partitionBy("event_type").orderBy("day")
+        daily(s, d)
+          .withColumn("mu", avg(col("cnt")).over(w7))
+          .withColumn("sd", stddev_samp(col("cnt")).over(w7))
+          .withColumn("rn", row_number().over(wn))
+          .filter(col("rn") >= 7 && col("sd") > 0)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"), col("cnt"),
+            round((col("cnt") - col("mu")) / col("sd"), 4).as("z"),
+            (abs((col("cnt") - col("mu")) / col("sd")) > 2).as("is_anomaly"))
+          .orderBy("event_type", "day")
+      })
+  )
+}
