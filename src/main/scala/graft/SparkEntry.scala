@@ -20,6 +20,7 @@ object SparkEntry {
     graft.query.Pipelines.all ++
     graft.query.SketchQueries.all ++
     graft.query.TimeSeries.all ++
+    graft.query.Formats.all ++
     graft.query.Bucketed.all ++
     graft.query.Cdc.all ++
     graft.query.Constraints.all ++
