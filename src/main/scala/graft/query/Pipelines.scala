@@ -34,6 +34,8 @@ object Pipelines {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val deleteDemos =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val replaceDemos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Shared by every session-scoped demo store (compact/z-order here, the
     * stored-IVF index in VectorOps): a temp dir under target/tmp, removed
@@ -298,6 +300,52 @@ object Pipelines {
           .withColumn("event_id", col("event_id") + 100000000L)
           .withColumn("event_type", lit("inserted"))
         TableStore.merge(s, upd.unionByName(ins), dir, Seq("event_id"))
+        TableStore.read(s, dir)
+          .groupBy("event_type")
+          .agg(cnt.as("n"), countDistinct("date").as("n_dates"),
+            sum("event_id").as("sum_id"))
+          .orderBy("event_type")
+      }),
+
+    // ---- S20: predicate-scoped overwrite (replaceWhere backfill) ----------------
+    // Build the events store once; the TIMED path is the replaceWhere
+    // itself: "rebuild 01-03..01-05 from the corrected (error-free)
+    // source" where the corrected batch produces NO rows for 01-05 — that
+    // partition must be DROPPED, the two repopulated, and everything
+    // outside the predicate slice stay byte-untouched. The oracle
+    // recomputes the final state from the raw table; n_dates per type
+    // proves the emptied partition is gone. Re-running the same replace
+    // is a state-level no-op, so bench reruns time a real backfill.
+    Q("q_replace_where", Some(
+      """WITH final AS (
+        |  SELECT event_id, event_type, CAST(ts AS DATE) AS date FROM events
+        |  WHERE CAST(ts AS DATE) < DATE '2024-01-03'
+        |     OR CAST(ts AS DATE) > DATE '2024-01-05'
+        |  UNION ALL
+        |  SELECT event_id, event_type, CAST(ts AS DATE) AS date FROM events
+        |  -- not IN(DATE…,DATE…): DuckDB 1.0 mis-coerces an IN list against
+        |  -- CAST(ts AS DATE) (returns 0 rows); BETWEEN compares correctly
+        |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-04'
+        |    AND (event_type <> 'error' OR event_type IS NULL))
+        |SELECT event_type, count(*) AS n,
+        |       count(DISTINCT date) AS n_dates,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        def ev = Tables(s, d, "events").select(
+          col("event_id"), col("event_type"), to_date(col("ts")).as("date"))
+        val dir = replaceDemos.computeIfAbsent(d, _ => {
+          val t = demoRoot("graft_replace").toString + "/events_r"
+          TableStore.append(ev.repartition(4), t)
+          t
+        })
+        val lo = lit("2024-01-03").cast("date")
+        val hi = lit("2024-01-05").cast("date")
+        val batch = ev
+          .filter(col("date").isin(lit("2024-01-03"), lit("2024-01-04")))
+          .filter(col("event_type") =!= "error" || col("event_type").isNull)
+        TableStore.replaceWhere(s, batch, dir,
+          col("date") >= lo && col("date") <= hi)
         TableStore.read(s, dir)
           .groupBy("event_type")
           .agg(cnt.as("n"), countDistinct("date").as("n_dates"),

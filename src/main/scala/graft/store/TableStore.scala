@@ -227,6 +227,69 @@ object TableStore {
     perDate.values.sum
   }
 
+  /** S20: predicate-scoped overwrite (Delta `replaceWhere`) — atomically
+    * replace exactly the slice matching `predicate` with `batch`, e.g.
+    * "rebuild last week from the corrected source" without touching the
+    * rest of the table. The classic backfill primitive: stronger than
+    * [[upsertPartitions]] (which replaces only partitions PRESENT in the
+    * batch — it cannot empty a partition the recomputation produced no
+    * rows for) and coarser than [[merge]] (no per-row keys needed).
+    *
+    * Contract (Delta's): every batch row must satisfy `predicate` —
+    * otherwise the write would smuggle rows outside the declared slice
+    * into partitions the reader believes untouched; violations throw
+    * before anything is written. Returns the number of rows replaced
+    * (current rows matching the predicate).
+    *
+    * Scale shape: touched dates = (dates with matching rows) ∪ (batch
+    * dates) — discovered by one predicate-pruned aggregate over the table
+    * (Catalyst prunes the scan to candidate partitions when the predicate
+    * constrains `date`) plus one distinct over the batch. Only those
+    * partitions are re-read and rewritten; dates whose every current row
+    * matched and that the batch doesn't repopulate are DROPPED (dynamic
+    * overwrite alone would leave them stale). NULL predicate rows are
+    * kept, matching [[deleteWhere]]'s SQL semantics.
+    */
+  def replaceWhere(spark: SparkSession, batchDf: DataFrame, dir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(batchDf.columns.contains("date"),
+      "replaceWhere: batch needs a `date` column")
+    val batch = batchDf.localCheckpoint() // read thrice: validate, dates, write
+    try {
+      val violations =
+        batch.filter(coalesce(not(predicate), lit(true))).count()
+      require(violations == 0L,
+        s"replaceWhere: $violations batch rows do not satisfy the predicate")
+      val perDate = readEvolved(spark, dir).filter(predicate)
+        .groupBy("date").count().collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val batchPerDate = batch.groupBy("date").count().collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val touched = (perDate.keySet ++ batchPerDate.keySet).toSeq
+      if (touched.isEmpty) return 0L
+      val slice = readEvolved(spark, dir)
+        .filter(col("date").isin(touched: _*))
+      val totals = slice.groupBy("date").count().collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val emptied = touched.filter { d =>
+        totals.getOrElse(d, 0L) - perDate.getOrElse(d, 0L) +
+          batchPerDate.getOrElse(d, 0L) == 0L
+      }
+      val written = touched.diff(emptied)
+      if (written.nonEmpty) {
+        val survivors = slice.filter(col("date").isin(written: _*))
+          .filter(coalesce(not(predicate), lit(true)))
+        upsertPartitions(spark,
+          survivors.unionByName(batch, allowMissingColumns = true), dir)
+      }
+      emptied.foreach(d => dropPartition(spark, dir, d.toString))
+      perDate.values.sum
+    } finally {
+      org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(batch)
+    }
+  }
+
   /** Remove one `date=` partition entirely (recovery path for a partition
     * whose every row came from a rolled-back batch).
     */
