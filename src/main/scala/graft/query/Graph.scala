@@ -154,6 +154,77 @@ object Graph {
         pageRank(edges, nodes, iters = 8, nNodes = Some(25))
           .select(col("node"), (col("rank").cast("double") / lit(1e14)).as("rank"))
           .orderBy("node")
+      }),
+
+    // ---- G2: degree-oriented triangle counting --------------------------------
+    // Graph: parts co-occurring in the same order (10% deterministic order
+    // sample bounds the edge build). The algorithm is the one that
+    // survives scale: orient every undirected edge from the lower to the
+    // higher endpoint under the (degree, id) total order, then count
+    // lo→mid→hi wedge closures. Orientation caps out-degree at O(√m), so
+    // the wedge join is Σ outdeg² = O(m^1.5) instead of Σ deg² — the
+    // difference between a skewed hub exploding the join and not. Three
+    // hash-joins on int keys, no driver state; the clustering coefficient
+    // is a ratio of two exact int64 counts (bit-identical across engines).
+    Q("q_triangles", Some(
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey % 10 = 0),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |              THEN u ELSE v END AS lo,
+        |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |              THEN v ELSE u END AS hi
+        |  FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM o e1 JOIN o e2 ON e2.lo = e1.hi
+        |  JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        |wedge AS (SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS w,
+        |                 CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT wedge.n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+        |  tri.n_triangles,
+        |  round(3.0 * tri.n_triangles / wedge.w, 6) AS clustering
+        |FROM tri, wedge""".stripMargin),
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .filter(col("l_orderkey") % 10 === 0)
+          .select("l_orderkey", "l_partkey")
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("v"))
+        val pairs = a.join(b,
+            col("l_orderkey") === col("ok_b") && col("u") < col("v"))
+          .select("u", "v").distinct()
+        val deg = pairs.select(col("u").as("node"))
+          .unionAll(pairs.select(col("v").as("node")))
+          .groupBy("node").agg(cnt.as("deg"))
+        val du = deg.select(col("node").as("u"), col("deg").as("du"))
+        val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+        val lower = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val o = pairs.join(du, "u").join(dv, "v")
+          .select(when(lower, col("u")).otherwise(col("v")).as("lo"),
+            when(lower, col("v")).otherwise(col("u")).as("hi"))
+        val e1 = o.select(col("lo").as("lo1"), col("hi").as("hi1"))
+        val e2 = o.select(col("lo").as("lo2"), col("hi").as("hi2"))
+        val wedges = e1.join(e2, col("lo2") === col("hi1"))
+        val tri = wedges.join(o,
+            col("lo") === col("lo1") && col("hi") === col("hi2"))
+          .agg(cnt.as("n_triangles"))
+        val wedge = deg.agg(
+          (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("w"),
+          cnt.as("n_nodes"))
+        val nEdges = pairs.agg(cnt.as("n_edges"))
+        tri.crossJoin(wedge).crossJoin(nEdges)
+          .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+            round(lit(3.0) * col("n_triangles") / col("w"), 6).as("clustering"))
       })
   )
 }
