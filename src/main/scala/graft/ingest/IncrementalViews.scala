@@ -152,6 +152,45 @@ object IncrementalViews {
       .select(col("repo"),
         hll_sketch_estimate(col("sk")).as("distinct_watchers"))
 
+  // ---- mergeable-sketch view: per-key quantiles ----------------------------
+  // The KLL twin of the watcher view: PERCENTILES are no more distributive
+  // than distinct counts, and the naive fix (store all values) grows with
+  // history. Each tick folds the batch's per-key KLL sketches into the
+  // stored ones (`KllMergeAgg` — merging preserves the rank-error bound,
+  // the KLL paper's guarantee), so "p50/p99 per key, all time" stays one
+  // ~KB binary per key, per-tick cost O(batch + keys), history never
+  // rescanned.
+
+  private def kllViewSchema = StructType(Seq(
+    StructField("key", org.apache.spark.sql.types.StringType),
+    StructField("sk", org.apache.spark.sql.types.BinaryType)))
+
+  /** Fold one batch's (keyCol: string, valCol: double) rows into the
+    * per-key quantile sketches under `mvDir/quantile_sketches`.
+    */
+  def maintainQuantileSketches(spark: SparkSession, batch: DataFrame,
+      mvDir: String, keyCol: String, valCol: String): Unit = {
+    val dir = s"$mvDir/quantile_sketches"
+    val partial = batch
+      .select(col(keyCol).cast("string").as("key"),
+        col(valCol).cast("double").as("v"))
+      .groupBy("key")
+      .agg(graft.functions.SketchAggs.kllAgg(col("v")).as("sk"))
+    val merged =
+      if (TableStore.dataFiles(spark, dir).isEmpty) partial
+      else TableStore.read(spark, dir, kllViewSchema).unionByName(partial)
+        .groupBy("key")
+        .agg(graft.functions.SketchAggs.kllMergeAgg(col("sk")).as("sk"))
+    TableStore.overwriteVersioned(merged, dir)
+  }
+
+  /** (key, quantiles array at `probs`) from the maintained sketches. */
+  def quantileView(spark: SparkSession, mvDir: String,
+      probs: Seq[Double]): DataFrame =
+    TableStore.read(spark, s"$mvDir/quantile_sketches", kllViewSchema)
+      .select(col("key"),
+        graft.functions.SketchAggs.kllQuantiles(col("sk"), probs).as("qs"))
+
   /** Recovery/bootstrap: recompute every view from the curated store (the
     * one full scan, paid only after a crash rollback or when adopting the
     * views over an existing store).

@@ -162,6 +162,35 @@ class IncrementalViewsSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(Paths.get(s"$dir/mv/_mv_stale")))
   }
 
+  test("quantile sketches fold across ticks: merged view tracks the all-history percentiles") {
+    val dir = tmp("mv_kll")
+    // 3 ticks × 4000 values per key; the merged view must answer p50/p90
+    // over ALL 12000 values, not the last batch — within KLL's rank band
+    val rnd = new scala.util.Random(7)
+    def batch(tick: Int) = (1 to 4000).map { _ =>
+      ("k" + (rnd.nextInt(2) + 1), rnd.nextDouble() * 100 + tick * 1000.0)
+    }.toDF("key", "v") // tick offset shifts each batch's range
+    val batches = (0 until 3).map(batch)
+    batches.foreach(b =>
+      IncrementalViews.maintainQuantileSketches(spark, b, dir, "key", "v"))
+    val got = IncrementalViews.quantileView(spark, dir, Seq(0.5, 0.9))
+      .as[(String, Seq[Double])].collect().toMap
+    val all = batches.reduce(_ unionAll _)
+    for (k <- Seq("k1", "k2")) {
+      val exact = all.filter($"key" === k)
+        .select(org.apache.spark.sql.functions
+          .expr("percentile(v, array(0.45, 0.55, 0.85, 0.95))"))
+        .as[Seq[Double]].head()
+      assert(got(k)(0) >= exact(0) && got(k)(0) <= exact(1),
+        s"$k p50=${got(k)(0)} outside [${exact(0)}, ${exact(1)}]")
+      assert(got(k)(1) >= exact(2) && got(k)(1) <= exact(3),
+        s"$k p90=${got(k)(1)} outside [${exact(2)}, ${exact(3)}]")
+    }
+    // the last batch alone lives in [2000, 2100]: an all-history p50 must
+    // NOT (a last-batch-snapshot bug would put it there)
+    assert(got("k1")(0) < 2000.0)
+  }
+
   test("counts view is a merged total, not a last-batch snapshot") {
     val dir = tmp("mv_cnt")
     Files.createDirectories(Paths.get(s"$dir/landing"))
