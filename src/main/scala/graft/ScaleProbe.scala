@@ -20,7 +20,8 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // optional section filter: comma-separated names from {lsh, cosine,
     // textops, tick, ngram, cluster, boilerplate, bucket, phrase,
-    // ivfappend, zorder, merge, bloom, pagerank, bpe}; absent/empty = run all
+    // ivfappend, zorder, merge, bloom, pagerank, bpe, sketch, triangles,
+    // replace, ewma}; absent/empty = run all
     val sections: Set[String] =
       args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty).getOrElse(Set.empty)
@@ -496,6 +497,119 @@ object ScaleProbe {
         }
         require(merges.length == 8, s"expected 8 merges, got ${merges.length}")
         org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(c)
+      }
+    }
+    // ---- sketch aggregates: rows 10x, state FIXED -----------------------------
+    // The claim to measure: per-key KLL + Theta aggregation cost tracks the
+    // scan linearly while the aggregate STATE stays constant-size (the
+    // whole point of mergeable sketches — a 10x table does not grow the
+    // view). Values are deterministic pseudo-random doubles, 5 keys.
+    if (want("sketch")) {
+      println("\n== sketch aggs: rows 10x, state fixed ==")
+      import graft.functions.SketchAggs._
+      for (n <- Seq(1000000L, 5000000L, 10000000L)) {
+        val df = spark.range(n).select(
+          (col("id") % 5).cast("string").as("key"),
+          (pmod(xxhash64(col("id")), lit(100000L)) / 1000.0).as("v"),
+          pmod(xxhash64(col("id"), lit(7)), lit(1000000L)).as("u"))
+        val sizes = time(f"kll+theta per key     rows=$n%-8d") {
+          df.groupBy("key").agg(
+              kllAgg(col("v")).as("kll"), thetaAgg(col("u")).as("th"))
+            .select(length(col("kll")).as("lk"), length(col("th")).as("lt"))
+            .agg(max("lk"), max("lt")).head()
+        }
+        println(s"    state bytes: kll=${sizes.getInt(0)} theta=${sizes.getInt(1)}")
+      }
+    }
+
+    // ---- triangle counting: disjoint graph copies, count law ------------------
+    // Edges x k via disjoint copies: runtime must track m (the oriented
+    // wedge join is O(m^1.5) worst-case but the graph's degree profile is
+    // fixed across copies, so observed cost is ~linear), and the triangle
+    // count must be EXACTLY k x the base count — a per-copy correctness law.
+    if (want("triangles")) {
+      println("\n== triangles: disjoint graph copies ==")
+      val li = graft.query.Tables(spark, sfDir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_partkey")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("v"))
+      val basePairs = a.join(b,
+          col("l_orderkey") === col("ok_b") && col("u") < col("v"))
+        .select("u", "v").distinct().localCheckpoint()
+      var baseTri = -1L
+      for (copies <- Seq(1, 5, 10)) {
+        val pairs = (0 until copies).map(k => basePairs.select(
+          (col("u") + lit(k * 10000000L)).as("u"),
+          (col("v") + lit(k * 10000000L)).as("v"))).reduce(_ union _)
+        val m = pairs.count()
+        val r = time(s"triangles             m=$m") {
+          graft.query.Graph.triangleStats(pairs).head()
+        }
+        val tri = r.getLong(2)
+        if (copies == 1) baseTri = tri
+        require(tri == baseTri * copies,
+          s"triangle law broken: $tri != $baseTri x $copies")
+      }
+      org.apache.spark.sql.graft.ColumnBridge
+        .releaseLocalCheckpoint(basePairs)
+    }
+
+    // ---- replaceWhere: table grows by NEW partitions, slice fixed -------------
+    // The merge-probe claim applied to backfill: replace of a fixed 3-date
+    // slice must stay FLAT while the table grows 10x by unrelated dates
+    // (only touched partitions are read + rewritten).
+    if (want("replace")) {
+      println("\n== replaceWhere: fixed slice, table 10x by new dates ==")
+      val ev0 = graft.query.Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("event_type"),
+          to_date(col("ts")).as("date"))
+      for (copies <- Seq(1, 5, 10)) {
+        val t = graft.query.Pipelines.demoRoot("graft_rp").toString + "/t"
+        val big = (0 until copies).map(k => ev0.select(
+          (col("event_id") + lit(k * 10000000L)).as("event_id"),
+          col("event_type"), date_add(col("date"), k * 40).as("date")))
+          .reduce(_ union _)
+        graft.store.TableStore.append(big.repartition(8), t)
+        val batch = ev0
+          .filter(col("date").between(lit("2024-01-03"), lit("2024-01-04")))
+          .filter(col("event_type") =!= "error" || col("event_type").isNull)
+        val nDates = copies * 30
+        time(f"replace 3-date slice  dates=$nDates%-5d") {
+          graft.store.TableStore.replaceWhere(spark, batch, t,
+            col("date").between(lit("2024-01-03"), lit("2024-01-05")))
+        }
+      }
+    }
+
+    // ---- time-series: events 10x, rollup cardinality fixed --------------------
+    // The claim: the decayed-sum self-join and the anomaly window run on
+    // the daily ROLLUP (types x days — constant under row replication), so
+    // cost beyond the one scan+aggregate is flat.
+    if (want("ewma")) {
+      println("\n== ewma/anomaly: rows 10x, rollup fixed ==")
+      val ev0 = graft.query.Tables(spark, sfDir, "events")
+        .select(col("event_type"), col("ts"), col("user_id"))
+      for (copies <- Seq(1, 5, 10)) {
+        val big = (0 until copies).map(k => ev0.select(col("event_type"),
+          col("ts"), (col("user_id") + lit(k * 1000000L)).as("user_id")))
+          .reduce(_ union _).localCheckpoint()
+        val n = big.count()
+        val daily = big.groupBy(col("event_type"),
+            to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
+        time(s"ewma decayed sum      rows=$n") {
+          val a2 = daily.select(col("event_type"), col("day"), col("cnt"))
+          val b2 = daily.select(col("event_type").as("et_b"),
+            col("day").as("day_b"), col("cnt").as("cnt_b"))
+          a2.join(b2, col("event_type") === col("et_b") &&
+              datediff(col("day"), col("day_b")).between(0, 13))
+            .groupBy("event_type", "day")
+            .agg(sum(col("cnt_b") *
+              pow(lit(0.5), datediff(col("day"), col("day_b")) / 7.0))
+              .as("decayed"))
+            .count()
+        }
+        big.unpersist()
       }
     }
     spark.stop()

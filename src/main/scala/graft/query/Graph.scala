@@ -202,29 +202,37 @@ object Graph {
         val pairs = a.join(b,
             col("l_orderkey") === col("ok_b") && col("u") < col("v"))
           .select("u", "v").distinct()
-        val deg = pairs.select(col("u").as("node"))
-          .unionAll(pairs.select(col("v").as("node")))
-          .groupBy("node").agg(cnt.as("deg"))
-        val du = deg.select(col("node").as("u"), col("deg").as("du"))
-        val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
-        val lower = col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v"))
-        val o = pairs.join(du, "u").join(dv, "v")
-          .select(when(lower, col("u")).otherwise(col("v")).as("lo"),
-            when(lower, col("v")).otherwise(col("u")).as("hi"))
-        val e1 = o.select(col("lo").as("lo1"), col("hi").as("hi1"))
-        val e2 = o.select(col("lo").as("lo2"), col("hi").as("hi2"))
-        val wedges = e1.join(e2, col("lo2") === col("hi1"))
-        val tri = wedges.join(o,
-            col("lo") === col("lo1") && col("hi") === col("hi2"))
-          .agg(cnt.as("n_triangles"))
-        val wedge = deg.agg(
-          (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("w"),
-          cnt.as("n_nodes"))
-        val nEdges = pairs.agg(cnt.as("n_edges"))
-        tri.crossJoin(wedge).crossJoin(nEdges)
-          .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
-            round(lit(3.0) * col("n_triangles") / col("w"), 6).as("clustering"))
+        triangleStats(pairs)
       })
   )
+
+  /** Degree-oriented triangle count + global clustering coefficient over an
+    * undirected edge frame `pairs` (u < v, distinct). See q_triangles for
+    * the O(√m) out-degree bound the orientation buys.
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("u").as("node"))
+      .unionAll(pairs.select(col("v").as("node")))
+      .groupBy("node").agg(cnt.as("deg"))
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = pairs.join(du, "u").join(dv, "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("lo"),
+        when(lower, col("v")).otherwise(col("u")).as("hi"))
+    val e1 = o.select(col("lo").as("lo1"), col("hi").as("hi1"))
+    val e2 = o.select(col("lo").as("lo2"), col("hi").as("hi2"))
+    val wedges = e1.join(e2, col("lo2") === col("hi1"))
+    val tri = wedges.join(o,
+        col("lo") === col("lo1") && col("hi") === col("hi2"))
+      .agg(cnt.as("n_triangles"))
+    val wedge = deg.agg(
+      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("w"),
+      cnt.as("n_nodes"))
+    val nEdges = pairs.agg(cnt.as("n_edges"))
+    tri.crossJoin(wedge).crossJoin(nEdges)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("w"), 6).as("clustering"))
+  }
 }
