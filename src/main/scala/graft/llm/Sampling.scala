@@ -216,6 +216,32 @@ object Sampling {
             round(log(u) / col("n_chars"), 9).as("priority"))
           .orderBy(desc("priority"), asc("doc_id"))
           .limit(20)
+      }),
+
+    // ---- L6+: consistent per-key sampling (bottom-k by hash) ----------------
+    // The sample a pipeline can re-draw bit-identically on every rerun AND
+    // keep stable under appends to OTHER keys: per key, the k rows with
+    // the smallest md5(id) — hash order is a fixed random permutation, so
+    // this is a uniform k-sample with no RNG state, and adding rows only
+    // evicts from the affected key's bottom-k. Rides the TopKPerKey heap
+    // plan: each partition forwards at most k candidates per key — no
+    // window sort of the corpus (the row_number form shuffles everything).
+    // md5 (not xxhash64) because both engines produce identical hex.
+    Q("q_sample_bottomk", Some(
+      """SELECT event_type, event_id FROM (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events) t WHERE rn <= 5
+        |ORDER BY event_type, event_id""".stripMargin),
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            md5(col("event_id").cast("string")).as("h"))
+        graft.plans.TopK.perKey(ev, Seq("event_type"),
+            Seq(col("h").asc, col("event_id").asc), k = 5)
+          .select(col("event_type"), col("event_id"))
+          .orderBy("event_type", "event_id")
       })
   )
 }

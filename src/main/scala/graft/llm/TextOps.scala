@@ -802,6 +802,41 @@ object TextOps {
         .select("doc_id", "chunk_id", "chunk", "n_words")
         .orderBy("doc_id", "chunk_id")),
 
+    // ---- L5++: Unicode NFC normalization (graft.functions.NfcNormalize) -----
+    // Two raw encodings of the same visible text (precomposed é vs
+    // e + U+0301) must converge to ONE string after NFC — the property
+    // that makes exact-dedup hashes and decontamination grams see through
+    // encoding variance. Each doc is expanded into both variants:
+    // n_raw=2 / n_nfc=1 pins the convergence, len_nfc pins that combining
+    // sequences actually composed (shorter by one codepoint).
+    Q("q_normalize_text", Some(
+      """WITH v AS (
+        |  SELECT doc_id, 'Caf' || chr(233) || ' ' || text AS t
+        |  FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id, 'Cafe' || chr(769) || ' ' || text AS t
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(count(DISTINCT t) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT nfc_normalize(t)) AS BIGINT) AS n_nfc,
+        |  CAST(max(length(nfc_normalize(t))) AS BIGINT) AS len_nfc
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val base = Tables(s, d, "documents")
+          .filter(col("doc_id") < 100).select("doc_id", "text")
+        val v = base.select(col("doc_id"),
+            concat(lit("Caf\u00e9 "), col("text")).as("t")) // precomposed
+          .unionAll(base.select(col("doc_id"),         // decomposed e+U+0301
+            concat(lit("Cafe\u0301 "), col("text")).as("t")))
+        v.groupBy("doc_id")
+          .agg(countDistinct(col("t")).as("n_raw"),
+            countDistinct(graft.functions.NfcNormalize.nfc(col("t")))
+              .as("n_nfc"),
+            max(length(graft.functions.NfcNormalize.nfc(col("t"))))
+              .cast("long").as("len_nfc"))
+          .orderBy("doc_id")
+      }),
+
     // ---- L1: exact dedup ---------------------------------------------------
     Q("q_dedup_exact", Some(
       """SELECT doc_id, n_copies FROM (
