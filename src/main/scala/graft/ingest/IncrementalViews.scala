@@ -163,25 +163,47 @@ object IncrementalViews {
 
   private def kllViewSchema = StructType(Seq(
     StructField("key", org.apache.spark.sql.types.StringType),
-    StructField("sk", org.apache.spark.sql.types.BinaryType)))
+    StructField("sk", org.apache.spark.sql.types.BinaryType),
+    StructField("batch_id", org.apache.spark.sql.types.LongType)))
 
   /** Fold one batch's (keyCol: string, valCol: double) rows into the
-    * per-key quantile sketches under `mvDir/quantile_sketches`.
+    * per-key quantile sketches under `mvDir/quantile_sketches`. Returns
+    * true if the batch was folded, false if skipped as a replay.
+    *
+    * Replay safety (the part HLL/theta views get for free and KLL does
+    * NOT): set-union is idempotent, but re-folding the same VALUES skews a
+    * quantile sketch toward the replayed batch. Under foreachBatch's
+    * at-least-once contract, `batchId` rides every view row and commits
+    * ATOMICALLY with the sketches in the generation swap — a replayed
+    * batch (id ≤ stored id) is recognized and skipped even if the crash
+    * landed between data write and any separate marker (there is no
+    * separate marker to tear).
     */
   def maintainQuantileSketches(spark: SparkSession, batch: DataFrame,
-      mvDir: String, keyCol: String, valCol: String): Unit = {
+      mvDir: String, keyCol: String, valCol: String,
+      batchId: Long = -1L): Boolean = {
     val dir = s"$mvDir/quantile_sketches"
+    val existing =
+      if (TableStore.dataFiles(spark, dir).isEmpty) None
+      else Some(TableStore.read(spark, dir, kllViewSchema))
+    if (batchId >= 0 && existing.exists(
+        _.agg(max("batch_id")).head().getLong(0) >= batchId))
+      return false // at-least-once replay: state already holds this batch
     val partial = batch
       .select(col(keyCol).cast("string").as("key"),
         col(valCol).cast("double").as("v"))
       .groupBy("key")
       .agg(graft.functions.SketchAggs.kllAgg(col("v")).as("sk"))
-    val merged =
-      if (TableStore.dataFiles(spark, dir).isEmpty) partial
-      else TableStore.read(spark, dir, kllViewSchema).unionByName(partial)
+      .withColumn("batch_id", lit(batchId))
+    val merged = existing match {
+      case None => partial
+      case Some(e) => e.unionByName(partial)
         .groupBy("key")
         .agg(graft.functions.SketchAggs.kllMergeAgg(col("sk")).as("sk"))
+        .withColumn("batch_id", lit(batchId))
+    }
     TableStore.overwriteVersioned(merged, dir)
+    true
   }
 
   /** (key, quantiles array at `probs`) from the maintained sketches. */

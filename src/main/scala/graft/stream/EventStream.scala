@@ -331,6 +331,26 @@ object EventStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Continuous per-key quantile maintenance: each micro-batch folds its
+    * KLL sketches into the stored view ([[graft.ingest.IncrementalViews
+    * .maintainQuantileSketches]]). Unlike [[mergeStream]], the fold is NOT
+    * naturally idempotent (re-folding values skews a quantile sketch), so
+    * exactly-once comes from the batchId committed atomically with the
+    * sketches in the view's generation swap — a crash-replayed batch is
+    * recognized and skipped, never double-counted.
+    */
+  def quantileSketchStream(updates: DataFrame, mvDir: String,
+      checkpointDir: String, keyCol: String, valCol: String): StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ingest.IncrementalViews.maintainQuantileSketches(
+          batch.sparkSession, batch, mvDir, keyCol, valCol, id)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .start()
+
   def ingestStream(spark: SparkSession, landingDir: String, outDir: String,
       checkpointDir: String, table: String = "watch"): StreamingQuery = {
     val lines = spark.readStream

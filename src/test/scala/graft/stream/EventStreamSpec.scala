@@ -485,4 +485,32 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
   }
+
+  test("quantileSketchStream: micro-batches fold into the view; replayed batch never double-counts") {
+    import graft.ingest.IncrementalViews
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("kllstream").toString + "/mv"
+    val ckpt = Files.createTempDirectory("kllstream_ck").toString
+    val mem = MemoryStream[(String, Double)]
+    val q = EventStream.quantileSketchStream(
+      mem.toDF().toDF("k", "v"), dir, ckpt, "k", "v")
+    try {
+      mem.addData((1 to 1000).map(i => ("a", i.toDouble)): _*)
+      q.processAllAvailable()
+      mem.addData((1 to 1000).map(i => ("a", (i + 1000).toDouble)): _*)
+      q.processAllAvailable()
+      val p50 = IncrementalViews.quantileView(spark, dir, Seq(0.5))
+        .as[(String, Seq[Double])].head()._2.head
+      // all-history median over 1..2000, not a last-batch (1001..2000) one
+      assert(math.abs(p50 - 1000) <= 120, s"p50=$p50")
+      // at-least-once replay: re-fold batch id 1 directly — must be skipped
+      val folded = IncrementalViews.maintainQuantileSketches(spark,
+        (1 to 1000).map(i => ("a", (i + 1000).toDouble)).toDF("k", "v"),
+        dir, "k", "v", batchId = 1L)
+      assert(!folded, "replayed batch was folded again")
+      val p50b = IncrementalViews.quantileView(spark, dir, Seq(0.5))
+        .as[(String, Seq[Double])].head()._2.head
+      assert(p50b === p50) // state bit-identical, not skewed toward replay
+    } finally q.stop()
+  }
 }
