@@ -169,8 +169,13 @@ object Pipelines {
       (s, d) => {
         val dir = evolveDemos.computeIfAbsent(d, _ => {
           val t = demoRoot("graft_evolve").toString + "/orders_e"
+          // month-grain partitions: orders spans ~2400 distinct days — raw
+          // to_date made the demo store 2 x 2400 one-row-ish partitions and
+          // the timed READ paid ~7 s of file listing + footer opens at
+          // sf0.1 (measured). ~80 month partitions keep the same evolution
+          // semantics (the oracle never reads `date`) at sane file counts.
           val o = Tables(s, d, "orders")
-            .withColumn("date", to_date(col("o_orderdate")))
+            .withColumn("date", to_date(date_trunc("month", col("o_orderdate"))))
           TableStore.appendEvolving(
             o.filter(col("o_orderkey") % 2 === 0)
               .select("o_orderkey", "date"), t)
