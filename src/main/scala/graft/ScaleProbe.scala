@@ -609,7 +609,7 @@ object ScaleProbe {
               .as("decayed"))
             .count()
         }
-        big.unpersist()
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(big)
       }
     }
     spark.stop()

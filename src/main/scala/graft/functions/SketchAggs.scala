@@ -46,10 +46,15 @@ object SketchAggs {
     ColumnBridge.column(
       KllDoublesAgg(ColumnBridge.expression(c), k).toAggregateExpression())
 
-  /** Union of stored KLL sketch bytes → merged sketch bytes. */
-  def kllMergeAgg(c: Column): Column =
+  /** Union of stored KLL sketch bytes → merged sketch bytes. `k` must be
+    * ≥ the k the stored sketches were built with — KLL merge preserves the
+    * rank-error bound only when the target buffer is at least as accurate
+    * as the sources (a k=200 buffer would silently downgrade k=1000
+    * per-day sketches to k=200 accuracy).
+    */
+  def kllMergeAgg(c: Column, k: Int = 200): Column =
     ColumnBridge.column(
-      KllMergeAgg(ColumnBridge.expression(c)).toAggregateExpression())
+      KllMergeAgg(ColumnBridge.expression(c), k).toAggregateExpression())
 
   /** Quantiles at `probs` read from KLL sketch bytes (INCLUSIVE rule). */
   def kllQuantiles(bytes: Column, probs: Seq[Double]): Column =
@@ -145,8 +150,10 @@ case class KllDoublesAgg(
   */
 case class KllMergeAgg(
     child: Expression,
+    k: Int = 200,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0) extends SketchAgg[KllDoublesSketch] {
+  require(k >= 8 && k <= 65535, s"KLL k out of range: $k")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -155,7 +162,7 @@ case class KllMergeAgg(
   }
 
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance()
+    KllDoublesSketch.newHeapInstance(k)
 
   override def update(buf: KllDoublesSketch, row: InternalRow): KllDoublesSketch = {
     val v = child.eval(row)

@@ -186,21 +186,25 @@ object IncrementalViews {
     val existing =
       if (TableStore.dataFiles(spark, dir).isEmpty) None
       else Some(TableStore.read(spark, dir, kllViewSchema))
-    if (batchId >= 0 && existing.exists(
-        _.agg(max("batch_id")).head().getLong(0) >= batchId))
+    val storedMax = existing.map(_.agg(max("batch_id")).head().getLong(0))
+    if (batchId >= 0 && storedMax.exists(_ >= batchId))
       return false // at-least-once replay: state already holds this batch
+    // a batch-mode fold (batchId = -1) must CARRY the stored watermark
+    // forward, not stamp -1 over it — that would reset replay protection
+    // for a stream resuming afterwards
+    val stampId = math.max(batchId, storedMax.getOrElse(-1L))
     val partial = batch
       .select(col(keyCol).cast("string").as("key"),
         col(valCol).cast("double").as("v"))
       .groupBy("key")
       .agg(graft.functions.SketchAggs.kllAgg(col("v")).as("sk"))
-      .withColumn("batch_id", lit(batchId))
+      .withColumn("batch_id", lit(stampId))
     val merged = existing match {
       case None => partial
       case Some(e) => e.unionByName(partial)
         .groupBy("key")
         .agg(graft.functions.SketchAggs.kllMergeAgg(col("sk")).as("sk"))
-        .withColumn("batch_id", lit(batchId))
+        .withColumn("batch_id", lit(stampId))
     }
     TableStore.overwriteVersioned(merged, dir)
     true

@@ -56,11 +56,9 @@ object Formats {
     df.agg(
       Tables.cnt.as("n_rows"),
       sum("o_orderkey").as("key_sum"),
-      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-        .as("price_sum"),
+      Tables.sumMoney(col("o_totalprice")).as("price_sum"),
       count_distinct(col("o_orderstatus")).as("n_status"),
-      date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
-        .as("max_date"),
+      Tables.tsSec(max(col("o_orderdate"))).as("max_date"),
       sum(length(col("tricky"))).as("tricky_len"))
 
   private val csvSchema = StructType(Seq(

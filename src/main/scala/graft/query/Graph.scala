@@ -233,6 +233,10 @@ object Graph {
     val nEdges = pairs.agg(cnt.as("n_edges"))
     tri.crossJoin(wedge).crossJoin(nEdges)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("w"), 6).as("clustering"))
+        // a wedge-free graph (perfect matching) has w=0: clustering is
+        // undefined → null, not a div-by-zero (ANSI mode would throw)
+        when(col("w") > 0,
+          round(lit(3.0) * col("n_triangles") / col("w"), 6))
+          .as("clustering"))
   }
 }

@@ -255,6 +255,20 @@ object TableStore {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     require(batchDf.columns.contains("date"),
       "replaceWhere: batch needs a `date` column")
+    // schema enforcement (Delta's): a batch missing a table column would
+    // silently NULL that column across the whole rewritten slice; an extra
+    // column would land physically without widening the declared schema.
+    // Fail loudly on both — evolution goes through appendEvolving.
+    if (dataFiles(spark, dir).nonEmpty) {
+      val tableCols = declaredSchema(spark, dir)
+        .map(_.fieldNames.toSet)
+        .getOrElse(readEvolved(spark, dir).columns.toSet)
+      val batchCols = batchDf.columns.toSet
+      require(batchCols == tableCols,
+        s"replaceWhere: batch schema must match the table: " +
+          s"missing=${(tableCols -- batchCols).mkString(",")} " +
+          s"extra=${(batchCols -- tableCols).mkString(",")}")
+    }
     val batch = batchDf.localCheckpoint() // read thrice: validate, dates, write
     try {
       val violations =
@@ -280,8 +294,7 @@ object TableStore {
       if (written.nonEmpty) {
         val survivors = slice.filter(col("date").isin(written: _*))
           .filter(coalesce(not(predicate), lit(true)))
-        upsertPartitions(spark,
-          survivors.unionByName(batch, allowMissingColumns = true), dir)
+        upsertPartitions(spark, survivors.unionByName(batch), dir)
       }
       emptied.foreach(d => dropPartition(spark, dir, d.toString))
       perDate.values.sum

@@ -72,6 +72,29 @@ class ReplaceWhereSpec extends AnyFunSuite with SparkFixture {
       .filter($"tag" =!= "base").count() === 0)
   }
 
+  test("a batch missing a table column is rejected (no silent NULL rewrite)") {
+    val dir = tmpDir() + "/t"
+    build(dir)
+    val narrow = Seq((100, java.sql.Date.valueOf("2024-01-02")))
+      .toDF("id", "date") // no `tag`
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.replaceWhere(spark, narrow, dir, $"date" === "2024-01-02")
+    }
+    assert(ex.getMessage.contains("missing=tag"))
+    assert(TableStore.read(spark, dir).count() === 30) // untouched
+  }
+
+  test("a batch with an extra undeclared column is rejected") {
+    val dir = tmpDir() + "/t"
+    build(dir)
+    val wide = mk("2024-01-02", 100 until 101, "r")
+      .withColumn("rogue_col", lit(1))
+    val ex = intercept[IllegalArgumentException] {
+      TableStore.replaceWhere(spark, wide, dir, $"date" === "2024-01-02")
+    }
+    assert(ex.getMessage.contains("extra=rogue_col"))
+  }
+
   test("re-running the same replace is a state-level no-op (idempotent backfill)") {
     val dir = tmpDir() + "/t"
     build(dir)

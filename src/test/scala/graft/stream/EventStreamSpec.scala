@@ -511,6 +511,14 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       val p50b = IncrementalViews.quantileView(spark, dir, Seq(0.5))
         .as[(String, Seq[Double])].head()._2.head
       assert(p50b === p50) // state bit-identical, not skewed toward replay
+      // a batch-mode fold (no id) must CARRY the stream's watermark, not
+      // reset it — replaying batch 1 afterwards must still be skipped
+      assert(IncrementalViews.maintainQuantileSketches(spark,
+        Seq(("b", 1.0)).toDF("k", "v"), dir, "k", "v"))
+      assert(!IncrementalViews.maintainQuantileSketches(spark,
+        (1 to 1000).map(i => ("a", (i + 1000).toDouble)).toDF("k", "v"),
+        dir, "k", "v", batchId = 1L),
+        "batch-mode fold reset the replay watermark")
     } finally q.stop()
   }
 }
