@@ -726,7 +726,94 @@ object VectorOps {
     out
   }
 
+  /** L9s: semantic eval-set decontamination — the embedding-space
+    * complement of the exact/n-gram sweeps: a corpus doc whose embedding
+    * sits within `cosThreshold` of ANY eval embedding is a paraphrase-level
+    * leak that no token-overlap test can see. Returns (idCol, eval_id)
+    * for every contaminated corpus row, eval_id = its nearest eval doc.
+    *
+    * Scale shape: the eval set COLLECTS to the driver (bounded by the
+    * decontaminate contract — eval suites are MBs; same documented bound
+    * as the IVF centroid sample), becomes one flat unit matrix inside a
+    * single [[graft.functions.NearestCentroid]] kernel, and the corpus
+    * side is ONE map-only pass: row-local normalize → argbest-cosine over
+    * all eval vectors in one codegen'd loop (constant code size in |eval|)
+    * → broadcast idx-join to attach the winning eval vector → one dot for
+    * the threshold test. Nothing shuffles; at 100 TB this is a pure scan.
+    * For an eval set too large to hold per-executor, route through
+    * [[cosinePairsNative]] (banded sign-LSH) instead.
+    */
+  def semanticContaminationPairs(corpus: DataFrame, evalSet: DataFrame,
+      cosThreshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val ev = evalSet.select(col(idCol).cast("long"), toDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(ev.nonEmpty, "semantic decontamination needs a non-empty eval set")
+    val dim = ev.head._2.length
+    val units = ev.map { case (_, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => if (n > 0) x / n else 0.0)
+    }
+    import spark.implicits._
+    val evDf = broadcast(ev.indices
+      .map(i => (i, ev(i)._1, units(i).toSeq))
+      .toDF("__best", "eval_id", "__ev_u"))
+    corpus
+      .withColumn("__vd", toDouble(col(vecCol)))
+      .withColumn("__n", l2norm(col("__vd")))
+      .filter(col("__n") > 0) // a zero vector has no direction, no cosine
+      .withColumn("__u", transform(col("__vd"), x => x / col("__n")))
+      .withColumn("__best", GraftFunctions.nearestCentroid(
+        col("__u"), units.flatten.toSeq, dim, euclidean = false))
+      .join(evDf, "__best")
+      .filter(dot(col("__u"), col("__ev_u")) >= cosThreshold)
+      .select(col(idCol), col("eval_id"))
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ---- L9s: semantic decontamination (planted-paraphrase oracle) -----------
+    // Corpus = all embeddings + a perturbed copy of every eval vector
+    // (x -> x + 0.01: cos ~0.997 to its source — a "paraphrase" no exact
+    // sweep can catch; measured margins: planted-self >= 0.9968, best
+    // cross-pair <= 0.42, threshold 0.9 sits in a ~0.55-wide gap, so
+    // float-path differences between engines cannot flip a decision).
+    // Expected drops: every eval member (cos 1) + every planted copy.
+    Q("q_decontaminate_semantic", Some(
+      """WITH ev AS (
+        |  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |best AS (
+        |  SELECT c.vec_id, ev.eval_id,
+        |    list_cosine_similarity(c.v, ev.v) AS cos,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_cosine_similarity(c.v, ev.v) DESC, ev.eval_id)
+        |      AS rn
+        |  FROM corpus c CROSS JOIN ev)
+        |SELECT vec_id, eval_id FROM best WHERE rn = 1 AND cos >= 0.9
+        |ORDER BY vec_id""".stripMargin),
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val evalSet = emb.filter(col("vec_id") % 10 === 0)
+        val planted = evalSet.select(
+          (col("vec_id") + 100000L).as("vec_id"),
+          transform(toDouble(col("embedding")), x => x + lit(0.01))
+            .as("embedding"))
+        val corpus = emb
+          .select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
+          .unionByName(planted)
+        semanticContaminationPairs(corpus, evalSet, 0.9)
+          .orderBy("vec_id")
+      }),
 
     // ---- L3+: per-label embedding centroids (class means / k-means step) -------
     // posexplode + hash aggregate is the RIGHT 100 TB shape, not a custom
