@@ -36,6 +36,8 @@ object Pipelines {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val replaceDemos =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dppDemos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Shared by every session-scoped demo store (compact/z-order here, the
     * stored-IVF index in VectorOps): a temp dir under target/tmp, removed
@@ -309,6 +311,39 @@ object Pipelines {
           .groupBy("event_type")
           .agg(cnt.as("n"), countDistinct("date").as("n_dates"),
             sum("event_id").as("sum_id"))
+          .orderBy("event_type")
+      }),
+
+    // ---- R2+: DYNAMIC partition pruning (runtime, not static) -------------------
+    // The static-pruning row (R2) covers literal date predicates; this is
+    // the case that matters for star joins at scale: the selective filter
+    // sits on the DIMENSION, and the fact partitions to read are only
+    // knowable at RUNTIME from the dim's surviving keys. Spark's DPP turns
+    // the broadcast dim into a partition-filter subquery on the fact scan
+    // (`dynamicpruningexpression` — plan-asserted in DppSpec with a
+    // files-read bound), so the fact store opens 5 of 30 partitions here
+    // instead of all 30. The oracle is the direct filter over the raw
+    // table: pruning must be invisible to results.
+    Q("q_dpp", Some(
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE day(CAST(ts AS DATE)) <= 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val dir = dppDemos.computeIfAbsent(d, _ => {
+          val t = demoRoot("graft_dpp").toString + "/events_p"
+          TableStore.append(Tables(s, d, "events")
+            .select(col("event_id"), col("event_type"),
+              to_date(col("ts")).as("date")).repartition(4), t)
+          t
+        })
+        val fact = TableStore.read(s, dir)
+        val dim = Tables(s, d, "events")
+          .select(to_date(col("ts")).as("date")).distinct()
+          .filter(dayofmonth(col("date")) <= 5)
+        fact.join(dim, "date")
+          .groupBy("event_type")
+          .agg(cnt.as("n"), sum("event_id").as("id_sum"))
           .orderBy("event_type")
       }),
 
