@@ -67,6 +67,30 @@ object PlanQueries {
           .orderBy(col("lang"), col("cnt").desc, col("ngram"))
       }),
 
+    // Statistical MODE per key, deterministically: SQL's mode() breaks
+    // ties engine-dependently, so it can never hash-compare — this form
+    // (count per (key, value) → k=1 heap with an explicit value
+    // tiebreak) IS the deterministic definition, and the count aggregate
+    // collapses the corpus before the heap sees it: the exchange carries
+    // (key, value, count) distinct rows, then one candidate per key per
+    // partition. "Most frequent event type per user cohort" shape.
+    Q("q_mode_per_key", Some(
+      """SELECT event_type, user_id AS mode_user, cnt AS n_occ FROM (
+        |  SELECT event_type, user_id, count(*) AS cnt,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY count(*) DESC, user_id) AS rn
+        |  FROM events GROUP BY event_type, user_id) t
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin),
+      (s, d) => {
+        val counts = Tables(s, d, "events")
+          .groupBy("event_type", "user_id").agg(Tables.cnt.as("cnt"))
+        TopK.perKey(counts, Seq("event_type"),
+            Seq(col("cnt").desc, col("user_id").asc), k = 1)
+          .select(col("event_type"), col("user_id").as("mode_user"),
+            col("cnt").as("n_occ"))
+          .orderBy("event_type")
+      }),
+
     // Latest row per key — the argmax/SCD-current-version idiom ("newest
     // document version per URL", "latest event per user") as the k=1
     // degenerate case of the heap plan. This is the single most common

@@ -243,6 +243,27 @@ object Relational {
             .as("revenue"))
         .orderBy("o_orderpriority")),
 
+    // ---- J2h: big x big shuffle join, pinned to SHUFFLE_HASH ------------------
+    // The third shuffle-join regime: no sort on either side — each
+    // partition hashes the (smaller) build side and streams the probe.
+    // Wins over sort-merge when one side is much smaller than the other
+    // but still over the broadcast ceiling, or when sort would spill;
+    // loses the sort-merge spill path if a build partition outgrows
+    // memory (the skew trade the salted-join row handles). Same oracle
+    // shape as J2: strategy choice must be invisible to results
+    // (ShuffledHashJoinExec presence is plan-asserted in JoinStrategySpec).
+    Q("q_join_shufflehash", Some(
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, d) => t("lineitem")(s, d)
+        .join(t("orders")(s, d).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy("o_orderstatus")
+        .agg(cnt.as("cnt"), sumMoney(col("l_quantity")).as("qty"))
+        .orderBy("o_orderstatus")),
+
     // ---- J: left-semi — "repos with >=1 watch" idiom --------------------------
     Q("q_join_semi", Some(
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
