@@ -38,6 +38,8 @@ object Pipelines {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dppDemos =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val quarantineDemos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Shared by every session-scoped demo store (compact/z-order here, the
     * stored-IVF index in VectorOps): a temp dir under target/tmp, removed
@@ -312,6 +314,46 @@ object Pipelines {
           .agg(cnt.as("n"), countDistinct("date").as("n_dates"),
             sum("event_id").as("sum_id"))
           .orderBy("event_type")
+      }),
+
+    // ---- S21: corrupt-file quarantine sweep -------------------------------------
+    // Build the store one file per date, TRUNCATE 2024-01-02's file to 10
+    // bytes (the classic torn object), quarantine, then read. The oracle
+    // is the source minus the lost partition: hash equality proves the
+    // sweep removed exactly the torn file's rows and the survivors read
+    // clean (a direct read of the corrupt store throws — pinned in
+    // QuarantineSpec, along with clean-store no-op and idempotence).
+    Q("q_quarantine_scan", Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_dates,
+        |  1 AS n_quarantined
+        |FROM events WHERE CAST(ts AS DATE) <> DATE '2024-01-02'""".stripMargin),
+      (s, d) => {
+        val state = quarantineDemos.computeIfAbsent(d, _ => {
+          val t = demoRoot("graft_quarantine").toString + "/events_q"
+          val ev = Tables(s, d, "events")
+            .select(col("event_id"), to_date(col("ts")).as("date"))
+          // repartition BY date → every date's rows land in one task →
+          // exactly one file per partition, so truncating one file loses
+          // exactly one date (deterministic corruption)
+          TableStore.append(ev.repartition(col("date")), t)
+          val victim = TableStore.dataFiles(s, t)
+            .find(_.contains("date=2024-01-02"))
+            .getOrElse(sys.error("no 2024-01-02 file to corrupt"))
+          val ch = java.nio.channels.FileChannel.open(
+            java.nio.file.Paths.get(new java.net.URI(victim).getPath),
+            java.nio.file.StandardOpenOption.WRITE)
+          try ch.truncate(10) finally ch.close()
+          val quarantined = TableStore.quarantineCorrupt(s, t)
+          s"$t|${quarantined.size}"
+        })
+        val Array(dir, nQ) = state.split('|')
+        TableStore.read(s, dir)
+          .agg(cnt.as("n_rows"), sum("event_id").as("id_sum"),
+            countDistinct("date").as("n_dates"))
+          .select(col("n_rows"), col("id_sum"), col("n_dates"),
+            lit(nQ.toInt).as("n_quarantined"))
       }),
 
     // ---- R2+: DYNAMIC partition pruning (runtime, not static) -------------------

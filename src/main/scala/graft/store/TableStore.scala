@@ -692,6 +692,54 @@ object TableStore {
       .toDF("file", "col", "mn", "mx")
   }
 
+  /** S21: corrupt-file quarantine — the anti-entropy sweep for a store
+    * whose object layer can hand back truncated or garbage objects (the
+    * failure mock3:// simulates at the rename layer, seen at the data
+    * layer). One distributed footer probe over every data file; files
+    * whose footer fails to parse are MOVED to `_quarantine/` under the
+    * table root (hidden dir — readers and compaction never list it),
+    * named by their relative path so colliding basenames across
+    * partitions can't clobber. Returns the quarantined paths.
+    *
+    * Honest boundary: a footer-valid file with corrupt DATA pages passes
+    * this probe — truncation and whole-object garbage (the common
+    * object-store failures) are what the footer catches; page-level CRCs
+    * are the reader's job. Idempotent: a second sweep finds nothing.
+    */
+  def quarantineCorrupt(spark: SparkSession, dir: String): Seq[String] = {
+    val dataDir = resolveDataDir(spark, dir)
+    val files = listParquet(spark, dataDir)
+    if (files.isEmpty) return Nil
+    import scala.jdk.CollectionConverters._
+    val confEntries = spark.sparkContext.hadoopConfiguration.iterator()
+      .asScala.map(e => (e.getKey, e.getValue)).toArray
+    val bad = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .flatMap { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val ok = try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks != null finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (ok) None else Some(p)
+      }.collect().toSeq
+    if (bad.nonEmpty) {
+      val f = fs(spark, dir)
+      val qdir = new Path(dataDir, "_quarantine")
+      f.mkdirs(qdir)
+      val base = f.makeQualified(new Path(dataDir)).toString
+      bad.foreach { p =>
+        val rel = f.makeQualified(new Path(p)).toString
+          .stripPrefix(base).stripPrefix("/").replace("/", "__")
+        f.rename(new Path(p), new Path(qdir, rel))
+      }
+    }
+    bad
+  }
+
   private def footerStatsRdd(spark: SparkSession, files: Seq[String],
       cols: Seq[String], allCols: Boolean)
       : org.apache.spark.rdd.RDD[(String, Map[String, (Double, Double)])] = {
