@@ -28,6 +28,32 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** One ANSI string both engines execute verbatim (q_lateral_join). */
+  private val LateralJoinText =
+    """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+      |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_orderpriority = p.o_orderpriority
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY 1, 3 DESC, 2""".stripMargin
+
+  /** One ANSI string both engines execute verbatim (q_recursive_cte).
+    * Fixed-depth recursion (84 month steps) — NOT data-dependent depth,
+    * so the iteration bound holds at every scale factor.
+    */
+  private val RecursiveCteText =
+    """WITH RECURSIVE m(mon) AS (
+      |  SELECT DATE '1992-01-01'
+      |  UNION ALL
+      |  SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM m
+      |  WHERE mon < DATE '1998-12-01')
+      |SELECT substring(CAST(mon AS VARCHAR(10)), 1, 7) AS month,
+      |  CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      |FROM m LEFT JOIN orders
+      |  ON substring(CAST(mon AS VARCHAR(10)), 1, 7) =
+      |     substring(CAST(o_orderdate AS VARCHAR(19)), 1, 7)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** One ANSI string both engines execute verbatim (q_scalar_subquery). */
   private val ScalarSubqueryText =
     """SELECT c_custkey,
@@ -323,6 +349,30 @@ object Relational {
         Tables(s, d, "orders").createOrReplaceTempView("orders")
         Tables(s, d, "customer").createOrReplaceTempView("customer")
         s.sql(ScalarSubqueryText)
+      }),
+
+    // ---- SQL surface: LATERAL correlated subquery ------------------------------
+    // Per-group top-2 written the way an analyst writes it — a correlated
+    // ORDER BY ... LIMIT subquery per outer row. Catalyst decorrelates the
+    // lateral into a ranked join (DecorrelateInnerQuery); same ANSI text
+    // runs on both engines, explicit tiebreak keeps the LIMIT edge unique.
+    Q("q_lateral_join", Some(LateralJoinText),
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(LateralJoinText)
+      }),
+
+    // ---- SQL surface: RECURSIVE CTE (Spark 4 UnionLoop) ------------------------
+    // The canonical recursive-spine use: generate the 84-month calendar by
+    // recursion, left-join monthly order counts (empty months surface as
+    // 0 — a plain GROUP BY over orders could never produce them). Depth
+    // is FIXED at 84 steps regardless of scale factor, safely inside the
+    // engine's recursion limit; dialect-shared month formatting via
+    // substring(CAST(date AS VARCHAR)) since strftime/date_format differ.
+    Q("q_recursive_cte", Some(RecursiveCteText),
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(RecursiveCteText)
       }),
 
     // ---- J: full outer join — unmatched rows survive from BOTH sides -----------

@@ -132,6 +132,34 @@ object Temporal {
           .orderBy("event_type", "day")
       }),
 
+    // ---- W: RANGE frame (value-based, not row-based) ---------------------------
+    // The trailing-7-CALENDAR-DAY sum over a daily series WITH GAPS (odd
+    // days only — the gaps are the point): a ROWS frame would reach back 7
+    // observations ≈ 13 calendar days, while RANGE bounds the frame by the
+    // ORDER VALUE, skipping absent days' weight entirely. This is the
+    // frame a time-decayed metric needs when the series is sparse.
+    Q("q_window_range", Some(
+      s"""WITH daily AS ($dailySql),
+        |n AS (
+        |  SELECT event_type, day, cnt,
+        |    date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) AS dnum
+        |  FROM daily WHERE day(CAST(day AS DATE)) % 2 = 1)
+        |SELECT event_type, day,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY dnum
+        |        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS w7
+        |FROM n ORDER BY event_type, day""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("dnum")
+          .rangeBetween(-6, Window.currentRow)
+        daily(s, d)
+          .withColumn("dnum",
+            datediff(to_date(col("day")), lit("2024-01-01").cast("date")))
+          .filter(dayofmonth(to_date(col("day"))) % 2 === 1)
+          .withColumn("w7", sum(col("cnt")).over(w))
+          .select("event_type", "day", "w7")
+          .orderBy("event_type", "day")
+      }),
+
     // ---- W: rank-family battery — dense_rank / ntile / percent_rank / cume_dist --
     Q("q_window_ranks", Some(
       s"""WITH daily AS ($dailySql)
