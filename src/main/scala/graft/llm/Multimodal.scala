@@ -139,6 +139,50 @@ object Multimodal {
       height: Int, target_w: Int, target_h: Int, scaled_bytes: Long,
       decode_ok: Boolean)
 
+  case class ImageHash(doc_id: Long, dhash: Long, decode_ok: Boolean)
+
+  /** L4+: perceptual difference-hash (dHash) for image-level dedup — the
+    * multimodal twin of the text MinHash: decode → 9x8 grayscale bilinear
+    * downscale → 64 horizontal gradient signs packed into one long.
+    * Identical pixels hash identically regardless of container bytes
+    * (re-encoded/metadata-stripped copies collapse); the hash survives
+    * mild resizing/compression, which a byte-level sha2 cannot. Dedup is
+    * then an ordinary 8-byte hash groupBy — the image never shuffles.
+    * Map-only, partition-preserving; undecodable rows keep decode_ok=false.
+    */
+  def imageDHash(spark: SparkSession, withMedia: DataFrame,
+      spreadInput: Boolean = false): Dataset[ImageHash] = {
+    import spark.implicits._
+    spread(spark, withMedia, spreadInput)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+         catch { case scala.util.control.NonFatal(_) => None }) match {
+          case None => ImageHash(id, 0L, decode_ok = false)
+          case Some(img) =>
+            val gray = new BufferedImage(9, 8, BufferedImage.TYPE_BYTE_GRAY)
+            val g = gray.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, 9, 8, null)
+            g.dispose()
+            val r = gray.getRaster
+            var h = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (r.getSample(x + 1, y, 0) > r.getSample(x, y, 0))
+                  h |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            ImageHash(id, h, decode_ok = true)
+        }
+      })
+  }
+
   /** REAL resize: decode → aspect-preserving bilinear scale on a
     * `Graphics2D` raster → re-encode; `scaled_bytes` is the actual
     * re-encoded size. Narrow, partition-preserving, composes after decode.
@@ -495,6 +539,36 @@ object Multimodal {
           col("target_w"), col("target_h"),
           (col("decode_ok") && col("scaled_bytes") > 0).as("scaled_ok"))
         .orderBy("doc_id")),
+
+    // ---- L4+: image dedup via perceptual dHash ---------------------------------
+    // Corpus = 100 per-id images + a planted byte-identical copy of the
+    // first 50 under shifted ids: every planted pair must collapse to one
+    // group keyed by the ORIGINAL id (min), the other 50 stay singletons.
+    // The oracle re-states that planted structure; a broken decode,
+    // downscale, or hash path cannot reproduce it. (Distinct noise images
+    // colliding in a 64-bit dHash would also break it — deterministic
+    // fixtures make that a fixed, verified-absent event, not flake.)
+    Q("q_image_dedup", Some(
+      """SELECT doc_id AS keep_id,
+        |  CAST(CASE WHEN doc_id < 50 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_copies
+        |FROM documents WHERE doc_id < 100 ORDER BY keep_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables(s, d, "documents")
+          .filter(col("doc_id") < 100).select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+        val media = ids.mapPartitions(_.flatMap { id =>
+          val orig = (id, pngBytes(id))
+          if (id < 50) Seq(orig, (id + 10000L, pngBytes(id))) else Seq(orig)
+        }).toDF("doc_id", "media")
+        imageDHash(s, media).toDF()
+          .filter(col("decode_ok"))
+          .groupBy("dhash")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select("keep_id", "n_copies")
+          .orderBy("keep_id")
+      }),
 
     Q("q_multimodal_decode", Some(
       """SELECT 3 AS channels, true AS decode_ok,
