@@ -21,7 +21,7 @@ object ScaleProbe {
     // optional section filter: comma-separated names from {lsh, cosine,
     // textops, tick, ngram, cluster, boilerplate, bucket, phrase,
     // ivfappend, zorder, merge, bloom, pagerank, bpe, sketch, triangles,
-    // replace, ewma}; absent/empty = run all
+    // replace, ewma, semdecon}; absent/empty = run all
     val sections: Set[String] =
       args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty).getOrElse(Set.empty)
@@ -580,6 +580,27 @@ object ScaleProbe {
             col("date").between(lit("2024-01-03"), lit("2024-01-05")))
         }
       }
+    }
+
+    // ---- semantic decontamination: corpus 10x, eval fixed ---------------------
+    // The claim: one map-only corpus pass (normalize + argbest kernel) +
+    // broadcast idx-join — runtime tracks the scan, eval-side cost flat.
+    if (want("semdecon")) {
+      println("\n== semantic decon: corpus 10x, eval fixed at 50 ==")
+      val evalSet = emb.filter(col("vec_id") % 10 === 0).limit(50)
+        .localCheckpoint()
+      for (copies <- Seq(1, 5, 10)) {
+        val corpus = replicateEmb(emb, copies).localCheckpoint()
+        val n = corpus.count()
+        time(s"semantic decon        corpus=$n") {
+          graft.llm.VectorOps.semanticContaminationPairs(
+            corpus, evalSet, 0.9).count()
+        }
+        org.apache.spark.sql.graft.ColumnBridge
+          .releaseLocalCheckpoint(corpus)
+      }
+      org.apache.spark.sql.graft.ColumnBridge
+        .releaseLocalCheckpoint(evalSet)
     }
 
     // ---- time-series: events 10x, rollup cardinality fixed --------------------
