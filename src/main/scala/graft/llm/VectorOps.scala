@@ -735,18 +735,19 @@ object VectorOps {
     * Scale shape: the eval set COLLECTS to the driver (bounded by the
     * decontaminate contract — eval suites are MBs; same documented bound
     * as the IVF centroid sample), becomes one flat unit matrix inside a
-    * single [[graft.functions.NearestCentroid]] kernel, and the corpus
-    * side is ONE map-only pass: row-local normalize → argbest-cosine over
-    * all eval vectors in one codegen'd loop (constant code size in |eval|)
-    * → broadcast idx-join to attach the winning eval vector → one dot for
-    * the threshold test. Nothing shuffles; at 100 TB this is a pure scan.
-    * For an eval set too large to hold per-executor, route through
-    * [[cosinePairsNative]] (banded sign-LSH) instead.
+    * single [[graft.functions.BestCentroid]] kernel, and the corpus side
+    * is ONE map-only pass: row-local normalize → argbest-cosine WITH its
+    * score in one codegen'd loop (constant code size in |eval|) → a
+    * threshold filter on the emitted dot → the winning eval id resolved
+    * from a small literal array. No join at all — a broadcast idx-join
+    * variant measured ~2 s of fixed per-invocation overhead at bench
+    * scale for the same answer. Nothing shuffles; at 100 TB this is a
+    * pure scan. For an eval set too large to hold per-executor, route
+    * through [[cosinePairsNative]] (banded sign-LSH) instead.
     */
   def semanticContaminationPairs(corpus: DataFrame, evalSet: DataFrame,
       cosThreshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
     val ev = evalSet.select(col(idCol).cast("long"), toDouble(col(vecCol)))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -757,20 +758,16 @@ object VectorOps {
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(x => if (n > 0) x / n else 0.0)
     }
-    import spark.implicits._
-    val evDf = broadcast(ev.indices
-      .map(i => (i, ev(i)._1, units(i).toSeq))
-      .toDF("__best", "eval_id", "__ev_u"))
     corpus
       .withColumn("__vd", toDouble(col(vecCol)))
       .withColumn("__n", l2norm(col("__vd")))
       .filter(col("__n") > 0) // a zero vector has no direction, no cosine
       .withColumn("__u", transform(col("__vd"), x => x / col("__n")))
-      .withColumn("__best", GraftFunctions.nearestCentroid(
-        col("__u"), units.flatten.toSeq, dim, euclidean = false))
-      .join(evDf, "__best")
-      .filter(dot(col("__u"), col("__ev_u")) >= cosThreshold)
-      .select(col(idCol), col("eval_id"))
+      .withColumn("__bc", GraftFunctions.bestCentroid(
+        col("__u"), units.flatten.toSeq, dim))
+      .filter(col("__bc.dot") >= cosThreshold)
+      .select(col(idCol),
+        element_at(lit(ev.map(_._1)), col("__bc.idx") + 1).as("eval_id"))
   }
 
   val all: Seq[Q] = Seq(
