@@ -1119,6 +1119,43 @@ object TextOps {
           .orderBy("doc_id")
       }),
 
+    // ---- L10+: ADAPTIVE quality gate (threshold from the corpus's own -------
+    // quantile) — "drop the worst 20%" where the cutoff is a KLL-sketch
+    // quantile, not a global sort: pass 1 aggregates the score sketch
+    // (map-side partials, KB-size state), pass 2 broadcasts the 1-row
+    // cutoff and filters. At 100 TB that is two scans and zero sorts —
+    // exact percentile would sort the corpus. The exact p20 column binds
+    // the frame (small data affords it); the law: the sketch-gated kept
+    // fraction must land in 0.8 ± rank-error slack.
+    Q("q_quality_adaptive", Some(
+      """WITH s AS (
+        |  SELECT CAST(length(text) - (len(string_split(text, ' ')) - 1)
+        |    AS DOUBLE) / len(string_split(text, ' ')) AS score
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  round(quantile_cont(score, 0.2), 4) AS exact_p20,
+        |  true AS ok_kept_frac
+        |FROM s""".stripMargin),
+      (s, d) => {
+        import graft.functions.SketchAggs._
+        val w = words(col("text"))
+        val scores = Tables(s, d, "documents").select(
+          ((length(col("text")) - (size(w) - 1)).cast("double") / size(w))
+            .as("score"))
+        val agg1 = scores.agg(
+            kllAgg(col("score")).as("sk"),
+            cnt.as("n_total"),
+            round(percentile(col("score"), lit(0.2)), 4).as("exact_p20"))
+          .select(col("n_total"), col("exact_p20"),
+            element_at(kllQuantiles(col("sk"), Seq(0.2)), 1).as("cut"))
+        scores.crossJoin(broadcast(agg1))
+          .groupBy("n_total", "exact_p20")
+          .agg((sum(when(col("score") >= col("cut"), 1L).otherwise(0L))
+            .cast("double") / max("n_total")).between(0.76, 0.84)
+            .as("ok_kept_frac"))
+          .select("n_total", "exact_p20", "ok_kept_frac")
+      }),
+
     // ---- L5: token counting — whitespace + BPE-ish regex pieces ----------------------
     Q("q_token_count", Some(
       """SELECT doc_id,

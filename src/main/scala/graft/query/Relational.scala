@@ -375,6 +375,32 @@ object Relational {
         s.sql(RecursiveCteText)
       }),
 
+    // ---- J: NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM) -------------------
+    // Plain equality drops every NULL-keyed row from both sides (NULL = NULL
+    // is NULL); the null-safe operator keeps the NULL group as a real join
+    // key — the semantics a dedup/rollup join needs when the key is an
+    // optional attribute. NULLs planted deterministically (event_id % 7);
+    // the dim side is the distinct key set, so the join stays 1:N.
+    Q("q_join_nullsafe", Some(
+      """WITH e AS (
+        |  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END
+        |    AS et, event_id FROM events),
+        |d AS (SELECT DISTINCT et FROM e)
+        |SELECT coalesce(d.et, 'NULLKEY') AS event_type,
+        |  count(*) AS n, CAST(sum(e.event_id) AS BIGINT) AS id_sum
+        |FROM d JOIN e ON d.et IS NOT DISTINCT FROM e.et
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val e = t("events")(s, d).select(
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("event_type"))
+            .as("et"), col("event_id"))
+        val dim = e.select(col("et").as("et_d")).distinct()
+        dim.join(e, col("et_d") <=> col("et"))
+          .groupBy(coalesce(col("et_d"), lit("NULLKEY")).as("event_type"))
+          .agg(cnt.as("n"), sum("event_id").as("id_sum"))
+          .orderBy("event_type")
+      }),
+
     // ---- J: full outer join — unmatched rows survive from BOTH sides -----------
     // customer restricted to half the nations vs per-customer order counts:
     // customers outside the slice surface with null c_name side... and
