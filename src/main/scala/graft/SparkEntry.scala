@@ -21,6 +21,7 @@ object SparkEntry {
     graft.query.SketchQueries.all ++
     graft.query.TimeSeries.all ++
     graft.query.Formats.all ++
+    graft.query.Skyline.all ++
     graft.query.Bucketed.all ++
     graft.query.Cdc.all ++
     graft.query.Constraints.all ++

@@ -1,0 +1,104 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import Tables.cnt
+
+/** O∅: Pareto skyline (maximize BOTH dimensions, strict dominance) — the
+  * "best tradeoffs" query: a row survives iff no other row is strictly
+  * greater in x AND strictly greater in y.
+  *
+  * Scale shape, because the textbook forms don't have one: the self-join
+  * definition is O(n²), and the exact sweep needs a global sort over
+  * distinct x values. This operator GRID-PRUNES first:
+  *
+  *  1. approximate quantile cutpoints (one `percentile_approx` pass, any
+  *     accuracy is CORRECT — cuts only choose bucket boundaries) bucket
+  *     every row into a B×B grid with right-open intervals, so every row
+  *     of a cell strictly dominates every row of any cell to its
+  *     southwest;
+  *  2. the nonempty-cell matrix COLLECTS (≤ B² booleans — bounded,
+  *     corpus-independent) and cells with a nonempty strict-northeast
+  *     neighbor drop entirely: transitivity over the cell partial order
+  *     guarantees every row they hold is dominated by a row in some
+  *     SURVIVING cell, so pruned rows can neither be on the frontier nor
+  *     change it;
+  *  3. the exact sweep (group y-max per distinct x, running max over the
+  *     strictly-greater-x prefix) runs on the staircase candidates only —
+  *     ~corpus/B of the data, and the only sorted set.
+  *
+  * Ties: grouping by distinct x makes the window prefix STRICTLY greater
+  * in x (equal-x rows share one group row), and `run > y` keeps equal-y
+  * frontier ties — exactly the strict-both-dimensions definition.
+  */
+object Skyline {
+
+  def skyline(df: DataFrame, x: Column, y: Column, buckets: Int = 32)
+      : DataFrame = {
+    require(buckets >= 2, s"need >=2 buckets, got $buckets")
+    val base = df.withColumn("__x", x.cast("double"))
+      .withColumn("__y", y.cast("double"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val cutsRow = base.agg(
+      percentile_approx(col("__x"), typedlit(probs), lit(10000)).as("cx"),
+      percentile_approx(col("__y"), typedlit(probs), lit(10000)).as("cy"))
+      .head()
+    val cx = cutsRow.getSeq[Double](0)
+    val cy = cutsRow.getSeq[Double](1)
+    def bucketOf(c: Column, cuts: Seq[Double]): Column =
+      cuts.foldLeft(lit(0))((acc, cut) =>
+        acc + when(c >= cut, 1).otherwise(0))
+    val cells = base
+      .withColumn("__bx", bucketOf(col("__x"), cx))
+      .withColumn("__by", bucketOf(col("__y"), cy))
+    // bounded collect: <= buckets² (bx, by) pairs, corpus-independent
+    val present = cells.select("__bx", "__by").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val keepCell = present.filter { case (bx, by) =>
+      !present.exists { case (ox, oy) => ox > bx && oy > by }
+    }.toSet
+    val candidates = cells.filter(
+      struct(col("__bx"), col("__by")).isin(
+        keepCell.toSeq.map(c => struct(lit(c._1), lit(c._2))): _*))
+    // exact sweep over the staircase sliver
+    val g = candidates.groupBy("__x").agg(max(col("__y")).as("__gy"))
+    val run = g.withColumn("__run",
+      max(col("__gy")).over(Window.orderBy(col("__x").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    candidates.join(run.select("__x", "__run"), Seq("__x"))
+      .filter(col("__run").isNull || col("__run") <= col("__y"))
+      .drop("__x", "__y", "__bx", "__by", "__run")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- O∅: Pareto frontier of orders (price vs recency) ---------------------
+    // The oracle is the EXACT sweep restated in SQL (per-distinct-price
+    // y-max, running max over the strictly-greater prefix) — hash
+    // equality proves grid pruning changed nothing, which is the whole
+    // claim. Strictness pinned: equal-price or equal-date rows never
+    // dominate each other.
+    Q("q_skyline", Some(
+      """WITH g AS (
+        |  SELECT o_totalprice AS x, max(o_orderdate) AS gy
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT x, max(gy) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run
+        |  FROM g)
+        |SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders o JOIN r ON o.o_totalprice = r.x
+        |WHERE r.run IS NULL OR r.run <= o.o_orderdate
+        |ORDER BY price DESC, o.o_orderkey""".stripMargin),
+      (s, d) => skyline(Tables(s, d, "orders"),
+          col("o_totalprice"), col("o_orderdate").cast("long"))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          Tables.day(col("o_orderdate")).as("order_date"))
+        .orderBy(desc("price"), col("o_orderkey")))
+  )
+}

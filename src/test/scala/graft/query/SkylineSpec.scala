@@ -1,0 +1,51 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Grid-pruned skyline ≡ the brute-force strict-dominance definition —
+  * the law the oracle can't state (the oracle restates the sweep; this
+  * pins sweep-vs-definition, including ties and pruning transitivity).
+  */
+class SkylineSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def bruteFrontier(pts: Seq[(Long, Double, Double)]) =
+    pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, ox, oy) => ox > x && oy > y }
+    }.map(_._1).toSet
+
+  test("skyline equals brute force on pseudo-random points") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 500L).map(i =>
+      (i, rnd.nextInt(100).toDouble, rnd.nextInt(100).toDouble))
+    val got = Skyline.skyline(
+        pts.toDF("id", "x", "y").repartition(7), $"x", $"y", buckets = 8)
+      .select("id").as[Long].collect().toSet
+    assert(got === bruteFrontier(pts))
+  }
+
+  test("strictness: equal-x or equal-y rows never dominate each other") {
+    // staircase with ties: (5,5) and (5,9) share x; (5,9) and (9,9) share y
+    val pts = Seq((1L, 5.0, 5.0), (2L, 5.0, 9.0), (3L, 9.0, 9.0),
+      (4L, 9.0, 1.0), (5L, 1.0, 1.0))
+    val got = Skyline.skyline(pts.toDF("id", "x", "y"), $"x", $"y",
+        buckets = 2)
+      .select("id").as[Long].collect().toSet
+    // (1,5,5): dominated by (3,9,9). (5,1,1): dominated too. The rest are
+    // pairwise tied in one dimension → all survive.
+    assert(got === Set(2L, 3L, 4L))
+    assert(got === bruteFrontier(pts))
+  }
+
+  test("a dense far corner prunes almost everything yet changes nothing") {
+    val low = (1L to 300L).map(i => (i, (i % 17).toDouble, (i % 13).toDouble))
+    val high = Seq((1000L, 100.0, 100.0)) // dominates every low point
+    val pts = low ++ high
+    val got = Skyline.skyline(pts.toDF("id", "x", "y"), $"x", $"y",
+        buckets = 4)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1000L))
+  }
+}
