@@ -41,36 +41,48 @@ object Skyline {
     val base = df.withColumn("__x", x.cast("double"))
       .withColumn("__y", y.cast("double"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
-    val probs = (1 until buckets).map(_.toDouble / buckets)
-    val cutsRow = base.agg(
-      percentile_approx(col("__x"), typedlit(probs), lit(10000)).as("cx"),
-      percentile_approx(col("__y"), typedlit(probs), lit(10000)).as("cy"))
-      .head()
-    val cx = cutsRow.getSeq[Double](0)
-    val cy = cutsRow.getSeq[Double](1)
-    def bucketOf(c: Column, cuts: Seq[Double]): Column =
-      cuts.foldLeft(lit(0))((acc, cut) =>
-        acc + when(c >= cut, 1).otherwise(0))
+    // EQUAL-WIDTH buckets via one shallow width_bucket node. Pruning only
+    // needs a MONOTONE bucketing with right-open edges (width_bucket's),
+    // never balance — an earlier quantile-cutpoint draft folded a 31-deep
+    // nested when-chain that cost multi-second Janino compiles per stage
+    // for nothing correctness adds. Skewed data prunes less; still exact.
+    val mm = base.agg(min("__x"), max("__x"), min("__y"), max("__y")).head()
+    def bucketOf(c: Column, lo: Double, hi: Double): Column =
+      if (lo == hi) lit(1)
+      else least(width_bucket(c, lit(lo), lit(hi), lit(buckets)),
+        lit(buckets)).cast("int")
+    // ONE scan materializes the bucketed rows; present/candidates/sweep
+    // all read the checkpoint instead of re-scanning (and re-codegen-ing)
     val cells = base
-      .withColumn("__bx", bucketOf(col("__x"), cx))
-      .withColumn("__by", bucketOf(col("__y"), cy))
-    // bounded collect: <= buckets² (bx, by) pairs, corpus-independent
-    val present = cells.select("__bx", "__by").distinct().collect()
-      .map(r => (r.getInt(0), r.getInt(1)))
-    val keepCell = present.filter { case (bx, by) =>
-      !present.exists { case (ox, oy) => ox > bx && oy > by }
-    }.toSet
-    val candidates = cells.filter(
-      struct(col("__bx"), col("__by")).isin(
-        keepCell.toSeq.map(c => struct(lit(c._1), lit(c._2))): _*))
-    // exact sweep over the staircase sliver
-    val g = candidates.groupBy("__x").agg(max(col("__y")).as("__gy"))
-    val run = g.withColumn("__run",
-      max(col("__gy")).over(Window.orderBy(col("__x").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)))
-    candidates.join(run.select("__x", "__run"), Seq("__x"))
-      .filter(col("__run").isNull || col("__run") <= col("__y"))
-      .drop("__x", "__y", "__bx", "__by", "__run")
+      .withColumn("__bx", bucketOf(col("__x"), mm.getDouble(0), mm.getDouble(1)))
+      .withColumn("__by", bucketOf(col("__y"), mm.getDouble(2), mm.getDouble(3)))
+      .localCheckpoint()
+    try {
+      // bounded collect: <= buckets² (bx, by) pairs, corpus-independent
+      val present = cells.select("__bx", "__by").distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      val keepCell = present.filter { case (bx, by) =>
+        !present.exists { case (ox, oy) => ox > bx && oy > by }
+      }
+      // one literal ARRAY node + array_contains, not isin over struct
+      // literals — an isin chain grows the expression tree per cell (the
+      // SignBandKeys disease: measured ~6 s at sf0.1 from codegen alone)
+      val keepCodes = keepCell
+        .map { case (bx, by) => bx * (buckets + 1) + by }.sorted
+      val candidates = cells.filter(array_contains(
+        lit(keepCodes), col("__bx") * (buckets + 1) + col("__by")))
+      // exact sweep over the staircase sliver
+      val g = candidates.groupBy("__x").agg(max(col("__y")).as("__gy"))
+      val run = g.withColumn("__run",
+        max(col("__gy")).over(Window.orderBy(col("__x").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      candidates.join(run.select("__x", "__run"), Seq("__x"))
+        .filter(col("__run").isNull || col("__run") <= col("__y"))
+        .drop("__x", "__y", "__bx", "__by", "__run")
+        .localCheckpoint() // frontier rows only; lets the big one release
+    } finally {
+      org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(cells)
+    }
   }
 
   val all: Seq[Q] = Seq(
