@@ -21,7 +21,7 @@ object ScaleProbe {
     // optional section filter: comma-separated names from {lsh, cosine,
     // textops, tick, ngram, cluster, boilerplate, bucket, phrase,
     // ivfappend, zorder, merge, bloom, pagerank, bpe, sketch, triangles,
-    // replace, ewma, semdecon}; absent/empty = run all
+    // replace, ewma, semdecon, skyline}; absent/empty = run all
     val sections: Set[String] =
       args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty).getOrElse(Set.empty)
@@ -601,6 +601,31 @@ object ScaleProbe {
       }
       org.apache.spark.sql.graft.ColumnBridge
         .releaseLocalCheckpoint(evalSet)
+    }
+
+    // ---- skyline: rows 10x, staircase sliver bounded --------------------------
+    // The claim: one scan + a ≤B² cell collect; the exact sweep touches
+    // only staircase-cell rows (~corpus/B), so runtime tracks the scan
+    // while frontier size stays data-shaped, not corpus-shaped.
+    if (want("skyline")) {
+      println("\n== skyline: orders 10x ==")
+      val o0 = graft.query.Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").cast("long").as("od"))
+      for (copies <- Seq(1, 5, 10)) {
+        val big = (0 until copies).map(k => o0.select(
+          (col("o_orderkey") + lit(k * 100000000L)).as("o_orderkey"),
+          // jitter keeps the copies from being exact duplicates
+          (col("o_totalprice") + lit(k * 0.001)).as("o_totalprice"),
+          col("od"))).reduce(_ union _).localCheckpoint()
+        val n = big.count()
+        val fr = time(s"skyline               n=$n") {
+          graft.query.Skyline.skyline(big,
+            col("o_totalprice"), col("od")).count()
+        }
+        println(s"    frontier=$fr")
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(big)
+      }
     }
 
     // ---- time-series: events 10x, rollup cardinality fixed --------------------
