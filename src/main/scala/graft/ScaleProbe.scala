@@ -626,6 +626,28 @@ object ScaleProbe {
         println(s"    frontier=$fr")
         org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(big)
       }
+      // WORST case for grid pruning: anti-correlated points (y = -x).
+      // Nothing dominates anything, every diagonal cell survives pruning,
+      // and the exact sweep sees the ENTIRE corpus as candidates — the
+      // uniform orders case above is the best case (sliver ~2n/B). The
+      // round-7 two-phase prefix max spreads that corpus-sized sweep
+      // across B window partitions; the pre-fix single-partition window
+      // put it all on one task. Bar: runtime tracks n ~linearly and the
+      // frontier equals n (every point survives).
+      println("\n== skyline: anti-correlated (no pruning) ==")
+      for (copies <- Seq(1, 5, 10)) {
+        val n0 = 150000L * copies
+        val big = spark.range(n0).select(col("id"),
+            col("id").cast("double").as("x"),
+            (-col("id")).cast("double").as("y"))
+          .repartition(32).localCheckpoint()
+        val fr = time(s"skyline anti-corr     n=$n0") {
+          graft.query.Skyline.skyline(big, col("x"), col("y")).count()
+        }
+        println(s"    frontier=$fr")
+        assert(fr == n0, s"anti-correlated frontier must be n ($n0), got $fr")
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(big)
+      }
     }
 
     // ---- time-series: events 10x, rollup cardinality fixed --------------------

@@ -166,9 +166,17 @@ case class KllMergeAgg(
 
   override def update(buf: KllDoublesSketch, row: InternalRow): KllDoublesSketch = {
     val v = child.eval(row)
-    if (v != null)
-      buf.merge(KllDoublesSketch.heapify(
-        Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    if (v != null) {
+      val src = KllDoublesSketch.heapify(
+        Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      // enforce the documented contract (object SketchAggs.kllMergeAgg):
+      // merging a finer-k stored sketch into a coarser buffer silently
+      // downgrades its rank-error bound — fail instead of degrading
+      require(src.getK <= k,
+        s"graft_kll_merge(k=$k) would downgrade a stored k=${src.getK} " +
+          "sketch; call kllMergeAgg with k >= the stored sketches' k")
+      buf.merge(src)
+    }
     buf
   }
 

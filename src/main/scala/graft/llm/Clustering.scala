@@ -135,17 +135,32 @@ object Clustering {
     * (that is the recall trade the construction makes; the banded-LSH path
     * [[VectorOps.cosinePairsNative]] is the alternative when global recall
     * matters more than the cluster prior).
+    *
+    * `maxCluster` (0 = off) is the hot-cluster skew guard, the
+    * [[VectorOps]] `maxBucket` discipline applied here: k-means makes no
+    * size promise, and ONE degenerate cluster (a spam flood, a boilerplate
+    * family) turns the pair join quadratic in that cluster. With the cap,
+    * each vector compares only against its cluster's `maxCluster`
+    * LOWEST-id members (the anchor set — a [[graft.plans.TopK]] heap pass,
+    * bounded exchange), so the join is size x cap, never size². Clusters
+    * at or under the cap are EXACTLY the uncapped semantics (the anchor
+    * set is the whole cluster); in oversized clusters a near-dup group
+    * living entirely among non-anchors is missed — the documented recall
+    * trade, the price of a size bound no input can break.
     */
   def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
       cosThreshold: Double, idCol: String = "vec_id",
-      vecCol: String = "v"): DataFrame = {
+      vecCol: String = "v", maxCluster: Int = 0): DataFrame = {
     val cents = kmeansFit(corpus, k, iters, idCol, vecCol)
     // snapshot before the plan branches (pair join reads it twice + the
     // result join once): eager checkpoint, lineage cut — see BASELINE.md
     // round-5 "snapshot-before-branch"
     val assigned = kmeansAssign(corpus, cents, vecCol).localCheckpoint()
-    val a = assigned.select(col("cluster"), col(idCol).as("__id_a"),
+    val a0 = assigned.select(col("cluster"), col(idCol).as("__id_a"),
       col(vecCol).as("__va"))
+    val a = if (maxCluster <= 0) a0
+      else graft.plans.TopK.perKey(a0, Seq("cluster"),
+        Seq(col("__id_a").asc), maxCluster)
     val b = assigned.select(col("cluster"), col(idCol).as("__id_b"),
       col(vecCol).as("__vb"))
     val dropped = a.join(b, Seq("cluster"))
@@ -181,9 +196,22 @@ object Clustering {
     * bounded; candidates per vector are then nProbe x cellSize regardless
     * of corpus size, and the graph build is scan + bucket-join + bounded
     * exchange — no all-pairs stage.
+    *
+    * `maxCell` (0 = off) is the hot-cell skew guard: nCells scaling keeps
+    * AVERAGE cell population bounded, but a degenerate corpus (one dense
+    * mode swallowing a cell) still makes that cell's candidate fan-out
+    * quadratic. With the cap, each cell contributes only its `maxCell`
+    * MOST CENTRAL members (highest dot with the cell centroid — the
+    * members that best represent the cell; ties to lowest id) as
+    * candidate neighbors, via one [[graft.functions.VectorExpressions]]
+    * BestCentroid kernel pass + a [[graft.plans.TopK]] heap rank —
+    * candidates are then <= nProbe x maxCell per query regardless of
+    * skew. Cells at or under the cap are EXACTLY the uncapped semantics;
+    * in oversized cells, edges to that cell's periphery are the recall
+    * trade (graded against recall@5 in ClusteringSpec).
     */
   def knnGraph(corpus: DataFrame, k: Int, nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, maxCell: Int = 0): DataFrame = {
     val idx = VectorOps.buildIvfIndex(corpus, nCells)
     val cells = idx.centroids.sortBy(_._1)
     val v = VectorOps.toDouble(col("embedding"))
@@ -198,8 +226,21 @@ object Clustering {
         explode(graft.functions.GraftFunctions.topCentroids(
           v, cells.flatMap(_._2), cells.head._2.length, nProbe,
           euclidean = false)).as("cell"))
+    // hot-cell cap: rank each cell's members by centrality (dot with the
+    // own-cell centroid, read off the same BestCentroid kernel that
+    // assigns cells) and keep the top maxCell — a bounded heap exchange,
+    // applied only when the guard is on
+    val cellMembers =
+      if (maxCell <= 0) idx.assignments.select("neighbor_id", "cell")
+      else graft.plans.TopK.perKey(
+        idx.assignments.select(col("neighbor_id"), col("cell"),
+          graft.functions.GraftFunctions.bestCentroid(col("tv"),
+            cells.flatMap(_._2), cells.head._2.length)
+            .getField("dot").as("__cc")),
+        Seq("cell"), Seq(col("__cc").desc, col("neighbor_id").asc), maxCell)
+        .drop("__cc")
     val candidates = probed
-      .join(idx.assignments.select("neighbor_id", "cell"), Seq("cell"))
+      .join(cellMembers, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
     val scored = candidates
@@ -230,9 +271,10 @@ object Clustering {
     * set is k x corpus, never corpus^2).
     */
   def semanticClusters(corpus: DataFrame, kNeighbors: Int = 8,
-      nCells: Int = 16, nProbe: Int = 8, minCos: Double = 0.5): DataFrame =
+      nCells: Int = 16, nProbe: Int = 8, minCos: Double = 0.5,
+      maxCell: Int = 0): DataFrame =
     TextOps.dedupClusters(
-      knnGraph(corpus, kNeighbors, nCells, nProbe)
+      knnGraph(corpus, kNeighbors, nCells, nProbe, maxCell)
         .filter(col("cos") >= minCos)
         .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b")))
 

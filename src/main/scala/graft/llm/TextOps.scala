@@ -1126,7 +1126,12 @@ object TextOps {
     // cutoff and filters. At 100 TB that is two scans and zero sorts —
     // exact percentile would sort the corpus. The exact p20 column binds
     // the frame (small data affords it); the law: the sketch-gated kept
-    // fraction must land in 0.8 ± rank-error slack.
+    // fraction must land in 0.8 ± rank-error slack. DataSketches KLL
+    // compaction is RANDOMIZED (no fixed seed), so the booleans are
+    // probabilistic per run — the ±0.06 band is ~4x the k=200 99%-conf
+    // rank error (~1.65%), making a flake vanishingly unlikely but not
+    // impossible; SketchAggsSpec asserts the same band with the actual
+    // fraction visible in the failure message.
     Q("q_quality_adaptive", Some(
       """WITH s AS (
         |  SELECT CAST(length(text) - (len(string_split(text, ' ')) - 1)
@@ -1151,7 +1156,7 @@ object TextOps {
         scores.crossJoin(broadcast(agg1))
           .groupBy("n_total", "exact_p20")
           .agg((sum(when(col("score") >= col("cut"), 1L).otherwise(0L))
-            .cast("double") / max("n_total")).between(0.76, 0.84)
+            .cast("double") / max("n_total")).between(0.74, 0.86)
             .as("ok_kept_frac"))
           .select("n_total", "exact_p20", "ok_kept_frac")
       }),

@@ -27,7 +27,11 @@ object SketchQueries {
     // incremental-view shape — per-partition states composed at read
     // time). k=200 guarantees ~1.65% rank error; the asserted band is
     // ±5% rank (values at p∓0.05), slack vs the contract, tight vs a
-    // broken update/merge path.
+    // broken update/merge path. KLL compaction is RANDOMIZED (DataSketches
+    // seeds per-run), so the ok_* booleans are probabilistic: the band is
+    // ~3x the 99%-confidence error — flake risk tiny but nonzero, and a
+    // miss would surface as this key's hash mismatch. SketchAggsSpec
+    // asserts the same band with the measured estimate in the message.
     Q("q_kll_quantile", Some(
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS exact_p50,

@@ -27,10 +27,25 @@ import Tables.cnt
   *     change it;
   *  3. the exact sweep (group y-max per distinct x, running max over the
   *     strictly-greater-x prefix) runs on the staircase candidates only —
-  *     ~corpus/B of the data, and the only sorted set.
+  *     ~corpus/B of the data — and the prefix max is TWO-PHASE so no
+  *     stage is single-partition: the prefix over strictly-greater x
+  *     decomposes into (a) the suffix max over strictly-greater x-BUCKETS
+  *     (<= B values, read off the same bounded cell collect that drives
+  *     pruning, shipped as a B-entry literal array) and (b) a window
+  *     PARTITIONED by x-bucket for the same-bucket strictly-greater-x
+  *     part. An earlier draft ran one `Window.orderBy` with no
+  *     partitionBy — a global sort of the whole staircase sliver on ONE
+  *     task, the kind of stage that is invisible at sf0.1 and fatal at
+  *     100x (round-6 verdict).
   *
-  * Ties: grouping by distinct x makes the window prefix STRICTLY greater
-  * in x (equal-x rows share one group row), and `run > y` keeps equal-y
+  * Phase (a) may use y-maxima of ALL cells (not just surviving ones)
+  * without changing any keep decision: a pruned row with x' > x and
+  * y' > y implies, by the pruning invariant, a SURVIVING row with
+  * x'' > x' and y'' > y', so whenever the all-cells suffix max exceeds a
+  * row's y, the candidates-only max does too.
+  *
+  * Ties: grouping by distinct x makes the prefix STRICTLY greater in x
+  * (equal-x rows share one group row), and `run > y` keeps equal-y
   * frontier ties — exactly the strict-both-dimensions definition.
   */
 object Skyline {
@@ -47,6 +62,9 @@ object Skyline {
     // nested when-chain that cost multi-second Janino compiles per stage
     // for nothing correctness adds. Skewed data prunes less; still exact.
     val mm = base.agg(min("__x"), max("__x"), min("__y"), max("__y")).head()
+    // empty input (or all-null coordinates): the frontier is empty; the
+    // min/max row is all-null and every downstream getDouble would NPE
+    if (mm.isNullAt(0)) return base.drop("__x", "__y")
     def bucketOf(c: Column, lo: Double, hi: Double): Column =
       if (lo == hi) lit(1)
       else least(width_bucket(c, lit(lo), lit(hi), lit(buckets)),
@@ -58,9 +76,13 @@ object Skyline {
       .withColumn("__by", bucketOf(col("__y"), mm.getDouble(2), mm.getDouble(3)))
       .localCheckpoint()
     try {
-      // bounded collect: <= buckets² (bx, by) pairs, corpus-independent
-      val present = cells.select("__bx", "__by").distinct().collect()
-        .map(r => (r.getInt(0), r.getInt(1)))
+      // bounded collect: <= buckets² (bx, by, cellYmax) rows,
+      // corpus-independent — drives BOTH the cell pruning and the
+      // bucket-suffix table of the two-phase sweep
+      val cellAgg = cells.groupBy("__bx", "__by")
+        .agg(max(col("__y")).as("__cy")).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      val present = cellAgg.map(_._1)
       val keepCell = present.filter { case (bx, by) =>
         !present.exists { case (ox, oy) => ox > bx && oy > by }
       }
@@ -71,11 +93,26 @@ object Skyline {
         .map { case (bx, by) => bx * (buckets + 1) + by }.sorted
       val candidates = cells.filter(array_contains(
         lit(keepCodes), col("__bx") * (buckets + 1) + col("__by")))
-      // exact sweep over the staircase sliver
-      val g = candidates.groupBy("__x").agg(max(col("__y")).as("__gy"))
+      // exact sweep over the staircase sliver — phase (a): per-x-bucket
+      // suffix maxima (y-max over all STRICTLY GREATER x-buckets), a
+      // <= B-entry table computed on the driver from cellAgg and shipped
+      // as one literal array (element_at is 1-based, as is width_bucket)
+      val suffixCols: Seq[Column] = (1 to buckets).map { bx =>
+        val ys = cellAgg.collect { case ((ox, _), cy) if ox > bx => cy }
+        if (ys.isEmpty) lit(null).cast("double") else lit(ys.max)
+      }
+      // phase (b): same-bucket strictly-greater-x prefix via a window
+      // PARTITIONED by __bx — never a single-partition sort. greatest()
+      // skips nulls, so run is null iff no strictly-greater x exists at
+      // all (the global maximum's group), matching the one-phase form.
+      val g = candidates.groupBy("__bx", "__x")
+        .agg(max(col("__y")).as("__gy"))
       val run = g.withColumn("__run",
-        max(col("__gy")).over(Window.orderBy(col("__x").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)))
+        greatest(
+          max(col("__gy")).over(Window.partitionBy("__bx")
+            .orderBy(col("__x").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          element_at(array(suffixCols: _*), col("__bx"))))
       candidates.join(run.select("__x", "__run"), Seq("__x"))
         .filter(col("__run").isNull || col("__run") <= col("__y"))
         .drop("__x", "__y", "__bx", "__by", "__run")

@@ -227,8 +227,8 @@ object TableStore {
     perDate.values.sum
   }
 
-  /** S20: predicate-scoped overwrite (Delta `replaceWhere`) — atomically
-    * replace exactly the slice matching `predicate` with `batch`, e.g.
+  /** S20: predicate-scoped overwrite (Delta `replaceWhere`) — replace
+    * exactly the slice matching `predicate` with `batch`, e.g.
     * "rebuild last week from the corrected source" without touching the
     * rest of the table. The classic backfill primitive: stronger than
     * [[upsertPartitions]] (which replaces only partitions PRESENT in the
@@ -249,6 +249,13 @@ object TableStore {
     * matched and that the batch doesn't repopulate are DROPPED (dynamic
     * overwrite alone would leave them stale). NULL predicate rows are
     * kept, matching [[deleteWhere]]'s SQL semantics.
+    *
+    * Crash semantics (same honesty as [[deleteWhere]], NOT a transaction):
+    * each partition swap is atomic, the multi-partition sweep is not.
+    * Predicate-emptied partitions are dropped FIRST, then repopulated
+    * dates swap in — a crash mid-sweep leaves a conservative state
+    * (some slice data missing, never predicate-matched rows surviving
+    * next to committed replacements); rerunning the call converges.
     */
   def replaceWhere(spark: SparkSession, batchDf: DataFrame, dir: String,
       predicate: org.apache.spark.sql.Column): Long = {
@@ -291,12 +298,15 @@ object TableStore {
           batchPerDate.getOrElse(d, 0L) == 0L
       }
       val written = touched.diff(emptied)
+      // drops BEFORE the upsert: a crash mid-sweep then leaves missing
+      // data (conservative, rerun converges), never stale predicate rows
+      // alongside already-committed replacements — see the scaladoc
+      emptied.foreach(d => dropPartition(spark, dir, d.toString))
       if (written.nonEmpty) {
         val survivors = slice.filter(col("date").isin(written: _*))
           .filter(coalesce(not(predicate), lit(true)))
         upsertPartitions(spark, survivors.unionByName(batch), dir)
       }
-      emptied.foreach(d => dropPartition(spark, dir, d.toString))
       perDate.values.sum
     } finally {
       org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(batch)
@@ -734,7 +744,11 @@ object TableStore {
       bad.foreach { p =>
         val rel = f.makeQualified(new Path(p)).toString
           .stripPrefix(base).stripPrefix("/").replace("/", "__")
-        f.rename(new Path(p), new Path(qdir, rel))
+        // a failed rename (destination exists, permissions) must not report
+        // the file as quarantined while it stays in the read path — fail
+        // loudly; the sweep is idempotent, so a retry resumes cleanly
+        require(f.rename(new Path(p), new Path(qdir, rel)),
+          s"quarantine move failed: $p -> $qdir/$rel")
       }
     }
     bad

@@ -44,6 +44,35 @@ class SketchAggsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(merged.head - 4000) <= 300)
   }
 
+  test("KLL merge: a finer-k stored sketch into a coarser buffer fails loudly") {
+    val stored = nums(2000).agg(kllAgg(col("v"), k = 400).as("sk"))
+    // contract direction: target k >= source k is fine...
+    val ok = stored.agg(kllMergeAgg(col("sk"), k = 400).as("m"))
+      .select(kllQuantiles(col("m"), Seq(0.5)).as("q")).head().getSeq[Double](0)
+    assert(math.abs(ok.head - 1000) <= 60)
+    // ...but a coarser buffer would silently downgrade the stored sketch's
+    // rank-error bound — the round-7 guard turns that into a loud failure
+    val e = intercept[Throwable] {
+      stored.agg(kllMergeAgg(col("sk"), k = 200).as("m")).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("downgrade"), msgs.take(500))
+  }
+
+  test("KLL: sketch-cut quality gate keeps 0.8 within the q_quality_adaptive band") {
+    // the law behind q_quality_adaptive's ok_kept_frac boolean, asserted
+    // here with the MEASURED fraction visible (the oracle key would only
+    // show an opaque hash mismatch on a band miss). KLL compaction is
+    // randomized per run; the ±0.06 band is ~4x the k=200 99%-conf error.
+    val df = nums(10000)
+    val cut = df.agg(kllAgg(col("v")).as("sk"))
+      .select(element_at(kllQuantiles(col("sk"), Seq(0.2)), 1))
+      .head().getDouble(0)
+    val kept = df.filter(col("v") >= cut).count().toDouble / 10000
+    assert(kept >= 0.74 && kept <= 0.86, s"kept_frac=$kept (cut=$cut)")
+  }
+
   test("KLL: nulls are skipped; all-null group yields empty sketch → null quantiles") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Double)](

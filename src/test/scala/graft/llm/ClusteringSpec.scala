@@ -84,6 +84,59 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(out.columns.toSet == Set("vec_id", "v", "cluster", "keep"))
   }
 
+  test("semanticDedup maxCluster cap: bounded anchors, anchor dups still drop, " +
+    "non-anchor-only dup groups are the documented recall trade") {
+    // one HOT cluster (ids 1..10 fanned 3° apart around +x — adjacent
+    // cos ≈ 0.9986, below the 0.999 threshold) + a far cluster {0, 30}
+    // so lowest-id seeds {0, 1} spread one per planted cluster. Planted
+    // near-dups: 20 ~ 1 (an ANCHOR under cap 3: {1,2,3}) and 21 ~ 10
+    // (both outside the anchor set).
+    def ray(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(10 * math.cos(r), 10 * math.sin(r), 0.0, 0.0)
+    }
+    val hot = (0 until 10).map(j => ((j + 1).toLong, ray(3.0 * j)))
+    val df = (Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 0.0)), (30L, Seq(0.0, 3.0, 9.5, 0.0)),
+      (20L, ray(0.1)), (21L, ray(27.1))) ++ hot).toDF("vec_id", "v")
+    val capped = Clustering.semanticDedup(df, k = 2, iters = 2,
+        cosThreshold = 0.999, maxCluster = 3)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    // the planted dup of an anchor still drops under the cap...
+    assert(!capped(20L), "dup of anchor id 1 must drop under the cap")
+    // ...every anchor and every mutually-distant member survives...
+    (1L to 10L).foreach(i => assert(capped(i), s"member $i must survive"))
+    assert(capped(0L) && capped(30L))
+    // ...and the non-anchor-only pair (10, 21) is missed — the documented
+    // recall trade the cap buys its size bound with:
+    assert(capped(21L), "non-anchor dup is outside the capped join")
+    val uncapped = Clustering.semanticDedup(df, k = 2, iters = 2,
+        cosThreshold = 0.999)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!uncapped(20L) && !uncapped(21L))
+    assert((1L to 10L).forall(uncapped(_)))
+  }
+
+  test("knnGraph maxCell cap bounds a degenerate cell's candidate set") {
+    // every vector in ONE dense mode -> one IVF cell: the uncapped cell
+    // join is all-pairs; the cap keeps only the 4 most central members
+    // as candidate neighbors, so the neighbor universe is <= 4 while
+    // every query still resolves neighbors
+    val df = (0 until 12).map { i =>
+      val r = math.toRadians(0.5 * i)
+      (i.toLong, Seq(math.cos(r).toFloat, math.sin(r).toFloat))
+    }.toDF("vec_id", "embedding")
+    val capped = Clustering.knnGraph(df, k = 3, nCells = 1, nProbe = 1,
+      maxCell = 4)
+    val neighbors = capped.select("neighbor_id").as[Long].collect().toSet
+    assert(neighbors.size <= 4,
+      s"capped cell leaked ${neighbors.size} distinct neighbors")
+    val queries = capped.select("query_id").as[Long].collect().toSet
+    assert(queries.size == 12, "every vector must still get neighbors")
+    val uncapped = Clustering.knnGraph(df, k = 3, nCells = 1, nProbe = 1)
+    assert(uncapped.select("neighbor_id").as[Long].collect().toSet.size == 12)
+  }
+
   test("semanticDedup is idempotent on its survivors") {
     val df = Seq(
       (0L, Seq(10.0, 0.0)), (1L, Seq(10.0, 0.01)), (2L, Seq(0.0, 10.0))

@@ -39,6 +39,54 @@ class SkylineSpec extends AnyFunSuite with SparkFixture {
     assert(got === bruteFrontier(pts))
   }
 
+  test("empty or all-null input yields an empty frontier, not an NPE") {
+    val empty = Seq.empty[(Long, Double, Double)].toDF("id", "x", "y")
+    assert(Skyline.skyline(empty, $"x", $"y").count() === 0L)
+    val allNull = Seq((1L, Option.empty[Double], Option.empty[Double]))
+      .toDF("id", "x", "y")
+    val got = Skyline.skyline(allNull, $"x", $"y")
+    assert(got.count() === 0L)
+    assert(got.columns.toSeq === Seq("id", "x", "y"))
+  }
+
+  test("the exact sweep never plans a single-partition stage") {
+    // The round-6 finding: an unpartitioned Window.orderBy put the whole
+    // staircase sliver on ONE task. Capture every execution the operator
+    // runs and assert the window-bearing plan (the sweep) shuffles by
+    // hash, never to SinglePartition. (The bounded min/max head() IS a
+    // global aggregate — that SinglePartition carries 32 rows and is
+    // exempt, which is why the assertion keys on Window plans only.)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized {
+          plans += graft.PlanAsserts.stripAQE(qe.executedPlan).toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val pts = (1L to 400L).map(i =>
+        (i, (i % 23).toDouble, ((i * 7) % 19).toDouble))
+      Skyline.skyline(pts.toDF("id", "x", "y").repartition(5),
+        $"x", $"y", buckets = 8).count()
+      // QueryExecutionListener fires async on the listener bus — poll
+      // until the window-bearing sweep plan lands (bounded wait)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def windowPlans =
+        plans.synchronized { plans.filter(_.contains("Window")).toList }
+      while (windowPlans.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val wp = windowPlans
+      assert(wp.nonEmpty, "no window-bearing execution captured")
+      wp.foreach(p => assert(!p.contains("SinglePartition"),
+        s"sweep planned a single-partition stage:\n$p"))
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("a dense far corner prunes almost everything yet changes nothing") {
     val low = (1L to 300L).map(i => (i, (i % 17).toDouble, (i % 13).toDouble))
     val high = Seq((1000L, 100.0, 100.0)) // dominates every low point
