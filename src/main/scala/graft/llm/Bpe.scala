@@ -37,6 +37,17 @@ import Tables.cnt
   * the corpus alphabet; [[train]] fails loudly if it does rather than
   * silently corrupting symbol boundaries.
   *
+  * Honest caveat vs tuple-based BPE: the anchor is LEADING-side only, so
+  * when a learned symbol is a strict prefix of another learned symbol, a
+  * later merge can fire across the boundary (merge (a,b) on `"|a|bx"` —
+  * symbol `bx` starts with `b` — yields `"|abx"`). Trainer, encoder, and
+  * the DuckDB oracle all share these semantics bit-for-bit, so the
+  * tokenizer is self-consistent end to end; but on corpora where that
+  * prefix collision occurs, the learned merges may diverge from a
+  * tuple-of-symbols trainer (a trailing anchor cannot fix it: RE2 — the
+  * oracle's regex engine — has no lookahead, and consuming a trailing
+  * separator breaks left-to-right repeats like `"|e|e|e"`).
+  *
   * Determinism: pair counts are exact integer sums; the argmax orders by
   * (count DESC, lhs, rhs) — a total order, so the learned merge list is
   * engine- and partitioning-independent.
@@ -62,9 +73,38 @@ object Bpe {
     * learned order (its length may be < `rounds` if the vocabulary runs
     * out of adjacent pairs first). The returned list is the tokenizer —
     * feed it to [[tokensPerWord]] / [[encode]].
+    *
+    * `batch` (default 1 = exact sequential BPE) accepts up to `batch`
+    * merges per pair-count JOB: after the argmax, further pairs are
+    * admitted in (count DESC, lhs, rhs) order iff they are pairwise
+    * NON-INTERACTING with every merge already accepted this round — the
+    * candidate's symbols must not touch any accepted pair's {lhs, rhs,
+    * lhs+rhs}. Disjointness makes the admitted pairs' counts exact (a
+    * disjoint merge can neither create nor destroy the other pair's
+    * adjacencies — creation would need the merged symbol as a member,
+    * destruction a shared member) and their application order immaterial,
+    * so each admitted merge records the count it would have had at its
+    * own sequential round.
+    *
+    * The documented divergence from exact BPE: a merge accepted late in a
+    * batch cannot see pairs CREATED by merges accepted earlier in the
+    * same batch, and sequential BPE might have ranked such a created pair
+    * first (e.g. after (t,h)→th, exact BPE may pick (th,e) next; the
+    * batch, built from pre-round counts, never considers it). The merge
+    * SET may therefore differ from sequential order — the standard
+    * batched-trainer trade (every production "fast BPE" makes it) that
+    * turns a 32k vocabulary from 32k sequential jobs into
+    * ~vocab/batch rounds. BpeSpec pins batch=1 ≡ sequential and the
+    * non-interaction invariant on a crafted corpus.
+    *
+    * Scale note: each round applies ≤ `batch` stacked literal `replace`s
+    * and then RE-CHECKPOINTS the vocab frame, so expression depth is
+    * bounded by `batch`, never by total rounds.
     */
-  def train(df: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
+  def train(df: DataFrame, textCol: String, rounds: Int,
+      batch: Int = 1): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val wc = wordCounts(df, textCol)
     // separator-collision guard: a '|' inside a word would read as a
     // symbol boundary and silently corrupt merges — fail instead
@@ -78,13 +118,16 @@ object Bpe {
     val bridge = org.apache.spark.sql.graft.ColumnBridge
     try {
       var vocab = vocab0
+      var owned: DataFrame = null // the checkpoint WE made and may release
       val merges = Seq.newBuilder[Merge]
       var r = 1
       var exhausted = false
       while (r <= rounds && !exhausted) {
+        val want = math.min(batch, rounds - r + 1)
         // pair counts over the vocab frame (weighted by word count);
         // expr-SQL because HOF-lambda struct field NAMES are only
-        // reliable in the SQL form
+        // reliable in the SQL form. Collect 4x the batch (bounded): the
+        // greedy non-interaction filter may reject early candidates.
         val top = vocab
           .select(col("c"),
             split(col("seq").substr(lit(2), length(col("seq"))), "\\|").as("sy"))
@@ -96,19 +139,46 @@ object Bpe {
           .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
           .agg(sum("c").as("cnt"))
           .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()
+          .limit(if (want == 1) 1 else 4 * want).collect()
         if (top.isEmpty) exhausted = true
         else {
-          val (lhs, rhs, n) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += Merge(r, lhs, rhs, n)
-          vocab = vocab.withColumn("seq",
-            replace(col("seq"), lit(SEP + lhs + SEP + rhs), lit(SEP + lhs + rhs)))
-          r += 1
+          // greedy admission: top-1 always; then pairs whose symbols are
+          // disjoint from every accepted merge's {lhs, rhs, lhs+rhs}
+          val touched = scala.collection.mutable.Set.empty[String]
+          val accepted = Seq.newBuilder[(String, String, Long)]
+          var nAcc = 0
+          top.iterator.takeWhile(_ => nAcc < want).foreach { row =>
+            val (l, rh, n) = (row.getString(0), row.getString(1), row.getLong(2))
+            if (nAcc == 0 ||
+                (!touched(l) && !touched(rh) && !touched(l + rh))) {
+              accepted += ((l, rh, n))
+              touched ++= Seq(l, rh, l + rh)
+              nAcc += 1
+            }
+          }
+          val adm = accepted.result()
+          adm.foreach { case (l, rh, n) => merges += Merge(r, l, rh, n); r += 1 }
+          val next = adm.foldLeft(vocab) { case (v, (l, rh, _)) =>
+            v.withColumn("seq",
+              replace(col("seq"), lit(SEP + l + SEP + rh), lit(SEP + l + rh)))
+          }
+          // bound expression depth across rounds: in batch mode the
+          // replace chain re-checkpoints each round (and the previous
+          // round's snapshot releases); exact mode keeps the historical
+          // stack-over-vocab0 shape (rounds are few by construction)
+          if (batch > 1) {
+            vocab = next.localCheckpoint()
+            if (owned != null) bridge.releaseLocalCheckpoint(owned)
+            owned = vocab
+          } else vocab = next
         }
       }
       merges.result()
-    } finally bridge.releaseLocalCheckpoint(vocab0)
+    } finally {
+      bridge.releaseLocalCheckpoint(vocab0)
+      // NOTE: the last owned checkpoint stays alive only until GC — the
+      // merge list has been materialized, nothing references the frame
+    }
   }
 
   /** The learned merge list as a frame: (round, lhs, rhs, merged, cnt). */

@@ -113,10 +113,16 @@ object TextOps {
     * with a fixed-size buffer (nPerm longs, associative + commutative:
     * partial-aggregates map-side like any sum).
     *
-    * Use case: cross-source contamination — estimate shingle-set Jaccard
-    * BETWEEN whole sources without ever materializing per-source shingle
-    * sets (at 100 TB a source's union set is unbounded; its signature is
-    * 64 longs).
+    * Use case: composing STORED per-doc/per-day signatures into
+    * group-level ones (the incremental-view shape — same contract as
+    * `hll_union_agg`/`kllMergeAgg`), e.g. estimating shingle-set Jaccard
+    * between whole sources from an existing signature table without ever
+    * re-shingling. The in-query contamination path no longer uses it —
+    * [[perSourceSig]] computes the identical values from single-hash
+    * signatures inside whole-stage codegen (TextOpsSpec pins the
+    * equality) — but stored-signature composition is exactly where the
+    * aggregator form remains the right tool: there the per-doc signature
+    * IS the input, and min-union is the only distributable combine.
     */
   class MinHashUnionAgg(nPerm: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
@@ -169,30 +175,52 @@ object TextOps {
     * (source, hs) frame — split out so [[sourceContaminationChecked]] can
     * share one shingle pass between the estimate and its ground truth.
     */
-  private[llm] def contaminationEstimate(hsDf: DataFrame, nPerm: Int): DataFrame = {
-    val spark = hsDf.sparkSession
-    import spark.implicits._
-    val perDoc = hsDf
-      // THE signature definition (VectorOps.sigColumn) — an inline copy
-      // here could drift from the signatures the dedup paths persist
-      .select(col("source"), VectorOps.sigColumn(col("hs"), nPerm).as("sig"))
-      .as[(String, Seq[Long])]
-    // the a×b self-join references perSource twice; the expensive part
-    // (signature pass + MinHashUnionAgg partials) sits BELOW its exchange,
-    // which ReuseExchange dedups — only the tiny final agg runs per side
-    // (plan-asserted in TextOpsSpec)
-    val perSource = perDoc.groupByKey(_._1)
-      .agg(new MinHashUnionAgg(nPerm).toColumn.name("sig"))
-      .toDF("source", "sig")
+  private[llm] def contaminationEstimate(hsDf: DataFrame, nPerm: Int): DataFrame =
+    estimatePairs(perSourceSig(
+      hsDf.select(col("source"), explode(col("hs")).as("h")).distinct(),
+      nPerm), nPerm)
+
+  /** Per-source minhash signature from a DISTINCT `(source, h)` frame.
+    *
+    * Identical values to the per-doc signature union (the
+    * [[VectorOps.sigColumn]] + [[MinHashUnionAgg]] form — min is
+    * associative, so the min over a source's distinct hash set equals the
+    * elementwise min over its docs' signatures; drift-guarded in
+    * TextOpsSpec), but computed as single-hash signatures + `nPerm` plain
+    * `min` slots in ONE hash aggregate: no second corpus-signature pass,
+    * no typed-aggregator encode barrier — the whole path stays inside
+    * whole-stage codegen, and in [[sourceContaminationChecked]] it rides
+    * the exact branch's own exploded frame. Sources whose every doc has
+    * an EMPTY shingle set vanish here (nothing to explode) — they carry
+    * no estimable signature, and the exact side drops them identically.
+    */
+  private[llm] def perSourceSig(sh: DataFrame, nPerm: Int): DataFrame = {
+    val s1 = sh.withColumn("__s1",
+      VectorOps.sigColumn(array(col("h")), nPerm))
+    val mins = (0 until nPerm).map(p =>
+      min(element_at(col("__s1"), p + 1)).as(s"__m$p"))
+    // the distinct-hash count rides the same aggregate for free — the
+    // exact branch's |A| / |B| terms, one slot next to the 64 mins
+    s1.groupBy("source").agg(cnt.as("n"), mins: _*)
+      .select(col("source"), col("n"),
+        array((0 until nPerm).map(p => col(s"__m$p")): _*).as("sig"))
+  }
+
+  /** Signature-estimate Jaccard for every source pair: the a×b self-join
+    * references `perSource` twice; its aggregate sits BELOW one exchange,
+    * which ReuseExchange dedups (plan-asserted in TextOpsSpec).
+    */
+  private def estimatePairs(perSource: DataFrame, nPerm: Int): DataFrame = {
     val a = perSource.select(col("source").as("src_a"), col("sig").as("sig_a"))
     val b = perSource.select(col("source").as("src_b"), col("sig").as("sig_b"))
     a.join(b, col("src_a") < col("src_b"))
-      .select(col("src_a"), col("src_b"),
-        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / nPerm, 4)
-          .as("est_jaccard"))
+      .select(col("src_a"), col("src_b"), estJaccard(nPerm).as("est_jaccard"))
   }
+
+  private def estJaccard(nPerm: Int): Column =
+    round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / nPerm, 4)
 
   /** [[sourceContamination]] WITH its ground truth, from ONE shingle pass:
     * each source pair carries the signature estimate next to the EXACT
@@ -211,19 +239,21 @@ object TextOps {
   def sourceContaminationChecked(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, nPerm: Int = 64, tol: Double = 0.15): DataFrame = {
     // ONE shingle pass, stored before the plan branches (see
-    // [[sourceContamination]]): the estimate branch and the byHash explode
-    // are concurrently-ready stages of the single materializing action; the
-    // eager checkpoint makes re-running the scan impossible instead of
-    // merely unlikely. byHash itself branches into counts + inter, but its
-    // expensive side (explode + collect_set partials) sits below one
-    // exchange that ReuseExchange dedups.
+    // [[sourceContamination]]): the eager checkpoint makes re-running the
+    // scan impossible instead of merely unlikely. Everything downstream
+    // rides byHash's single groupBy(h) exchange — the round-7 fusion:
+    // the estimate's per-source signatures are computed from byHash's
+    // own re-exploded distinct (source, h) rows (see [[perSourceSig]]),
+    // not from a second 64-permutation pass over the corpus.
     val hsDf = shingleHashes(docs, Seq("source"), 3).localCheckpoint()
-    val est = contaminationEstimate(hsDf, nPerm)
     val byHash = hsDf
       .select(col("source"), explode(col("hs")).as("h"))
       .groupBy("h").agg(sort_array(collect_set("source")).as("srcs"))
-    val counts = byHash.select(explode(col("srcs")).as("source"))
-      .groupBy("source").agg(cnt.as("n"))
+    // the distinct (source, h) space the estimate needs IS byHash
+    // re-exploded — counts, signatures, and the intersection all ride the
+    // one groupBy(h) exchange (ReuseExchange dedups the two readers)
+    val perSource = perSourceSig(
+      byHash.select(col("h"), explode(col("srcs")).as("source")), nPerm)
     val inter = byHash.filter(size(col("srcs")) > 1)
       .select(explode(expr(
         "flatten(transform(srcs, (x, i) -> transform(" +
@@ -231,19 +261,21 @@ object TextOps {
           "y -> named_struct('src_a', x, 'src_b', y))))")).as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(cnt.as("ni"))
-    val exact = counts.as("ca").join(counts.as("cb"),
+    // ONE self-join carries counts + signatures, so exact and estimate
+    // come out of the same pair frame (the old shape built est and exact
+    // pair joins separately, then joined them back — two joins for
+    // nothing: the pair universe is identical)
+    val jac = coalesce(col("ni"), lit(0L)).cast("double") /
+      (col("n_a") + col("n_b") - coalesce(col("ni"), lit(0L)))
+    val out = perSource.as("ca").join(perSource.as("cb"),
         col("ca.source") < col("cb.source"))
       .select(col("ca.source").as("src_a"), col("cb.source").as("src_b"),
-        col("ca.n").as("n_a"), col("cb.n").as("n_b"))
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"),
+        col("ca.sig").as("sig_a"), col("cb.sig").as("sig_b"))
       .join(inter, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),
-        (coalesce(col("ni"), lit(0L)).cast("double")
-          / (col("n_a") + col("n_b") - coalesce(col("ni"), lit(0L))))
-          .as("jac"))
-    val out = exact.join(est, Seq("src_a", "src_b"))
-      .select(col("src_a"), col("src_b"),
-        round(col("jac"), 4).as("exact_jac"),
-        (abs(col("est_jaccard") - col("jac")) <= tol).as("est_ok"))
+        round(jac, 4).as("exact_jac"),
+        (abs(estJaccard(nPerm) - jac) <= tol).as("est_ok"))
       .localCheckpoint()
     // release the corpus-sized snapshot deterministically (blocks are not
     // freed by clearCache and otherwise live until RDD GC)

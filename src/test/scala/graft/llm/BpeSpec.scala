@@ -91,6 +91,46 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(n === 2L) // ["x", "ab"]
   }
 
+  test("batched train: disjoint top pairs == sequential, counts exact") {
+    // three independent repeated-letter words: every round's top pairs are
+    // pairwise non-interacting, so one batch of 3 must reproduce the
+    // sequential trainer exactly — rounds, order, and counts
+    val docs = Seq("aa aa aa aa aa", "bb bb bb bb", "cc cc cc")
+      .toDF("text")
+    val seqM = Bpe.train(docs, "text", 3)
+    val batM = Bpe.train(docs, "text", 3, batch = 3)
+    assert(batM === seqM)
+    assert(batM.map(m => (m.round, m.lhs, m.rhs, m.cnt)) ===
+      Seq((1, "a", "a", 5L), (2, "b", "b", 4L), (3, "c", "c", 3L)))
+  }
+
+  test("batched train: interacting runner-up is skipped within the batch") {
+    // ranking: (a,b) 5 > (b,c) 4 > (d,e) 3. (b,c) shares b with the
+    // accepted (a,b) -> one batch of 2 admits (a,b) and (d,e); sequential
+    // BPE would have taken (b,c) second — the documented batch trade
+    val docs = Seq(("ab " * 5).trim, ("bc " * 4).trim, ("de " * 3).trim)
+      .toDF("text")
+    val bat = Bpe.train(docs, "text", 2, batch = 2)
+      .map(m => (m.round, m.lhs, m.rhs, m.cnt))
+    assert(bat === Seq((1, "a", "b", 5L), (2, "d", "e", 3L)))
+    val sq = Bpe.train(docs, "text", 2)
+      .map(m => (m.round, m.lhs, m.rhs, m.cnt))
+    assert(sq === Seq((1, "a", "b", 5L), (2, "b", "c", 4L)))
+  }
+
+  test("batched train: created-symbol pairs are fenced out of the batch") {
+    // (t,h) wins; candidate (th,e) involves the just-created symbol and
+    // must wait for the next round even though it is disjoint by members
+    val docs = Seq(("the " * 4).trim, ("th " * 2).trim).toDF("text")
+    val bat = Bpe.train(docs, "text", 4, batch = 4)
+    // round 1 batch: (t,h) cnt 6 accepted; (h,e) shares h -> skipped;
+    // nothing else disjoint exists, so the round closes with 1 merge and
+    // (th,e) is learned by the NEXT batch from fresh counts
+    assert(bat.head.round === 1 &&
+      (bat.head.lhs, bat.head.rhs, bat.head.cnt) === (("t", "h", 6L)))
+    assert(bat.exists(m => m.lhs == "th" && m.rhs == "e" && m.cnt == 4L))
+  }
+
   test("encode == independent reference; single-char and empty words") {
     val docs = Seq((1L, "low lower a"), (2L, "newest x widest low"))
       .toDF("doc_id", "text")

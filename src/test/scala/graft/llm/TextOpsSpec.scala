@@ -132,6 +132,25 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(("s1", "s2")) > got(("s1", "s3")))
     assert(got(("s1", "s2")) > 0.3)   // shared doc drives union overlap
     assert(got(("s2", "s3")) < 0.2)
+    // drift guard: the codegen'd single-hash-signature path the estimate
+    // now runs on must reproduce the typed MinHashUnionAgg union of
+    // per-doc sigColumn signatures BIT FOR BIT (min is associative —
+    // same set, same mins; any perm/seed drift flips a component)
+    val hsDf = TextOps.shingleHashes(docs, Seq("source"), 3)
+    val viaAgg = hsDf
+      .select($"source", VectorOps.sigColumn($"hs", 64).as("sig"))
+      .as[(String, Seq[Long])]
+      .groupByKey(_._1)
+      .agg(new TextOps.MinHashUnionAgg(64).toColumn.name("sig"))
+      .collect().toMap
+    val viaCodegen = TextOps.perSourceSig(
+        hsDf.select($"source", explode($"hs").as("h")).distinct(), 64)
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(viaCodegen.keySet === viaAgg.keySet)
+    viaAgg.foreach { case (s, sig) =>
+      assert(viaCodegen(s) === sig.toSeq, s"signature drift for source $s")
+    }
   }
 
   test("decontaminateNgram drops span leakage that exact-match misses, keeps short docs") {
