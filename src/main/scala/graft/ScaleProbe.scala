@@ -498,6 +498,21 @@ object ScaleProbe {
         require(merges.length == 8, s"expected 8 merges, got ${merges.length}")
         org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(c)
       }
+      // batched merge rounds: the vocab-scale path. Per-merge cost is
+      // dominated by the per-round job barrier (pair-count job + argmax
+      // collect), so batch=b should cut wall-clock toward 1/b until the
+      // admission rate (how many of the top pairs are pairwise disjoint)
+      // caps it — the number that decides whether a 32k vocab is 32k jobs
+      // or a few hundred.
+      println("\n== BPE batched: 64 merges, batch 1 vs 8 vs 16 ==")
+      val cb = corpus(50000L).localCheckpoint()
+      for (b <- Seq(1, 8, 16)) {
+        val m = time(f"bpe 64 merges batch=$b%-3d docs=50000 ") {
+          graft.llm.Bpe.train(cb, "text", 64, batch = b)
+        }
+        require(m.length == 64, s"expected 64 merges, got ${m.length}")
+      }
+      org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(cb)
     }
     // ---- sketch aggregates: rows 10x, state FIXED -----------------------------
     // The claim to measure: per-key KLL + Theta aggregation cost tracks the

@@ -339,7 +339,10 @@ object TableStore {
     */
   def overwriteVersioned(df: DataFrame, dir: String,
       partitionCols: Seq[String] = Nil,
-      staleLockMs: Long = 30L * 60 * 1000): Unit = {
+      staleLockMs: Long = 30L * 60 * 1000,
+      retainGenerations: Int = 2): Unit = {
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1, got $retainGenerations")
     val spark = df.sparkSession
     val nextN = currentGeneration(spark, dir).map(_._1 + 1).getOrElse(0)
     if (!claimGeneration(fs(spark, dir), dir, nextN, staleLockMs))
@@ -350,7 +353,7 @@ object TableStore {
       .option("partitionOverwriteMode", "static")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tgt)
-    vacuum(spark, dir, keepFrom = nextN - 1)
+    vacuum(spark, dir, keepFrom = nextN - (retainGenerations - 1))
     releaseClaim(fs(spark, dir), dir, nextN)
   }
 
@@ -373,11 +376,16 @@ object TableStore {
   }
 
   /** Time travel (Delta `VERSION AS OF` parity, bounded by retention):
-    * read a specific generation. The store keeps the current generation
-    * plus the one it superseded (see [[compact]]/[[overwriteVersioned]]),
-    * so the previous version of a table stays queryable until the NEXT
-    * rewrite — enough for the reprocess-after-a-bad-compaction and
-    * compare-to-previous-result workflows; older versions are vacuumed.
+    * read a specific generation. By default the store keeps the current
+    * generation plus the one it superseded; [[compact]] and
+    * [[overwriteVersioned]] take `retainGenerations` (Delta's
+    * `delta.logRetentionDuration` analog, counted in rewrites rather than
+    * hours — rewrites are the only events that create versions here) to
+    * hold a deeper window: retention N keeps the current plus N−1
+    * predecessors, each fully readable, so
+    * reprocess-after-a-bad-compaction and compare-to-previous-result
+    * workflows can look as far back as the writer chose to pay storage
+    * for; generations outside the window are vacuumed.
     */
   def readGeneration(spark: SparkSession, dir: String, generation: Int,
       schema: Option[StructType] = None): DataFrame = {
@@ -864,9 +872,12 @@ object TableStore {
       targetFileBytes: Long = 512L * 1024 * 1024,
       zorderBy: Seq[String] = Nil,
       zorderBits: Int = 6,
-      staleLockMs: Long = 30L * 60 * 1000): (Long, Long) = {
+      staleLockMs: Long = 30L * 60 * 1000,
+      retainGenerations: Int = 2): (Long, Long) = {
     import org.apache.spark.sql.functions._
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1, got $retainGenerations")
     val cur = currentGeneration(spark, dir)
     val srcDir = cur.map(_._2).getOrElse(dir)
     val nextN = cur.map(_._1 + 1).getOrElse(0)
@@ -936,7 +947,7 @@ object TableStore {
         .write.mode("overwrite").partitionBy("date")
         .option("partitionOverwriteMode", "static").parquet(tgt)
       writeStatsSidecar(spark, tgt)
-      vacuum(spark, dir, keepFrom = nextN - 1)
+      vacuum(spark, dir, keepFrom = nextN - (retainGenerations - 1))
       releaseClaim(fs(spark, dir), dir, nextN)
       return (before, listParquet(spark, tgt).size.toLong)
     }
@@ -946,7 +957,7 @@ object TableStore {
       .write.mode("overwrite").partitionBy("date")
       .option("partitionOverwriteMode", "static").parquet(tgt)
     writeStatsSidecar(spark, tgt)
-    vacuum(spark, dir, keepFrom = nextN - 1)
+    vacuum(spark, dir, keepFrom = nextN - (retainGenerations - 1))
     releaseClaim(fs(spark, dir), dir, nextN)
     (before, listParquet(spark, tgt).size.toLong)
   }

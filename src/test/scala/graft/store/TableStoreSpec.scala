@@ -172,6 +172,29 @@ class TableStoreSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("time travel depth: retainGenerations keeps a deeper history window") {
+    val dir = tmpDir() + "/ttd"
+    def ow(v: String) = TableStore.overwriteVersioned(
+      Seq((1, v)).toDF("k", "v"), dir, retainGenerations = 3)
+    ow("v1"); ow("v2"); ow("v3") // g0, g1, g2 — all inside the window
+    assert(TableStore.generations(spark, dir) === Seq(0, 1, 2))
+    assert(TableStore.readGeneration(spark, dir, 0).head().getString(1) === "v1")
+    assert(TableStore.readGeneration(spark, dir, 1).head().getString(1) === "v2")
+    assert(TableStore.read(spark, dir).head().getString(1) === "v3")
+    ow("v4") // g3 vacuums g0 only: window slides, depth holds
+    assert(TableStore.generations(spark, dir) === Seq(1, 2, 3))
+    assert(TableStore.readGeneration(spark, dir, 1).head().getString(1) === "v2")
+    val e = intercept[IllegalArgumentException] {
+      TableStore.readGeneration(spark, dir, 0)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // retention 1 = no history: the swap itself remains atomic, but the
+    // superseded generation goes immediately
+    TableStore.overwriteVersioned(Seq((1, "v5")).toDF("k", "v"), dir,
+      retainGenerations = 1)
+    assert(TableStore.generations(spark, dir) === Seq(4))
+  }
+
   test("schema evolution: a declared read schema bridges old and new file layouts") {
     // a long-lived curated table accumulates files written under different
     // code versions; the GhaSchemas-style DECLARED schema (not inference,
