@@ -53,9 +53,13 @@ object Skyline {
   def skyline(df: DataFrame, x: Column, y: Column, buckets: Int = 32)
       : DataFrame = {
     require(buckets >= 2, s"need >=2 buckets, got $buckets")
+    // NaN coordinates are excluded like nulls: a NaN tradeoff point has no
+    // place in a dominance order, and letting one through would
+    // null-bucket in width_bucket and NPE the bounded cell collect
     val base = df.withColumn("__x", x.cast("double"))
       .withColumn("__y", y.cast("double"))
-      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .filter(col("__x").isNotNull && col("__y").isNotNull &&
+        !isnan(col("__x")) && !isnan(col("__y")))
     // EQUAL-WIDTH buckets via one shallow width_bucket node. Pruning only
     // needs a MONOTONE bucketing with right-open edges (width_bucket's),
     // never balance — an earlier quantile-cutpoint draft folded a 31-deep

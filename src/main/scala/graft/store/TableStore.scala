@@ -259,7 +259,7 @@ object TableStore {
     */
   def replaceWhere(spark: SparkSession, batchDf: DataFrame, dir: String,
       predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, when}
     require(batchDf.columns.contains("date"),
       "replaceWhere: batch needs a `date` column")
     // schema enforcement (Delta's): a batch missing a table column would
@@ -276,16 +276,21 @@ object TableStore {
           s"missing=${(tableCols -- batchCols).mkString(",")} " +
           s"extra=${(batchCols -- tableCols).mkString(",")}")
     }
-    val batch = batchDf.localCheckpoint() // read thrice: validate, dates, write
+    val batch = batchDf.localCheckpoint() // read twice: stats, write
     try {
-      val violations =
-        batch.filter(coalesce(not(predicate), lit(true))).count()
+      // ONE pass over the batch yields the per-date counts AND the
+      // predicate-violation count (was two separate jobs; each job here
+      // is a scheduler barrier at tick scale)
+      val batchAgg = batch.groupBy("date").agg(
+        count(lit(1)).as("__n"),
+        count(when(coalesce(not(predicate), lit(true)), 1)).as("__viol"))
+        .collect()
+      val violations = batchAgg.map(_.getLong(2)).sum
       require(violations == 0L,
         s"replaceWhere: $violations batch rows do not satisfy the predicate")
+      val batchPerDate = batchAgg.map(r => r.get(0) -> r.getLong(1)).toMap
       val perDate = readEvolved(spark, dir).filter(predicate)
         .groupBy("date").count().collect()
-        .map(r => r.get(0) -> r.getLong(1)).toMap
-      val batchPerDate = batch.groupBy("date").count().collect()
         .map(r => r.get(0) -> r.getLong(1)).toMap
       val touched = (perDate.keySet ++ batchPerDate.keySet).toSeq
       if (touched.isEmpty) return 0L

@@ -49,6 +49,18 @@ class SkylineSpec extends AnyFunSuite with SparkFixture {
     assert(got.columns.toSeq === Seq("id", "x", "y"))
   }
 
+  test("NaN coordinates are excluded like nulls, not NPE'd or dominant") {
+    val pts = Seq((1L, 5.0, 5.0), (2L, Double.NaN, 99.0),
+      (3L, 99.0, Double.NaN), (4L, 9.0, 9.0))
+    val got = Skyline.skyline(pts.toDF("id", "x", "y"), $"x", $"y",
+        buckets = 4)
+      .select("id").as[Long].collect().toSet
+    // rows 2 and 3 drop (NaN has no place in a dominance order — Spark's
+    // NaN-is-largest ordering would otherwise make row 2 dominate all);
+    // the frontier of the remaining points is row 4 alone
+    assert(got === Set(4L))
+  }
+
   test("the exact sweep never plans a single-partition stage") {
     // The round-6 finding: an unpartitioned Window.orderBy put the whole
     // staircase sliver on ONE task. Capture every execution the operator
