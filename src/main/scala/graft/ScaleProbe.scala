@@ -21,7 +21,7 @@ object ScaleProbe {
     // optional section filter: comma-separated names from {lsh, cosine,
     // textops, tick, ngram, cluster, boilerplate, bucket, phrase,
     // ivfappend, zorder, merge, bloom, pagerank, bpe, sketch, triangles,
-    // replace, ewma, semdecon, skyline}; absent/empty = run all
+    // replace, ewma, semdecon, skyline, hotcluster}; absent/empty = run all
     val sections: Set[String] =
       args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty).getOrElse(Set.empty)
@@ -195,6 +195,49 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       e.unpersist()
+    }
+
+    // ---- round-7 hot-cluster/hot-cell skew caps -----------------------------
+    // DEGENERATE corpus: every vector in one dense mode, so k-means/IVF
+    // put (nearly) everything in ONE cluster/cell and the uncapped pair
+    // join is all-pairs (n²). The cap must hold wall-clock ~flat while
+    // the uncapped form grows quadratically — the claim behind
+    // semanticDedup(maxCluster)/knnGraph(maxCell).
+    if (want("hotcluster")) {
+      println("\n== hot-cluster skew caps: one dense mode, n x4 ==")
+      def mode(n: Long) = spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(16)), j =>
+          (when(j === 1, lit(100.0)).otherwise(lit(0.0))
+            + pmod(xxhash64(col("id") * 17L + j), lit(1000L)) / 10000.0)
+          ).as("v"))
+      for (n <- Seq(8000L, 16000L, 32000L)) {
+        val c = mode(n).localCheckpoint()
+        time(f"semanticDedup UNCAPPED     n=$n%-6d") {
+          graft.llm.Clustering.semanticDedup(c, k = 8, iters = 2,
+            cosThreshold = 0.999999)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(f"semanticDedup cap=64       n=$n%-6d") {
+          graft.llm.Clustering.semanticDedup(c, k = 8, iters = 2,
+            cosThreshold = 0.999999, maxCluster = 64)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val e = c.select(col("vec_id"),
+          transform(col("v"), x => x.cast("float")).as("embedding"))
+          .localCheckpoint()
+        time(f"knnGraph UNCAPPED          n=$n%-6d") {
+          graft.llm.Clustering.knnGraph(e, k = 5, nCells = 4, nProbe = 1)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(f"knnGraph maxCell=64        n=$n%-6d") {
+          graft.llm.Clustering.knnGraph(e, k = 5, nCells = 4, nProbe = 1,
+            maxCell = 64)
+            .write.format("noop").mode("overwrite").save()
+        }
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(c)
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(e)
+      }
     }
 
     // ---- round-6 boilerplate removal: df-count + broadcast probe ----------
