@@ -119,24 +119,131 @@ object GraftFunctions {
     ColumnBridge.column(
       TopCentroids(ColumnBridge.expression(v), cents, dim, nOut, euclidean))
 
-  /** Register `graft_dot` for SQL use on an existing session (works on any
-    * session, no extensions needed at build time).
+  /** Register the whole graft SQL function family on an existing session
+    * (no extensions needed at build time) — see [[GraftFunctionRegistry]].
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    GraftFunctionRegistry.registerTemp(spark)
+}
+
+/** The SQL-callable surface of the native expression + sketch-aggregate
+  * family: every kernel a `queries()` operator runs is equally available
+  * to `spark.sql` users — `SELECT graft_minhash_sig(hs, 64)`,
+  * `SELECT graft_kll_agg(v, 200) ... GROUP BY k`, etc. One builder table
+  * feeds both registration paths (temp functions on a live session;
+  * `SparkSessionExtensions` injection at session build), so the two
+  * can't drift.
+  *
+  * Constructor parameters that shape GENERATED CODE or aggregation-buffer
+  * layout (permutation counts, n-gram sizes, sketch k, the theta set op)
+  * must be literals — the builders fold constant expressions and reject
+  * anything non-foldable with the argument's name in the error.
+  */
+object GraftFunctionRegistry {
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  private def foldI(fn: String, arg: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case v => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal integer, got $v")
+    }
+  }
+
+  private def foldS(fn: String, arg: String, e: Expression): String = {
+    require(e.foldable && e.dataType == StringType,
+      s"$fn: $arg must be a literal string")
+    String.valueOf(e.eval())
+  }
+
+  private def foldDs(fn: String, arg: String, e: Expression): Seq[Double] = {
+    require(e.foldable, s"$fn: $arg must be a literal array of doubles")
+    e.eval() match {
+      case a: ArrayData => a.toDoubleArray().toSeq
+      case v => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal array of doubles, got $v")
+    }
+  }
+
+  private def arity(fn: String, es: Seq[Expression], ns: Int*): Unit =
+    require(ns.contains(es.length),
+      s"$fn expects ${ns.mkString(" or ")} arguments, got ${es.length}")
+
+  /** (name, builder) — scalars first, then the mergeable aggregates (the
+    * analyzer wraps a bare `AggregateFunction` into its
+    * `AggregateExpression`, same as every built-in agg).
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> { es: Seq[Expression] =>
+      arity("graft_dot", es, 2); DotProduct(es(0), es(1)) },
+    "graft_minhash_sig" -> { es: Seq[Expression] =>
+      arity("graft_minhash_sig", es, 2)
+      MinHashSig(es(0), foldI("graft_minhash_sig", "nPerm", es(1))) },
+    "graft_sign_band_keys" -> { es: Seq[Expression] =>
+      arity("graft_sign_band_keys", es, 4)
+      SignBandKeys(es(0), foldI("graft_sign_band_keys", "nBands", es(1)),
+        foldI("graft_sign_band_keys", "bitsPerBand", es(2)),
+        foldI("graft_sign_band_keys", "dim", es(3))) },
+    "graft_simhash64" -> { es: Seq[Expression] =>
+      arity("graft_simhash64", es, 1); SimHash64(es(0)) },
+    "graft_ngram_hashes" -> { es: Seq[Expression] =>
+      arity("graft_ngram_hashes", es, 2)
+      NgramHashes(es(0), foldI("graft_ngram_hashes", "n", es(1))) },
+    "graft_shingle_hashes" -> { es: Seq[Expression] =>
+      arity("graft_shingle_hashes", es, 2)
+      ShingleHashes(es(0), foldI("graft_shingle_hashes", "n", es(1))) },
+    "graft_nfc_normalize" -> { es: Seq[Expression] =>
+      arity("graft_nfc_normalize", es, 1); NfcNormalize(es(0)) },
+    "graft_kll_quantiles" -> { es: Seq[Expression] =>
+      arity("graft_kll_quantiles", es, 2)
+      KllQuantiles(es(0), foldDs("graft_kll_quantiles", "probs", es(1))) },
+    "graft_theta_estimate" -> { es: Seq[Expression] =>
+      arity("graft_theta_estimate", es, 1); ThetaEstimate(es(0)) },
+    "graft_theta_set_estimate" -> { es: Seq[Expression] =>
+      arity("graft_theta_set_estimate", es, 3)
+      ThetaSetEstimate(es(0), es(1),
+        foldS("graft_theta_set_estimate", "op", es(2))) },
+    "graft_kll_agg" -> { es: Seq[Expression] =>
+      arity("graft_kll_agg", es, 1, 2)
+      if (es.length == 1) KllDoublesAgg(es(0))
+      else KllDoublesAgg(es(0), foldI("graft_kll_agg", "k", es(1))) },
+    "graft_kll_merge" -> { es: Seq[Expression] =>
+      arity("graft_kll_merge", es, 1, 2)
+      if (es.length == 1) KllMergeAgg(es(0))
+      else KllMergeAgg(es(0), foldI("graft_kll_merge", "k", es(1))) },
+    "graft_theta_agg" -> { es: Seq[Expression] =>
+      arity("graft_theta_agg", es, 1); ThetaSketchAgg(es(0)) },
+    "graft_theta_union" -> { es: Seq[Expression] =>
+      arity("graft_theta_union", es, 1); ThetaUnionAgg(es(0)) })
+
+  /** Temp-function registration on a live session. */
+  def registerTemp(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+
+  private[functions] def inject(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftFunctionRegistry.type].getName, name),
+        b))
+    }
 }
 
 /** `SparkSessionExtensions` installer — the deployment path for clusters
   * where the session is built by infra, not application code:
-  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. Installs the
+  * full SQL function family plus the TopK-per-key physical strategy.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    GraftFunctionRegistry.inject(e)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -59,6 +59,60 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("*(1) Project [graft_dot"), plan)
   }
 
+  test("the full SQL function family registers and matches the Column API") {
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text").createOrReplaceTempView("fam_docs")
+    // scalars: SQL result == Column-API result, bit for bit
+    val sqlScalars = spark.sql(
+      """SELECT doc_id,
+        |  graft_shingle_hashes(text, 3) AS sh,
+        |  graft_ngram_hashes(text, 8) AS ng,
+        |  graft_simhash64(graft_shingle_hashes(text, 3)) AS sim,
+        |  graft_minhash_sig(graft_shingle_hashes(text, 3), 16) AS sig,
+        |  graft_nfc_normalize(text) AS norm
+        |FROM fam_docs ORDER BY doc_id""".stripMargin).collect()
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val api = spark.table("fam_docs").select($"doc_id",
+      bridge.column(MinHashSig(
+        ShingleHashes(bridge.expression($"text"), 3), 16)).as("sig"))
+      .orderBy("doc_id").collect()
+    sqlScalars.zip(api).foreach { case (s, a) =>
+      assert(s.getSeq[Long](4) === a.getSeq[Long](1), s"sig ${s.getLong(0)}")
+    }
+    // aggregates: KLL quantile + theta distinct through pure SQL
+    spark.range(1, 10001).select($"id".cast("double").as("v"),
+      ($"id" % 7).as("g"), xxhash64($"id").as("u"))
+      .createOrReplaceTempView("fam_nums")
+    val q = spark.sql(
+      """SELECT graft_kll_quantiles(graft_kll_agg(v, 200),
+        |         array(0.5d))[0] AS p50,
+        |  graft_theta_estimate(graft_theta_agg(u)) AS nd
+        |FROM fam_nums""".stripMargin).head()
+    assert(math.abs(q.getDouble(0) - 5000) <= 300, s"p50=${q.getDouble(0)}")
+    assert(math.abs(q.getDouble(1) - 10000) / 10000 < 0.05)
+    // two-level: per-group sketches composed by the merge/union aggs
+    val m = spark.sql(
+      """SELECT graft_kll_quantiles(graft_kll_merge(sk), array(0.5d))[0] AS p50,
+        |  graft_theta_estimate(graft_theta_union(tu)) AS nd
+        |FROM (SELECT g, graft_kll_agg(v) AS sk, graft_theta_agg(u) AS tu
+        |      FROM fam_nums GROUP BY g)""".stripMargin).head()
+    assert(math.abs(m.getDouble(0) - 5000) <= 300)
+    assert(math.abs(m.getDouble(1) - 10000) / 10000 < 0.05)
+  }
+
+  test("non-literal shape parameters are rejected with the argument named") {
+    GraftFunctions.register(spark)
+    spark.range(3).selectExpr("id", "cast(id AS int) AS n")
+      .createOrReplaceTempView("fam_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(array(id), n) FROM fam_bad")
+        .collect()
+    }
+    assert(e.getMessage.contains("nPerm"), e.getMessage.take(300))
+  }
+
   test("GraftExtensions installs graft_dot at session build time") {
     // fresh session (shared SparkContext) so the injection path itself is
     // what's under test; NOT stopped — stop() would kill the shared context
