@@ -116,9 +116,9 @@ object Bpe {
       .withColumn("seq", regexp_replace(col("w"), "(.)", SEP + "$1"))
       .localCheckpoint()
     val bridge = org.apache.spark.sql.graft.ColumnBridge
+    var owned: DataFrame = null // the batch-mode checkpoint WE made last
     try {
       var vocab = vocab0
-      var owned: DataFrame = null // the checkpoint WE made and may release
       val merges = Seq.newBuilder[Merge]
       var r = 1
       var exhausted = false
@@ -176,8 +176,9 @@ object Bpe {
       merges.result()
     } finally {
       bridge.releaseLocalCheckpoint(vocab0)
-      // NOTE: the last owned checkpoint stays alive only until GC — the
-      // merge list has been materialized, nothing references the frame
+      // the merge list is already materialized on the driver, so the last
+      // round's snapshot releases deterministically too (not left to GC)
+      if (owned != null) bridge.releaseLocalCheckpoint(owned)
     }
   }
 

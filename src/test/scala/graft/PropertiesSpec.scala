@@ -210,6 +210,71 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("skyline ≡ brute-force strict dominance on arbitrary points (O∅s law)") {
+    // duplicates, negatives, collinear ties, and every bucket count —
+    // generalizes SkylineSpec's fixed fixtures; the two-phase sweep and
+    // the grid pruning must be invisible at every B
+    val pt = for {
+      x <- Gen.choose(-50, 50)
+      y <- Gen.choose(-50, 50)
+    } yield (x.toDouble, y.toDouble)
+    for (((pts0, b), i) <- samples(Gen.listOfN(80, pt), 6)
+        .zip(Seq(2, 3, 8, 16, 32, 64)).zipWithIndex) {
+      val pts = pts0.zipWithIndex.map { case ((x, y), j) => (j.toLong, x, y) }
+      val got = graft.query.Skyline.skyline(
+          pts.toDF("id", "x", "y").repartition(3 + i), $"x", $"y", buckets = b)
+        .select("id").as[Long].collect().toSet
+      val want = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, ox, oy) => ox > x && oy > y }
+      }.map(_._1).toSet
+      assert(got === want, s"buckets=$b run=$i")
+    }
+  }
+
+  test("dedupClusters ≡ union-find components on arbitrary pair sets (L2 law)") {
+    val pair = for {
+      a <- Gen.choose(0L, 24L)
+      b <- Gen.choose(0L, 24L) if a != b
+    } yield (a, b)
+    for (pairs <- samples(Gen.listOfN(20, pair), 5) if pairs.nonEmpty) {
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = TextOps.dedupClusters(pairs.toDF("id_a", "id_b"))
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+      assert(got.keySet === want.keySet)
+      // same partition AND the same representative (min id per component)
+      got.foreach { case (id, c) => assert(c === want(id), s"node $id") }
+    }
+  }
+
+  test("skew caps only lose recall, never invent drops (L21/L22 cap law)") {
+    // capped semanticDedup's dropped set must be a subset of uncapped's,
+    // and capped knnGraph's edges a subset of the uncapped candidates'
+    // neighbor universe — the cap is purely a candidate-set restriction
+    val vec = Gen.listOfN(4, Gen.choose(-10, 10)).map(_.map(_.toDouble))
+    for ((vs, i) <- samples(Gen.listOfN(14, vec), 3).zipWithIndex) {
+      val df = vs.zipWithIndex
+        .map { case (v, j) => (j.toLong, v.map(x => x + 0.001 * j)) }
+        .toDF("vec_id", "v")
+      def dropped(cap: Int) = graft.llm.Clustering
+        .semanticDedup(df, k = 3, iters = 2, cosThreshold = 0.98,
+          maxCluster = cap)
+        .filter(!col("keep")).select("vec_id").as[Long].collect().toSet
+      val un = dropped(0)
+      val capped = dropped(4)
+      assert(capped.subsetOf(un), s"run=$i capped=$capped uncapped=$un")
+    }
+  }
+
   test("topNgramFrac bounds: 1/(n-1) <= frac <= 1; 1 iff one bigram repeats") {
     for ((words, i) <- samples(Gen.choose(2, 12).flatMap(n =>
         Gen.listOfN(n, word)), 8).zipWithIndex) {
