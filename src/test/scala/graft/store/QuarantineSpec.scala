@@ -57,6 +57,28 @@ class QuarantineSpec extends AnyFunSuite with SparkFixture {
     assert(q.isDirectory && moved.length === 1, moved.mkString(","))
   }
 
+  test("a failed quarantine move fails LOUDLY instead of reporting success") {
+    // r7 (ADVICE): rename's boolean was ignored — a file that could not
+    // move (destination already occupied) was still reported quarantined
+    // while staying in the read path. Recreate that exact collision: sweep
+    // a torn file, then put a NEW torn file at the same path so the next
+    // sweep's rename target exists.
+    val dir = tmpDir() + "/t"
+    build(dir)
+    val victim = truncateFileOf(dir, "2024-05-02")
+    assert(TableStore.quarantineCorrupt(spark, dir).size === 1)
+    val victimPath = Paths.get(new java.net.URI(victim).getPath)
+    Files.write(victimPath, Array.fill[Byte](10)(7))
+    val e = intercept[IllegalArgumentException] {
+      TableStore.quarantineCorrupt(spark, dir)
+    }
+    assert(e.getMessage.contains("quarantine move failed"),
+      e.getMessage.take(200))
+    // and the file is demonstrably still in the read path (the honest
+    // outcome the old silent success hid)
+    assert(TableStore.dataFiles(spark, dir).exists(_ == victim))
+  }
+
   test("clean store: the sweep is a no-op; sweeping twice finds nothing") {
     val dir = tmpDir() + "/t"
     build(dir)

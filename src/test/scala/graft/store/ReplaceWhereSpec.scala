@@ -108,6 +108,30 @@ class ReplaceWhereSpec extends AnyFunSuite with SparkFixture {
     assert(TableStore.read(spark, dir).orderBy("id").collect().toSeq === once)
   }
 
+  test("crash between the drop and the upsert converges on rerun (r7 ordering)") {
+    // r7 reordered the sweep: predicate-emptied partitions drop BEFORE the
+    // repopulating upsert, so a crash between the two leaves missing data,
+    // never stale predicate rows beside committed replacements. Simulate
+    // the exact mid-crash state (drops applied, upsert not) and show the
+    // same replaceWhere call converges to the clean-run result.
+    val clean = tmpDir() + "/clean"
+    val crashed = tmpDir() + "/crashed"
+    for (dir <- Seq(clean, crashed)) build(dir)
+    val batch = mk("2024-01-02", 100 until 105, "rebuilt")
+    val pred = $"date" >= "2024-01-02"
+    TableStore.replaceWhere(spark, batch, clean, pred)
+    // mid-crash state on `crashed`: 01-03 (emptied) already dropped,
+    // 01-02 still holds its STALE pre-replace rows
+    TableStore.dropPartition(spark, crashed, "2024-01-03")
+    assert(TableStore.read(spark, crashed)
+      .filter($"date" === "2024-01-02" && $"tag" === "base").count() === 10)
+    TableStore.replaceWhere(spark, batch, crashed, pred)
+    def state(dir: String) = TableStore.read(spark, dir)
+      .select("id", "tag", "date").as[(Int, String, java.sql.Date)]
+      .collect().sortBy(_._1).toSeq
+    assert(state(crashed) === state(clean))
+  }
+
   test("NULL predicate rows are kept (SQL WHERE semantics, as deleteWhere)") {
     val dir = tmpDir() + "/t"
     val withNull = Seq((1, "a"), (2, null), (3, "b"))
