@@ -278,6 +278,32 @@ object Clustering {
         .filter(col("cos") >= minCos)
         .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b")))
 
+  /** L28: cluster-balanced (diversity) sample — `perCluster` vectors from
+    * EACH k-means cluster, the semantic analog of column-stratified
+    * sampling: a uniform sample of a corpus with one dominant mode is
+    * mostly that mode; sampling per CLUSTER covers the embedding space's
+    * structure (the standard "diverse subset for eval / seed / curriculum"
+    * move). Deterministic: members rank by `xxhash64(id)` (an unbiased
+    * but reproducible pseudo-random order; ties to the id) — or by raw id
+    * with `byHash = false` when an oracle needs to restate the choice.
+    *
+    * Scale shape: k-means' bounded exchanges + ONE [[graft.plans.TopK]]
+    * heap pass — the exchange carries at most perCluster rows per cluster
+    * per map partition, never a cluster's population; no sort, no window.
+    * Output: the sampled rows with their `cluster` label.
+    */
+  def diverseSample(corpus: DataFrame, k: Int, iters: Int, perCluster: Int,
+      idCol: String = "vec_id", vecCol: String = "v",
+      byHash: Boolean = true): DataFrame = {
+    require(perCluster >= 1, s"perCluster must be >= 1, got $perCluster")
+    val cents = kmeansFit(corpus, k, iters, idCol, vecCol)
+    val assigned = kmeansAssign(corpus, cents, vecCol)
+    val rank =
+      if (byHash) Seq(xxhash64(col(idCol)).asc, col(idCol).asc)
+      else Seq(col(idCol).asc)
+    graft.plans.TopK.perKey(assigned, Seq("cluster"), rank, perCluster)
+  }
+
   /** Planted-group derivation shared by the q_kmeans / q_semantic_dedup
     * oracles (the q_embed_neardup pattern: ground truth is constructed
     * in-query so DuckDB can state the expected outcome exactly): group
@@ -371,6 +397,24 @@ object Clustering {
             (countDistinct("cluster_id") === 1).as("single_component"),
             min("cluster_id").as("cluster"))
           .orderBy("g")
+      }),
+
+    // ---- L28: diversity sample — perCluster ids from each k-means cluster -------
+    // Planted oracle: clusters recover the planted groups exactly (the
+    // q_kmeans guarantee), so "5 lowest ids per cluster" IS "5 lowest ids
+    // per planted group" — which DuckDB states with a row_number window.
+    // byHash=false so both engines rank by the same key.
+    Q("q_sample_diverse", Some(
+      """SELECT CAST(vec_id % 4 AS INT) AS g, vec_id FROM (
+        |  SELECT vec_id, row_number() OVER (
+        |    PARTITION BY vec_id % 4 ORDER BY vec_id) AS rn
+        |  FROM embeddings) WHERE rn <= 5
+        |ORDER BY g, vec_id""".stripMargin),
+      (s, d) => {
+        val e = plantedGroups(Tables(s, d, "embeddings"))
+        diverseSample(e, k = 4, iters = 3, perCluster = 5, byHash = false)
+          .select(col("g"), col("vec_id"))
+          .orderBy("g", "vec_id")
       }),
 
     // ---- L22: SemDeDup — cluster, then within-cluster near-dup removal ---------

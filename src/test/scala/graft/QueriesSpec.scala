@@ -14,6 +14,14 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  test("every declared query has an oracle (no silent rows-only downgrade)") {
+    // the driver records a weaker rows-only check for keys missing from
+    // oracleSql — this engine's contract is the FULL hash compare for
+    // every key, so a missing oracle is a regression, not an option
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"keys without an oracle: $missing")
+  }
+
   test("registry names are unique") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size === names.size)

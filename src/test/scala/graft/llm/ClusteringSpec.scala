@@ -137,6 +137,23 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(uncapped.select("neighbor_id").as[Long].collect().toSet.size == 12)
   }
 
+  test("diverseSample: balanced per-cluster counts, deterministic hash rank") {
+    // 3 planted clusters of sizes 3/2/2 (the `clustered` fixture):
+    // perCluster=2 must take exactly min(2, size) from EACH cluster
+    val df = clustered()
+    val got = Clustering.diverseSample(df, k = 3, iters = 3, perCluster = 2)
+    val perCluster = got.groupBy("cluster").count()
+      .select("count").as[Long].collect().toSeq
+    assert(perCluster.sorted === Seq(2L, 2L, 2L))
+    // reproducible: the hash rank is a pure function of the ids
+    val again = Clustering.diverseSample(df, k = 3, iters = 3, perCluster = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again === got.select("vec_id").as[Long].collect().toSet)
+    // perCluster >= cluster size degenerates to the full corpus
+    val all7 = Clustering.diverseSample(df, k = 3, iters = 3, perCluster = 10)
+    assert(all7.count() === 7)
+  }
+
   test("semanticDedup is idempotent on its survivors") {
     val df = Seq(
       (0L, Seq(10.0, 0.0)), (1L, Seq(10.0, 0.01)), (2L, Seq(0.0, 10.0))
