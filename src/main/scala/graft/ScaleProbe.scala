@@ -21,7 +21,7 @@ object ScaleProbe {
     // optional section filter: comma-separated names from {lsh, cosine,
     // textops, tick, ngram, cluster, boilerplate, bucket, phrase,
     // ivfappend, zorder, merge, bloom, pagerank, bpe, sketch, triangles,
-    // replace, ewma, semdecon, skyline, hotcluster}; absent/empty = run all
+    // replace, ewma, semdecon, skyline, hotcluster, pq}; absent/empty = run all
     val sections: Set[String] =
       args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty).getOrElse(Set.empty)
@@ -737,6 +737,35 @@ object ScaleProbe {
         }
         org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(big)
       }
+    }
+    // ---- product quantization: corpus 10x, query batch fixed ------------------
+    // The claims, stage by stage: TRAIN cost is bounded (fixed driver
+    // sample — one TakeOrdered job + driver Lloyd, corpus-independent);
+    // ENCODE is one codegen'd map pass that tracks the scan; SEARCH is one
+    // pass over the 8-int-per-vector code table plus a shortlist-bounded
+    // exact rerank, so query latency tracks corpus size with the CODE
+    // scan's constant, never the float scan's.
+    if (want("pq")) {
+      println("\n== product quantization: corpus 10x, 10 queries ==")
+      val pqQueries = emb.filter(col("vec_id") < 10).localCheckpoint()
+      for (copies <- Seq(1, 5, 10)) {
+        val corpus = replicateEmb(emb, copies).localCheckpoint()
+        val n = corpus.count()
+        val model = time(s"pq train              corpus=$n") {
+          graft.llm.Pq.train(corpus)
+        }
+        val codes = time(s"pq encode             corpus=$n") {
+          val c = graft.llm.Pq.encode(corpus, model).localCheckpoint()
+          c.count(); c
+        }
+        time(s"pq adc+rerank top5    corpus=$n") {
+          graft.llm.Pq.pqTopK(codes, corpus, pqQueries, model, 5).count()
+        }
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(codes)
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(corpus)
+      }
+      org.apache.spark.sql.graft.ColumnBridge
+        .releaseLocalCheckpoint(pqQueries)
     }
     spark.stop()
   }

@@ -32,6 +32,7 @@ object SparkEntry {
     graft.llm.Fuzzy.all ++
     graft.llm.Compress.all ++
     graft.llm.VectorOps.all ++
+    graft.llm.Pq.all ++
     graft.llm.Sampling.all ++
     graft.llm.Clustering.all ++
     graft.llm.PhraseIndex.all ++

@@ -119,6 +119,18 @@ object GraftFunctions {
     ColumnBridge.column(
       TopCentroids(ColumnBridge.expression(v), cents, dim, nOut, euclidean))
 
+  /** Codegen'd product-quantization encode (see [[PqEncode]]). */
+  def pqEncode(v: Column, books: Seq[Double], m: Int, dsub: Int,
+      ksub: Int): Column =
+    ColumnBridge.column(
+      PqEncode(ColumnBridge.expression(v), books, m, dsub, ksub))
+
+  /** Codegen'd per-query-batch ADC scores over PQ codes (see [[AdcScores]]). */
+  def adcScores(codes: Column, tables: Seq[Double], ksub: Int,
+      nQueries: Int): Column =
+    ColumnBridge.column(
+      AdcScores(ColumnBridge.expression(codes), tables, ksub, nQueries))
+
   /** Register the whole graft SQL function family on an existing session
     * (no extensions needed at build time) — see [[GraftFunctionRegistry]].
     */

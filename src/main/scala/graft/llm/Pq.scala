@@ -1,0 +1,270 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.GraftFunctions
+import graft.query.Tables
+
+/** L3pq: product-quantized ANN — the regime where the corpus no longer
+  * affords a float scan (SURVEY.md §2.11; reference scale stance
+  * `/root/reference/gha.ipynb:42-45`, 200-worker reads).
+  *
+  * The 100 TB arithmetic that motivates it: 64-dim float32 embeddings are
+  * 256 bytes/vector; PQ codes at m=8 subspaces × 256 centroids are 8
+  * BYTES/vector — a 32× scan-volume cut — and scoring a query batch against
+  * the code table is table lookups, not vector arithmetic. The classic
+  * three-stage search (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", IEEE TPAMI 2011):
+  *
+  *  1. TRAIN (driver, bounded): per-subspace Lloyd k-means over a
+  *     deterministic sample — same regime as [[VectorOps.ivfCentroids]]:
+  *     one TakeOrdered job, the corpus is never scanned by training;
+  *  2. ENCODE (one codegen'd map pass, no shuffle): unit-normalize, then
+  *     per subspace pick the argmin-L2 centroid —
+  *     [[graft.functions.PqEncode]];
+  *  3. SEARCH: the driver builds one (query × subspace × centroid) dot
+  *     lookup table for the whole query batch; ONE map pass over the code
+  *     table emits every query's ADC score per row
+  *     ([[graft.functions.AdcScores]] — the corpus crosses no wire), the
+  *     bounded-exchange heap plan ([[graft.plans.TopK]]) keeps the
+  *     per-query ADC shortlist, and only shortlist×queries rows (ids) ever
+  *     leave the scan. Exact cosine RERANKS the shortlist: the lossy code
+  *     decides CANDIDACY, never the final order — the precision story that
+  *     makes a 0.8-recall law honest at every SF.
+  *
+  * Unit-normalizing before encode makes inner-product ADC approximate
+  * cosine directly (dot of unit vectors), so train/encode/search all share
+  * one metric and the rerank is a drop-in exact refinement.
+  */
+object Pq {
+
+  /** A trained codebook set: m subspaces × ksub centroids × dsub dims,
+    * flattened row-major (subspace-major) for the kernels.
+    */
+  final case class PqModel(m: Int, dsub: Int, ksub: Int, flat: Seq[Double])
+
+  private def unitInPlace(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) { i = 0; while (i < v.length) { v(i) /= n; i += 1 } }
+    v
+  }
+
+  /** Unit-normalized double vector as a column; zero vectors pass through
+    * (norm floor). The norm is staged as its own attribute so it is not a
+    * lambda-captured aggregate re-evaluated per ELEMENT (the
+    * [[VectorOps.quantize]] lesson — measured ~40x there).
+    */
+  private def unitCol(v: Column): (Column, Column) = {
+    val d = VectorOps.toDouble(v)
+    (d, greatest(sqrt(GraftFunctions.dotNative(d, d)), lit(1e-30)))
+  }
+
+  /** Per-subspace Lloyd on a bounded deterministic sample (lowest `vec_id`s
+    * — one TakeOrdered job, like [[VectorOps.ivfCentroids]]). Sample
+    * vectors are unit-normalized first, matching the encode path. Init =
+    * first ksub sample subvectors; ties to the LOWEST centroid; empty
+    * cells keep their previous centroid. Driver cost is
+    * O(sample · ksub · dim · iters) — ~0.5 s at the 4096×256×64×4 default
+    * — and ZERO additional Spark jobs.
+    */
+  def train(corpus: DataFrame, m: Int = 8, ksub: Int = 256,
+      iters: Int = 4, trainSample: Int = 4096): PqModel = {
+    require(m > 0 && ksub > 1, s"need m>0, ksub>1; got $m, $ksub")
+    val sample: Array[Array[Double]] = corpus
+      .orderBy("vec_id").limit(math.max(trainSample, ksub))
+      .select(VectorOps.toDouble(col("embedding")).as("v"))
+      .collect().map(r => unitInPlace(r.getSeq[Double](0).toArray))
+    require(sample.nonEmpty, "PQ training needs a nonempty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val k = math.min(ksub, sample.length)
+    val flat = new Array[Double](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      val pts: Array[Array[Double]] =
+        sample.map(v => java.util.Arrays.copyOfRange(v, base, base + dsub))
+      val cents: Array[Array[Double]] = Array.tabulate(k)(c => pts(c).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.ofDim[Double](k, dsub)
+        val counts = new Array[Int](k)
+        var p = 0
+        while (p < pts.length) {
+          val x = pts(p)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val cc = cents(c)
+            var d2 = 0.0; var i = 0
+            while (i < dsub) { val t = x(i) - cc(i); d2 += t * t; i += 1 }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += x(i); i += 1 }
+          counts(best) += 1
+          p += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < dsub) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      // k < ksub (tiny corpus): leave the tail rows zero — a zero centroid
+      // is a valid argmin target and the code space simply stays unused
+      var c = 0
+      while (c < k) {
+        System.arraycopy(cents(c), 0, flat, j * ksub * dsub + c * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    PqModel(m, dsub, ksub, flat.toIndexedSeq)
+  }
+
+  /** One codegen'd map pass: (vec_id, codes array<int> of m). No shuffle;
+    * at scale this IS the stored index (parquet dictionary-encodes the
+    * small ints to ~1 byte each).
+    */
+  def encode(corpus: DataFrame, model: PqModel): DataFrame = {
+    val (d, n) = unitCol(col("embedding"))
+    corpus
+      .select(col("vec_id"), d.as("_v"), n.as("_n"))
+      .select(col("vec_id"), GraftFunctions.pqEncode(
+        transform(col("_v"), x => x / col("_n")),
+        model.flat, model.m, model.dsub, model.ksub).as("codes"))
+  }
+
+  /** The flat (query × subspace × centroid) ADC lookup table for a query
+    * batch: entry (q,j,c) = dot(unit-query subvector j, centroid (j,c)).
+    */
+  private def adcTables(qvs: Array[Array[Double]], model: PqModel): Seq[Double] = {
+    val out = new Array[Double](qvs.length * model.m * model.ksub)
+    var q = 0
+    while (q < qvs.length) {
+      val v = qvs(q)
+      var j = 0
+      while (j < model.m) {
+        var c = 0
+        while (c < model.ksub) {
+          val off = j * model.ksub * model.dsub + c * model.dsub
+          var s = 0.0; var i = 0
+          val lim = math.min(model.dsub, v.length - j * model.dsub)
+          while (i < lim) { s += v(j * model.dsub + i) * model.flat(off + i); i += 1 }
+          out(q * model.m * model.ksub + j * model.ksub + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      q += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** ADC shortlist + exact rerank, the full PQ search. Output matches
+    * [[VectorOps.bruteForceTopK]]: (query_id, neighbor_id, rank, cos).
+    * `queries` must be a bounded batch (collected once).
+    */
+  def pqTopK(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      model: PqModel, k: Int, shortlist: Int = 64): DataFrame = {
+    val qRows = queries.orderBy("vec_id")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), unitInPlace(r.getSeq[Double](1).toArray)))
+    require(qRows.nonEmpty, "pqTopK needs a nonempty query batch")
+    val ids: Array[Long] = qRows.map(_._1)
+    val tables = adcTables(qRows.map(_._2), model)
+    // ONE pass over the code table scores every query; only ids + scores
+    // leave the scan, and the heap plan bounds the exchange at
+    // shortlist · queries · partitions rows
+    val scored = codes
+      .select(col("vec_id").as("neighbor_id"),
+        posexplode(GraftFunctions.adcScores(
+          col("codes"), tables, model.ksub, ids.length)).as(Seq("qi", "adc")))
+      .withColumn("query_id", element_at(lit(ids), col("qi") + 1))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "adc")
+    val short = graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("adc").desc, col("neighbor_id").asc), shortlist)
+    // exact rerank of the tiny shortlist: candidates join back to their
+    // float vectors by id (broadcast — shortlist·queries rows), so the
+    // lossy ADC order never decides the final ranking
+    val tv = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorOps.toDouble(col("embedding")).as("tv"))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      VectorOps.toDouble(col("embedding")).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    tv.join(broadcast(short.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- L3pq: PQ-compressed ANN, oracled via the same RECALL law as the
+    // IVF family (exact top-1 from DuckDB brute force + recall@5 >= 0.8
+    // per query). The approximate stage is engine-defined (codes), so the
+    // declared frame is the law harness; the exact rerank makes the law
+    // hold with margin at every SF.
+    Q("q_ann_pq", Some(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * t.v[i]))
+        |    / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(t.v, x -> x * x)))) AS cos
+        |  FROM q, e t WHERE q.vec_id <> t.vec_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        |      FROM p)
+        |SELECT query_id, neighbor_id AS exact_top1, true AS recall_ok
+        |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin),
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        // fixture-scale codebooks (64 centroids/subspace) — the IVF
+        // registration's nCells=16 stance; production default stays 256.
+        // Recall head-room is unaffected: the exact rerank only needs the
+        // ADC shortlist to CONTAIN the true top-5, and the sf0.01 oracle
+        // gate proves it per driver round.
+        val model = train(emb, ksub = 64, iters = 3)
+        val codes = encode(emb, model)
+        val exact = VectorOps.bruteForceTopK(emb, queries, 5).localCheckpoint()
+        // shortlist 128: the fixture embeddings are near-uniform on the
+        // sphere (worst case for ANY quantizer — true-neighbor cosine
+        // margins are tiny, so ADC noise reorders aggressively); at 64 one
+        // sf0.001 query deterministically dropped 2 of its true top-5 out
+        // of the shortlist. 128 holds recall@5 = 1.0 at every driver SF
+        // while staying a constant — at scale shortlist grows with corpus
+        // like nCells/k do, not with this literal.
+        val approx = pqTopK(codes, emb, queries, model, 5, shortlist = 128)
+        val hits = exact.select("query_id", "neighbor_id")
+          .join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(Tables.cnt.as("hits"))
+        exact.filter(col("rank") === 1)
+          .select(col("query_id"), col("neighbor_id").as("exact_top1"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("exact_top1"),
+            (coalesce(col("hits"), lit(0L)) >= 4).as("recall_ok"))
+          .orderBy("query_id")
+      })
+  )
+}

@@ -66,6 +66,60 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** L2c: n-gram CONTAINMENT pairs — `|A∩B| / min(|A|,|B|)` over distinct
+    * shingle-hash sets. The asymmetric-duplication detector Jaccard
+    * structurally misses: a document embedded whole inside a much larger
+    * one has containment ≈ 1 while Jaccard ≈ |small|/|large| ≈ 0, so a
+    * Jaccard-thresholded dedup keeps both copies (quote-the-whole-article
+    * spam, chunk-of-a-book training leaks). Broder's original resemblance
+    * paper defines both measures for exactly this reason.
+    *
+    * Plan shape is the INVERTED-INDEX pattern (the `q_ngram_jaccard`
+    * all-pairs form can't scale past a bounded window): one shingle pass,
+    * explode to (doc, h), one groupBy(h) exchange — 8-byte keys — and each
+    * hash emits its own doc PAIRS, which aggregate to |A∩B|; set sizes ride
+    * a tiny broadcast join. No all-pairs stage; cost is Σ_h df(h)², i.e.
+    * bounded by real shared-shingle density.
+    *
+    * `maxDf` is the skew guard for that Σ: a shingle present in more than
+    * `maxDf` docs (boilerplate n-grams — "all rights reserved") is DROPPED
+    * before pairing, trading a conservative containment under-estimate for
+    * a hard quadratic bound, the `maxBucket`/`maxCluster` stance. 0 = off
+    * (the oracle key's exact mode).
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      maxDf: Int = 0): DataFrame = {
+    val sh = shingleHashes(docs, Seq("doc_id"), n)
+    // set sizes: computed from the SAME pass via localCheckpoint so the
+    // shingle scan runs once for both the index and the size table
+    val snap = sh.localCheckpoint()
+    try {
+      val sizes = snap.select(col("doc_id"), size(col("hs")).as("n_sh"))
+      val byHash = snap.select(col("doc_id"), explode(col("hs")).as("h"))
+        .groupBy("h").agg(sort_array(collect_set("doc_id")).as("ds"))
+      val capped = if (maxDf > 0) byHash.filter(size(col("ds")) <= maxDf)
+        else byHash
+      val inter = capped.filter(size(col("ds")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> transform(" +
+            "slice(ds, i + 2, size(ds) - i - 1), " +
+            "y -> named_struct('id_a', x, 'id_b', y))))")).as("p"))
+        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .agg(cnt.as("ni"))
+      val c = col("ni").cast("double") / least(col("n_a"), col("n_b"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("id_a"),
+          col("n_sh").as("n_a"))), Seq("id_a"))
+        .join(broadcast(sizes.select(col("doc_id").as("id_b"),
+          col("n_sh").as("n_b"))), Seq("id_b"))
+        .filter(c >= threshold)
+        .select(col("id_a"), col("id_b"), round(c, 4).as("containment"))
+        .localCheckpoint() // pair rows only; lets the shingle snap release
+    } finally {
+      org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(snap)
+    }
+  }
+
   /** L2 (SimHash): 64-bit SimHash over distinct tokens — per-token
     * xxhash64, then a native per-bit majority vote
     * ([[graft.functions.SimHash64]]; value parity with the nested-HOF SQL
@@ -913,6 +967,33 @@ object TextOps {
           .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jac"))
           .orderBy("id_a", "id_b")
       }),
+
+    // ---- L2c: n-gram containment (asymmetric near-dup) -------------------------
+    // The oracle is brute-force all-pairs containment over the same
+    // 150-doc window as q_ngram_jaccard; the engine side runs the
+    // inverted-index plan (groupBy hash → per-hash pairs), so hash
+    // equality ALSO proves the index form computes exactly the textbook
+    // pairwise definition. Threshold 0.5 keeps matches non-empty at every
+    // SF (containment >= Jaccard pointwise, and the window's >= 0.5
+    // Jaccard pairs are non-empty by the q_dedup_minhash fixture).
+    Q("q_containment", Some(
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / least(len(a.sh), len(b.sh)), 4) AS containment
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / least(len(a.sh), len(b.sh)) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => containmentPairs(
+          Tables(s, d, "documents").filter(col("doc_id") < 150), 0.5)
+        .orderBy("id_a", "id_b")),
 
     // ---- L2: SimHash over the near-dup pair graph, oracled via its LAW ---------
     // SimHash bits are engine-defined, so the frame pairs them with ground

@@ -493,4 +493,42 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     val f = TextOps.topNgramFrac(doc).as[(Long, Double)].head()._2
     assert(f > 0.2) // "spark rocks" dominates despite many distinct words
   }
+
+  test("containmentPairs: doc-inside-doc scores ~1 where Jaccard is small") {
+    val small = (1 to 10).map(i => s"token$i").mkString(" ")
+    val filler = (100 to 160).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, small),                    // 8 distinct 3-shingles
+      (2L, s"$small $filler"),        // contains doc 1 whole
+      (3L, (200 to 240).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.containmentPairs(df, 0.9)
+      .as[(Long, Long, Double)].collect()
+    // the asymmetric pair fires at ~1.0 (the two bridge shingles around
+    // the concatenation seam are NOT in doc 1, so containment is exactly
+    // |sh1| / |sh1| = 1 from doc 1's side); nothing else pairs
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(got.head._3 >= 0.99)
+    // while symmetric Jaccard on the same pair is far below any dedup bar
+    val sh = TextOps.shingleHashes(df, Seq("doc_id"), 3)
+    val j = sh.as("a").join(sh.as("b"),
+        $"a.doc_id" === 1L && $"b.doc_id" === 2L)
+      .select(TextOps.jaccard($"a.hs", $"b.hs")).as[Double].head()
+    assert(j < 0.2, s"jaccard was $j")
+  }
+
+  test("containmentPairs maxDf drops ubiquitous shingles conservatively") {
+    // one boilerplate sentence shared by EVERY doc + distinct bodies:
+    // uncapped, the boilerplate shingles alone pair all docs
+    val boiler = "all rights reserved by the site"
+    val df = (1L to 6L).map(i =>
+      (i, s"$boiler " + (0 to 20).map(k => s"w${i}_$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val uncapped = TextOps.containmentPairs(df, 0.15)
+    assert(uncapped.count() == 15) // all C(6,2) pairs fire on boilerplate
+    // df-cap 3 < 6 docs: boilerplate shingles dropped, no pair survives —
+    // under-estimate, never a false positive
+    val capped = TextOps.containmentPairs(df, 0.15, maxDf = 3)
+    assert(capped.count() == 0)
+  }
 }
