@@ -214,6 +214,144 @@ object Pq {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** A stored IVF-PQ index: coarse cells for pruning, PQ codes for the
+    * scan — the FAISS `IndexIVFPQ` architecture. `assignments` holds
+    * (neighbor_id, codes, cell) ONLY: the stored index is ~8 bytes of
+    * code + an id per vector, never the floats; the rerank fetches float
+    * vectors from the CORPUS table by id (a broadcast semi-join on the
+    * shortlist — at scale, a bloom-pushable id probe into the source
+    * table, reading the embedding column for survivors only).
+    */
+  final case class IvfPqIndex(centroids: Seq[(Int, Seq[Double])],
+      model: PqModel, assignments: DataFrame)
+
+  private def flatCents(cents: Seq[(Int, Seq[Double])]): (Seq[Double], Int) = {
+    val ordered = cents.sortBy(_._1)
+    (ordered.flatMap(_._2), ordered.head._2.length)
+  }
+
+  /** Train both quantizers on the bounded sample (two driver fits, one
+    * TakeOrdered job each), then ONE corpus scan computes the coarse cell
+    * and the PQ codes together — both kernels ride the same projection.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, nCells: Int = 16,
+      kmeansIters: Int = 2, m: Int = 8, ksub: Int = 64,
+      pqIters: Int = 3): IvfPqIndex = {
+    val cents = VectorOps.ivfCentroids(corpus, nCells, kmeansIters).toIndexedSeq
+    val model = train(corpus, m, ksub, pqIters)
+    val (flat, dim) = flatCents(cents)
+    val (d, n) = unitCol(col("embedding"))
+    val assigned = corpus
+      .select(col("vec_id").as("neighbor_id"), d.as("_v"), n.as("_n"))
+      .select(col("neighbor_id"),
+        GraftFunctions.pqEncode(transform(col("_v"), x => x / col("_n")),
+          model.flat, model.m, model.dsub, model.ksub).as("codes"),
+        GraftFunctions.nearestCentroid(col("_v"), flat, dim,
+          euclidean = false).as("cell"))
+    IvfPqIndex(cents, model, assigned)
+  }
+
+  /** Persist: code table partitioned by cell (probing = partition
+    * pruning, like [[VectorOps.writeIvfIndex]]), centroids + codebooks as
+    * tiny parquets.
+    */
+  def writeIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    import index.assignments.sparkSession.implicits._
+    index.assignments.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assignments")
+    index.centroids.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((index.model.m, index.model.dsub, index.model.ksub,
+      index.model.flat))
+      .toDF("m", "dsub", "ksub", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val mdl = spark.read.parquet(s"$dir/codebooks")
+      .as[(Int, Int, Int, Seq[Double])].head()
+    val assigned = spark.read.parquet(s"$dir/assignments")
+      .select(col("neighbor_id"), col("codes"),
+        col("cell").cast("int").as("cell"))
+    IvfPqIndex(cents, PqModel(mdl._1, mdl._2, mdl._3, mdl._4), assigned)
+  }
+
+  /** Probe + ADC + exact rerank against a built (possibly store-loaded)
+    * index. Per query, the nProbe nearest cells are computed driver-side
+    * from the collected query batch, so the probed-cell union reaches the
+    * stored code table as ONE `cell IN (...)` partition filter — unprobed
+    * cells are never read. Scoring then rides the one AdcScores pass with
+    * a tiny broadcast (query_id, cell) join keeping each query's scores
+    * restricted to the cells IT probed; shortlist + rerank as [[pqTopK]].
+    */
+  def ivfPqQuery(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 2, shortlist: Int = 64): DataFrame = {
+    val qRows = queries.orderBy("vec_id")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "ivfPqQuery needs a nonempty query batch")
+    val ids: Array[Long] = qRows.map(_._1)
+    // driver-side probe: nProbe best cells per query by the same spherical
+    // dot metric the assignment used (queries are a bounded batch)
+    val (flat, dim) = flatCents(index.centroids)
+    val kCells = index.centroids.length
+    def probeCells(v: Array[Double]): Seq[Int] = {
+      val scores = (0 until kCells).map { c =>
+        val cent = flat.slice(c * dim, c * dim + dim)
+        var s = 0.0; var i = 0
+        val lim = math.min(dim, v.length)
+        while (i < lim) { s += v(i) * cent(i); i += 1 }
+        (s, c)
+      }
+      scores.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
+    }
+    val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { case (id, v) =>
+      probeCells(v).map(c => (id, c))
+    }
+    val probedCells = probes.map(_._2).distinct.sorted
+    val tables = adcTables(qRows.map(_._2.clone()).map(unitInPlace), index.model)
+    import corpus.sparkSession.implicits._
+    val probeDf = probes.toDF("query_id", "cell")
+    val scored = index.assignments
+      // ONE IN-list partition filter — the probed union; per-(query,cell)
+      // restriction happens on the tiny broadcast join below
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("neighbor_id"), col("cell"),
+        posexplode(GraftFunctions.adcScores(
+          col("codes"), tables, index.model.ksub, ids.length))
+          .as(Seq("qi", "adc")))
+      .withColumn("query_id", element_at(lit(ids), col("qi") + 1))
+      .join(broadcast(probeDf), Seq("query_id", "cell"), "left_semi")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "adc")
+    val short = graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("adc").desc, col("neighbor_id").asc), shortlist)
+    val tv = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorOps.toDouble(col("embedding")).as("tv"))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      VectorOps.toDouble(col("embedding")).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    tv.join(broadcast(short.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Session-scoped stored IVF-PQ demo indexes, keyed by sfDir — built
+    * once per JVM so repeated q_ann_ivfpq runs time the stored-index
+    * QUERY path (the [[VectorOps]] ivfDemos pattern).
+    */
+  private val ivfPqDemos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val all: Seq[Q] = Seq(
 
     // ---- L3pq: PQ-compressed ANN, oracled via the same RECALL law as the
@@ -255,6 +393,54 @@ object Pq {
         // while staying a constant — at scale shortlist grows with corpus
         // like nCells/k do, not with this literal.
         val approx = pqTopK(codes, emb, queries, model, 5, shortlist = 128)
+        val hits = exact.select("query_id", "neighbor_id")
+          .join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(Tables.cnt.as("hits"))
+        exact.filter(col("rank") === 1)
+          .select(col("query_id"), col("neighbor_id").as("exact_top1"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("exact_top1"),
+            (coalesce(col("hits"), lit(0L)) >= 4).as("recall_ok"))
+          .orderBy("query_id")
+      }),
+
+    // ---- L3pq+: the STORED IVF-PQ index, same recall law through a round
+    // trip — the FAISS IndexIVFPQ architecture under the driver gate:
+    // build once, persist codes partitioned by cell, read back, query
+    // with probes as partition filters + ADC over codes + exact rerank.
+    // shortlist 256 ≥ half the probed population at fixture scale, so the
+    // law's slack is the coarse probe's (q_ann_ivf's regime), never the
+    // code's.
+    Q("q_ann_ivfpq", Some(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * t.v[i]))
+        |    / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(t.v, x -> x * x)))) AS cos
+        |  FROM q, e t WHERE q.vec_id <> t.vec_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        |      FROM p)
+        |SELECT query_id, neighbor_id AS exact_top1, true AS recall_ok
+        |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin),
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        // built once per (sfDir, JVM): the production path being timed is
+        // the partition-pruned stored-index query, not the build
+        val idxDir = ivfPqDemos.computeIfAbsent(d, _ => {
+          val t = graft.query.Pipelines.demoRoot("graft_ivfpq")
+          writeIvfPqIndex(buildIvfPqIndex(emb), t.toString)
+          t.toString
+        })
+        val stored = readIvfPqIndex(s, idxDir)
+        val exact = VectorOps.bruteForceTopK(emb, queries, 5).localCheckpoint()
+        val approx = ivfPqQuery(stored, emb, queries, 5,
+          nProbe = 8, shortlist = 256)
         val hits = exact.select("query_id", "neighbor_id")
           .join(approx.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")

@@ -104,6 +104,43 @@ class PqSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("divisible"))
   }
 
+  test("IVF-PQ index: store round-trip preserves results; probed cells " +
+    "prune partitions; the stored table holds codes, never floats") {
+    val queries = emb.filter($"vec_id" < 5)
+    val built = Pq.buildIvfPqIndex(emb)
+    val direct = Pq.ivfPqQuery(built, emb, queries, k = 5,
+      nProbe = 8, shortlist = 256)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    Pq.writeIvfPqIndex(built, dir)
+    val loaded = Pq.readIvfPqIndex(spark, dir)
+    assert(loaded.model == built.model)
+    val viaStore = Pq.ivfPqQuery(loaded, emb, queries, k = 5,
+      nProbe = 8, shortlist = 256)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaStore === direct)
+    // the scale contract: the persisted index carries (id, codes, cell)
+    // ONLY — floats live in the corpus table, fetched by the rerank
+    assert(loaded.assignments.columns.toSet ==
+      Set("neighbor_id", "codes", "cell"))
+    val cells = new java.io.File(s"$dir/assignments").list()
+      .filter(_.startsWith("cell=")).toSeq
+    assert(cells.nonEmpty)
+    val plan = loaded.assignments.filter($"cell" === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("q_ann_ivfpq law holds on the fixture") {
+    val rows = graft.SparkEntry.queries("q_ann_ivfpq")(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getBoolean(2)),
+      s"recall law failed: ${rows.mkString("; ")}")
+  }
+
   test("both kernels participate in whole-stage codegen (no fallback)") {
     val enc = spark.range(4)
       .select(GraftFunctions.pqEncode(
