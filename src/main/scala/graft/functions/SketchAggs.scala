@@ -81,11 +81,40 @@ object SketchAggs {
       ThetaSetEstimate(ColumnBridge.expression(a),
         ColumnBridge.expression(b), op))
 
+  /** Frequent-items sketch of a string column → sketch bytes (mergeable). */
+  def freqAgg(c: Column, maxMapSize: Int = 256): Column =
+    ColumnBridge.column(
+      FreqItemsAgg(ColumnBridge.expression(c), maxMapSize)
+        .toAggregateExpression())
+
+  /** Union of stored frequent-items sketch bytes → merged bytes. */
+  def freqMergeAgg(c: Column, maxMapSize: Int = 256): Column =
+    ColumnBridge.column(
+      FreqMergeAgg(ColumnBridge.expression(c), maxMapSize)
+        .toAggregateExpression())
+
+  /** `struct<est, lb, ub>` for one item — the deterministic bound surface. */
+  def freqBounds(bytes: Column, item: Column): Column =
+    ColumnBridge.column(FreqItemBounds(
+      ColumnBridge.expression(bytes), ColumnBridge.expression(item)))
+
+  /** Top items (NO_FALSE_NEGATIVES) with est/lb/ub from sketch bytes. */
+  def freqTopItems(bytes: Column): Column =
+    ColumnBridge.column(FreqTopItems(ColumnBridge.expression(bytes)))
+
   private[functions] def newUnion(): Union =
     SetOperation.builder().buildUnion()
 
   private[functions] def heapifyCompact(bytes: Array[Byte]): CompactSketch =
     Sketches.heapifyCompactSketch(Memory.wrap(bytes))
+
+  private[functions] val stringSerDe =
+    new org.apache.datasketches.common.ArrayOfStringsSerDe()
+
+  private[functions] def heapifyFreq(bytes: Array[Byte])
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    org.apache.datasketches.frequencies.ItemsSketch
+      .getInstance(Memory.wrap(bytes), stringSerDe)
 }
 
 /** Common plumbing for the graft sketch aggregates: binary output, null
@@ -382,4 +411,207 @@ case class ThetaSetEstimate(left: Expression, right: Expression, op: String)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): ThetaSetEstimate =
     copy(left = l, right = r)
+}
+
+/** Frequent-items (heavy hitters) sketch aggregate — DataSketches
+  * `ItemsSketch[String]` (Misra-Gries/space-saving family): `maxMapSize`
+  * counters answer "top items and how often" with a hard deterministic
+  * guarantee `lb ≤ true ≤ ub` per item and `ub − lb ≤ 3.5·N/maxMapSize`.
+  *
+  * Relationship to the CMS the engine already carries (q_heavy_hitters):
+  * CMS answers point frequency queries for KNOWN items from fixed bytes;
+  * the items sketch additionally RETAINS the candidate items, so "what
+  * are the top items" needs no second exact pass — and its serialized
+  * state is a mergeable per-partition/per-day view in exactly the
+  * KLL/Theta stored-state regime. Estimates (not bounds) can vary with
+  * merge order under Spark's partition-order nondeterminism — anything
+  * hash-gated must assert the BOUNDS, which are order-independent
+  * guarantees ([[FreqItemBounds]]).
+  */
+case class FreqItemsAgg(
+    child: Expression,
+    maxMapSize: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends SketchAgg[org.apache.datasketches.frequencies.ItemsSketch[String]] {
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"maxMapSize must be a power of 2 >= 8, got $maxMapSize")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_freq_agg requires string input, got $t")
+  }
+
+  override def createAggregationBuffer()
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+
+  override def update(
+      buf: org.apache.datasketches.frequencies.ItemsSketch[String],
+      row: InternalRow)
+      : org.apache.datasketches.frequencies.ItemsSketch[String] = {
+    val v = child.eval(row)
+    if (v != null) buf.update(v.toString)
+    buf
+  }
+
+  override def merge(
+      a: org.apache.datasketches.frequencies.ItemsSketch[String],
+      b: org.apache.datasketches.frequencies.ItemsSketch[String])
+      : org.apache.datasketches.frequencies.ItemsSketch[String] = {
+    a.merge(b); a
+  }
+
+  override def eval(
+      buf: org.apache.datasketches.frequencies.ItemsSketch[String]): Any =
+    serialize(buf)
+
+  override def serialize(
+      buf: org.apache.datasketches.frequencies.ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(SketchAggs.stringSerDe)
+  override def deserialize(bytes: Array[Byte])
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    SketchAggs.heapifyFreq(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): FreqItemsAgg = copy(child = c.head)
+  override def prettyName: String = "graft_freq_agg"
+}
+
+/** Merge of STORED frequent-items sketch bytes — the incremental-view /
+  * per-day-rollup composition form ([[KllMergeAgg]]'s stance). Merging
+  * into any map size preserves the `lb ≤ true ≤ ub` guarantee (the error
+  * budgets ADD); there is no k-downgrade hazard to police here.
+  */
+case class FreqMergeAgg(
+    child: Expression,
+    maxMapSize: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends SketchAgg[org.apache.datasketches.frequencies.ItemsSketch[String]] {
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"maxMapSize must be a power of 2 >= 8, got $maxMapSize")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_freq_merge requires sketch bytes, got $t")
+  }
+
+  override def createAggregationBuffer()
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+
+  override def update(
+      buf: org.apache.datasketches.frequencies.ItemsSketch[String],
+      row: InternalRow)
+      : org.apache.datasketches.frequencies.ItemsSketch[String] = {
+    val v = child.eval(row)
+    if (v != null)
+      buf.merge(SketchAggs.heapifyFreq(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(
+      a: org.apache.datasketches.frequencies.ItemsSketch[String],
+      b: org.apache.datasketches.frequencies.ItemsSketch[String])
+      : org.apache.datasketches.frequencies.ItemsSketch[String] = {
+    a.merge(b); a
+  }
+
+  override def eval(
+      buf: org.apache.datasketches.frequencies.ItemsSketch[String]): Any =
+    serialize(buf)
+
+  override def serialize(
+      buf: org.apache.datasketches.frequencies.ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(SketchAggs.stringSerDe)
+  override def deserialize(bytes: Array[Byte])
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    SketchAggs.heapifyFreq(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): FreqMergeAgg = copy(child = c.head)
+  override def prettyName: String = "graft_freq_merge"
+}
+
+/** Point-query bounds for one item from frequent-items sketch bytes:
+  * `struct<est, lb, ub>`. The bounds are the DETERMINISTIC surface —
+  * `lb ≤ true ≤ ub` holds for every merge order, so oracle/law checks
+  * belong here, never on raw estimates.
+  */
+case class FreqItemBounds(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("est", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("lb", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("ub", LongType, nullable = false)))
+  override def prettyName: String = "graft_freq_bounds"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, org.apache.spark.sql.types.StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (sketch bytes, string item), got $t")
+    }
+
+  override def nullSafeEval(bytes: Any, item: Any): Any = {
+    val sk = SketchAggs.heapifyFreq(bytes.asInstanceOf[Array[Byte]])
+    val s = item.toString
+    InternalRow(sk.getEstimate(s), sk.getLowerBound(s), sk.getUpperBound(s))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): FreqItemBounds = copy(left = l, right = r)
+}
+
+/** Top frequent items from sketch bytes, NO_FALSE_NEGATIVES (every true
+  * heavy hitter appears; some light items may too — the dashboard
+  * surface). `array<struct<item, est, lb, ub>>`, estimate-descending with
+  * an item tiebreak. Estimates are merge-order-dependent; see
+  * [[FreqItemBounds]] for the deterministic check surface.
+  */
+case class FreqTopItems(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("est", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lb", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ub", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_freq_top_items"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires sketch bytes, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val sk = SketchAggs.heapifyFreq(input.asInstanceOf[Array[Byte]])
+    val rows = sk.getFrequentItems(
+      org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+      .sortBy(r => (-r.getEstimate, r.getItem))
+      .map(r => InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getItem),
+        r.getEstimate, r.getLowerBound, r.getUpperBound): Any)
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(c: Expression): FreqTopItems =
+    copy(child = c)
 }

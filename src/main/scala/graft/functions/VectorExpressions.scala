@@ -231,7 +231,19 @@ object GraftFunctionRegistry {
     "graft_theta_agg" -> { es: Seq[Expression] =>
       arity("graft_theta_agg", es, 1); ThetaSketchAgg(es(0)) },
     "graft_theta_union" -> { es: Seq[Expression] =>
-      arity("graft_theta_union", es, 1); ThetaUnionAgg(es(0)) })
+      arity("graft_theta_union", es, 1); ThetaUnionAgg(es(0)) },
+    "graft_freq_bounds" -> { es: Seq[Expression] =>
+      arity("graft_freq_bounds", es, 2); FreqItemBounds(es(0), es(1)) },
+    "graft_freq_top_items" -> { es: Seq[Expression] =>
+      arity("graft_freq_top_items", es, 1); FreqTopItems(es(0)) },
+    "graft_freq_agg" -> { es: Seq[Expression] =>
+      arity("graft_freq_agg", es, 1, 2)
+      if (es.length == 1) FreqItemsAgg(es(0))
+      else FreqItemsAgg(es(0), foldI("graft_freq_agg", "maxMapSize", es(1))) },
+    "graft_freq_merge" -> { es: Seq[Expression] =>
+      arity("graft_freq_merge", es, 1, 2)
+      if (es.length == 1) FreqMergeAgg(es(0))
+      else FreqMergeAgg(es(0), foldI("graft_freq_merge", "maxMapSize", es(1))) })
 
   /** Temp-function registration on a live session. */
   def registerTemp(spark: SparkSession): Unit =

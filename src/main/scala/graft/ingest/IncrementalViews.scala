@@ -217,6 +217,59 @@ object IncrementalViews {
       .select(col("key"),
         graft.functions.SketchAggs.kllQuantiles(col("sk"), probs).as("qs"))
 
+  // ---- mergeable-sketch view: per-key heavy hitters -------------------------
+  // The frequent-items twin of the quantile view: "top items per key, all
+  // time" from one bounded sketch per key (DataSketches ItemsSketch —
+  // retains candidate ITEMS, which CMS cannot, with the deterministic
+  // lb ≤ true ≤ ub guarantee). Same replay hazard as KLL — re-folding a
+  // batch INFLATES counts — so the same batch_id-in-the-generation-swap
+  // protocol applies verbatim.
+
+  private def freqViewSchema = StructType(Seq(
+    StructField("key", org.apache.spark.sql.types.StringType),
+    StructField("sk", org.apache.spark.sql.types.BinaryType),
+    StructField("batch_id", org.apache.spark.sql.types.LongType)))
+
+  /** Fold one batch's (keyCol: string, itemCol: string) rows into the
+    * per-key frequent-items sketches under `mvDir/freq_sketches`. Returns
+    * true if folded, false if skipped as an at-least-once replay.
+    */
+  def maintainFreqSketches(spark: SparkSession, batch: DataFrame,
+      mvDir: String, keyCol: String, itemCol: String,
+      batchId: Long = -1L): Boolean = {
+    val dir = s"$mvDir/freq_sketches"
+    val existing =
+      if (TableStore.dataFiles(spark, dir).isEmpty) None
+      else Some(TableStore.read(spark, dir, freqViewSchema))
+    val storedMax = existing.map(_.agg(max("batch_id")).head().getLong(0))
+    if (batchId >= 0 && storedMax.exists(_ >= batchId))
+      return false // at-least-once replay: state already holds this batch
+    val stampId = math.max(batchId, storedMax.getOrElse(-1L))
+    val partial = batch
+      .select(col(keyCol).cast("string").as("key"),
+        col(itemCol).cast("string").as("item"))
+      .groupBy("key")
+      .agg(graft.functions.SketchAggs.freqAgg(col("item")).as("sk"))
+      .withColumn("batch_id", lit(stampId))
+    val merged = existing match {
+      case None => partial
+      case Some(e) => e.unionByName(partial)
+        .groupBy("key")
+        .agg(graft.functions.SketchAggs.freqMergeAgg(col("sk")).as("sk"))
+        .withColumn("batch_id", lit(stampId))
+    }
+    TableStore.overwriteVersioned(merged, dir)
+    true
+  }
+
+  /** (key, top items array<struct<item, est, lb, ub>>) from the maintained
+    * sketches — NO_FALSE_NEGATIVES, so every true heavy hitter appears.
+    */
+  def freqView(spark: SparkSession, mvDir: String): DataFrame =
+    TableStore.read(spark, s"$mvDir/freq_sketches", freqViewSchema)
+      .select(col("key"),
+        graft.functions.SketchAggs.freqTopItems(col("sk")).as("top"))
+
   /** Recovery/bootstrap: recompute every view from the curated store (the
     * one full scan, paid only after a crash rollback or when adopting the
     * views over an existing store).

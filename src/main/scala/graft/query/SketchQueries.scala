@@ -21,6 +21,50 @@ object SketchQueries {
 
   val all: Seq[Q] = Seq(
 
+    // ---- A7f: frequent-items sketch (mergeable heavy hitters) ------------------
+    // The items sketch RETAINS candidate items (CMS answers point queries
+    // only), and its serialized state merges — so this query runs the full
+    // stored-state round: per-(lang, source) partial sketches (the shard
+    // form a 100 TB corpus would store) merged per lang with
+    // graft_freq_merge, then point-checked. The hash-gated booleans are
+    // the sketch's ORDER-INDEPENDENT guarantee lb ≤ true ≤ ub — raw
+    // estimates may vary with Spark's merge order and never touch the
+    // oracle frame (FreqItemBounds scaladoc).
+    Q("q_freq_sketch", Some(
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT lang, w, count(*) AS cnt FROM w GROUP BY lang, w),
+        |r AS (SELECT lang, w, cnt, row_number() OVER (
+        |        PARTITION BY lang ORDER BY cnt DESC, w) AS rn FROM c)
+        |SELECT lang, w AS word, cnt, true AS bounds_ok
+        |FROM r WHERE rn <= 3 ORDER BY lang, cnt DESC, word""".stripMargin),
+      (s, d) => {
+        val w = Tables(s, d, "documents")
+          .select(col("lang"), col("source"),
+            explode(graft.llm.TextOps.words(col("text"))).as("w"))
+          .localCheckpoint() // one tokenize pass feeds partials + exact
+        val res = {
+          val partials = w.groupBy("lang", "source")
+            .agg(freqAgg(col("w")).as("sk"))
+          val merged = partials.groupBy("lang")
+            .agg(freqMergeAgg(col("sk")).as("sk"))
+          val win = org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy(desc("cnt"), asc("w"))
+          val top = w.groupBy("lang", "w").agg(Tables.cnt.as("cnt"))
+            .withColumn("rn", row_number().over(win))
+            .filter(col("rn") <= 3)
+          top.join(merged, Seq("lang"))
+            .withColumn("b", freqBounds(col("sk"), col("w")))
+            .select(col("lang"), col("w").as("word"), col("cnt"),
+              (col("b.lb") <= col("cnt") && col("cnt") <= col("b.ub"))
+                .as("bounds_ok"))
+            .orderBy(col("lang"), desc("cnt"), col("word"))
+            .localCheckpoint()
+        }
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(w)
+        res
+      }),
+
     // ---- A7k: KLL quantile sketch + merge law --------------------------------
     // Two independent KLL paths must agree with the exact quantiles: a
     // direct per-type sketch AND a merge of per-day sketches (the

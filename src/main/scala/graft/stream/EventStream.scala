@@ -351,6 +351,25 @@ object EventStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Continuous per-key heavy-hitter maintenance — the frequent-items twin
+    * of [[quantileSketchStream]]: each micro-batch folds its ItemsSketch
+    * states into the stored view with the identical batchId-in-generation
+    * exactly-once protocol (re-folding a replayed batch would INFLATE
+    * counts; the view's bounds guarantee only holds over a
+    * counted-once stream).
+    */
+  def freqSketchStream(updates: DataFrame, mvDir: String,
+      checkpointDir: String, keyCol: String, itemCol: String): StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ingest.IncrementalViews.maintainFreqSketches(
+          batch.sparkSession, batch, mvDir, keyCol, itemCol, id)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .start()
+
   def ingestStream(spark: SparkSession, landingDir: String, outDir: String,
       checkpointDir: String, table: String = "watch"): StreamingQuery = {
     val lines = spark.readStream

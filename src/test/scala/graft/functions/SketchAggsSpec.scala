@@ -129,4 +129,41 @@ class SketchAggsSpec extends AnyFunSuite with SparkFixture {
       .select(thetaEstimate(col("sk"))).head().getDouble(0)
     assert(est == 500.0)
   }
+
+  test("FreqItems: bounds contain the true count under partial/merge; " +
+    "heavy hitter survives the purge pressure of a wide tail") {
+    import spark.implicits._
+    // 64-counter sketch vs 5000 distinct tail items: purges are forced,
+    // yet lb ≤ true ≤ ub must hold and "hot" must be reported
+    val df = ((1 to 2000).map(_ => "hot") ++
+      (1 to 5000).map(i => s"tail_$i")).toDF("w").repartition(8)
+    val sk = df.agg(freqAgg(col("w"), 64).as("sk"))
+    val b = sk.select(freqBounds(col("sk"), lit("hot")).as("b"))
+      .selectExpr("b.est", "b.lb", "b.ub")
+      .as[(Long, Long, Long)].head()
+    assert(b._2 <= 2000 && 2000 <= b._3, s"bounds [$b]")
+    val top = sk.select(freqTopItems(col("sk")).as("t"))
+      .selectExpr("explode(t) AS r").selectExpr("r.item")
+      .as[String].collect()
+    assert(top.contains("hot"))
+  }
+
+  test("FreqItems: merge of stored per-group sketches preserves the bound " +
+    "guarantee; SQL surface registers") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    ((1 to 900).map(_ => ("g1", "x")) ++ (1 to 600).map(_ => ("g2", "x")) ++
+      (1 to 300).map(i => ("g1", s"t$i"))).toDF("g", "w")
+      .createOrReplaceTempView("freq_rows")
+    val merged = spark.sql(
+      """SELECT graft_freq_bounds(graft_freq_merge(sk), 'x') AS b FROM (
+        |  SELECT graft_freq_agg(w, 128) AS sk FROM freq_rows GROUP BY g)"""
+        .stripMargin).selectExpr("b.lb", "b.ub").as[(Long, Long)].head()
+    assert(merged._1 <= 1500 && 1500 <= merged._2, s"bounds $merged")
+    // constructor validation: non-power-of-2 map size fails loudly
+    val e = intercept[Exception] {
+      Seq("a").toDF("w").agg(freqAgg(col("w"), 100)).collect()
+    }
+    assert(e.getMessage.contains("power of 2"))
+  }
 }

@@ -191,6 +191,29 @@ class IncrementalViewsSpec extends AnyFunSuite with SparkFixture {
     assert(got("k1")(0) < 2000.0)
   }
 
+  test("freq sketches fold across ticks: merged view bounds the all-history counts") {
+    val dir = tmp("mv_freq")
+    // 3 ticks; item "hot" appears 300x/tick under key k1, the long tail
+    // is unique per tick — the merged view must see hot ≈ 900 all-history
+    def batch(tick: Int) = (
+      (1 to 300).map(_ => ("k1", "hot")) ++
+      (1 to 200).map(i => ("k1", s"tail_${tick}_$i")) ++
+      (1 to 100).map(_ => ("k2", "other"))).toDF("key", "item")
+    val batches = (0 until 3).map(batch)
+    batches.foreach(b =>
+      IncrementalViews.maintainFreqSketches(spark, b, dir, "key", "item"))
+    val top = IncrementalViews.freqView(spark, dir)
+      .selectExpr("key", "explode(top) AS t")
+      .selectExpr("key", "t.item", "t.lb", "t.ub")
+      .as[(String, String, Long, Long)].collect()
+    val hot = top.find(r => r._1 == "k1" && r._2 == "hot").get
+    // bounds contain the true all-history count — NOT the last-batch 300
+    assert(hot._3 <= 900 && 900 <= hot._4, s"hot bounds [${hot._3},${hot._4}]")
+    assert(hot._3 > 300, "lower bound stuck at a single batch's count")
+    val other = top.find(r => r._1 == "k2" && r._2 == "other").get
+    assert(other._3 <= 300 && 300 <= other._4)
+  }
+
   test("counts view is a merged total, not a last-batch snapshot") {
     val dir = tmp("mv_cnt")
     Files.createDirectories(Paths.get(s"$dir/landing"))

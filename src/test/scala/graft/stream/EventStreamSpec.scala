@@ -521,4 +521,39 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         "batch-mode fold reset the replay watermark")
     } finally q.stop()
   }
+
+  test("freqSketchStream: micro-batches fold heavy hitters; replay never inflates counts") {
+    import graft.ingest.IncrementalViews
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("freqstream").toString + "/mv"
+    val ckpt = Files.createTempDirectory("freqstream_ck").toString
+    val mem = MemoryStream[(String, String)]
+    val q = EventStream.freqSketchStream(
+      mem.toDF().toDF("k", "item"), dir, ckpt, "k", "item")
+    def hotBounds(): (Long, Long) = {
+      val r = IncrementalViews.freqView(spark, dir)
+        .selectExpr("explode(top) AS t").selectExpr("t.item", "t.lb", "t.ub")
+        .as[(String, Long, Long)].collect()
+      val h = r.find(_._1 == "hot").get
+      (h._2, h._3)
+    }
+    try {
+      mem.addData((1 to 500).map(_ => ("a", "hot")) ++
+        (1 to 100).map(i => ("a", s"t1_$i")): _*)
+      q.processAllAvailable()
+      mem.addData((1 to 500).map(_ => ("a", "hot")) ++
+        (1 to 100).map(i => ("a", s"t2_$i")): _*)
+      q.processAllAvailable()
+      val (lb, ub) = hotBounds()
+      assert(lb <= 1000 && 1000 <= ub, s"hot bounds [$lb,$ub]")
+      // at-least-once replay of batch 1 must be skipped — a re-fold would
+      // inflate hot's bounds past the truly-counted stream
+      val folded = IncrementalViews.maintainFreqSketches(spark,
+        ((1 to 500).map(_ => ("a", "hot")) ++
+          (1 to 100).map(i => (("a", s"t2_$i")))).toDF("k", "item"),
+        dir, "k", "item", batchId = 1L)
+      assert(!folded, "replayed batch was folded again")
+      assert(hotBounds() == ((lb, ub))) // state unchanged, counts not inflated
+    } finally q.stop()
+  }
 }
