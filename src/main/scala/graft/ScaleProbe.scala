@@ -577,6 +577,18 @@ object ScaleProbe {
             .agg(max("lk"), max("lt")).head()
         }
         println(s"    state bytes: kll=${sizes.getInt(0)} theta=${sizes.getInt(1)}")
+        // frequent-items: a zipf-ish item column (hash-bucketed with a
+        // quadratic skew) — state must stay <= maxMapSize counters while
+        // rows x10, and the per-key heavy hitter must keep its bounds
+        val fsizes = time(f"freq items per key    rows=$n%-8d") {
+          df.withColumn("item",
+              concat(lit("i"), (pmod(xxhash64(col("u"), lit(3)),
+                lit(1000L)) * pmod(xxhash64(col("u"), lit(3)),
+                lit(1000L)) / 10000L).cast("long").cast("string")))
+            .groupBy("key").agg(freqAgg(col("item"), 256).as("fs"))
+            .select(length(col("fs")).as("lf")).agg(max("lf")).head()
+        }
+        println(s"    state bytes: freq=${fsizes.getInt(0)}")
       }
     }
 

@@ -239,16 +239,23 @@ object Pq {
       pqIters: Int = 3): IvfPqIndex = {
     val cents = VectorOps.ivfCentroids(corpus, nCells, kmeansIters).toIndexedSeq
     val model = train(corpus, m, ksub, pqIters)
+    IvfPqIndex(cents, model, encodeAssign(corpus, cents, model))
+  }
+
+  /** The shared one-scan projection both build and append run: coarse cell
+    * + PQ codes from FIXED quantizers (both kernels in one select).
+    */
+  def encodeAssign(corpus: DataFrame, cents: Seq[(Int, Seq[Double])],
+      model: PqModel): DataFrame = {
     val (flat, dim) = flatCents(cents)
     val (d, n) = unitCol(col("embedding"))
-    val assigned = corpus
+    corpus
       .select(col("vec_id").as("neighbor_id"), d.as("_v"), n.as("_n"))
       .select(col("neighbor_id"),
         GraftFunctions.pqEncode(transform(col("_v"), x => x / col("_n")),
           model.flat, model.m, model.dsub, model.ksub).as("codes"),
         GraftFunctions.nearestCentroid(col("_v"), flat, dim,
           euclidean = false).as("cell"))
-    IvfPqIndex(cents, model, assigned)
   }
 
   /** Persist: code table partitioned by cell (probing = partition
@@ -343,6 +350,23 @@ object Pq {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Incremental maintenance of a stored IVF-PQ index — add a vector
+    * batch WITHOUT rebuild ([[VectorOps.ivfAppend]]'s contract extended
+    * to both quantizers): centroids AND codebooks stay fixed, the batch
+    * is encoded + assigned in ONE scan and lands `mode("append")` into
+    * the cell partitions. With both quantizers fixed, post-append query
+    * results EQUAL a from-scratch encode of the union (law-tested);
+    * recall drifts only as data drifts from the trained quantizers —
+    * the retrain trigger is a rebuild + [[writeIvfPqIndex]] generation
+    * swap. Delivery semantics are the caller's, as with ivfAppend.
+    */
+  def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame): Unit = {
+    val idx = readIvfPqIndex(spark, dir)
+    encodeAssign(newVectors, idx.centroids, idx.model)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
   }
 
   /** Session-scoped stored IVF-PQ demo indexes, keyed by sfDir — built

@@ -133,6 +133,34 @@ class PqSpec extends AnyFunSuite with SparkFixture {
       new java.io.File(dir).getParentFile)
   }
 
+  test("ivfPqAppend: build-on-half + append-half EQUALS encoding the union " +
+    "under fixed quantizers (the add-to-trained-index law)") {
+    val low = emb.filter($"vec_id" < 250)
+    val high = emb.filter($"vec_id" >= 250)
+    val queries = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqapp").toString + "/idx"
+    val built = Pq.buildIvfPqIndex(low)
+    Pq.writeIvfPqIndex(built, dir)
+    Pq.ivfPqAppend(spark, dir, high)
+    val grown = Pq.readIvfPqIndex(spark, dir)
+    // the whole corpus is indexed — append lost nothing
+    assert(grown.assignments.count() === emb.count())
+    // with BOTH quantizers fixed at the low-trained state, the grown
+    // stored index answers exactly like a from-scratch encode of the
+    // union under those same quantizers
+    val viaAppend = Pq.ivfPqQuery(grown, emb, queries, k = 5,
+      nProbe = 16, shortlist = 256)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val expected = Pq.ivfPqQuery(
+      Pq.IvfPqIndex(built.centroids, built.model,
+        Pq.encodeAssign(emb, built.centroids, built.model)),
+      emb, queries, k = 5, nProbe = 16, shortlist = 256)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaAppend === expected)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("q_ann_ivfpq law holds on the fixture") {
     val rows = graft.SparkEntry.queries("q_ann_ivfpq")(spark, sf("sf0.001"))
       .collect()
