@@ -281,9 +281,18 @@ object Pq {
       .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     val mdl = spark.read.parquet(s"$dir/codebooks")
       .as[(Int, Int, Int, Seq[Double])].head()
-    val assigned = spark.read.parquet(s"$dir/assignments")
+    val base = spark.read.parquet(s"$dir/assignments")
       .select(col("neighbor_id"), col("codes"),
         col("cell").cast("int").as("cell"))
+    // streaming appends (ivfPqAppendBatch) live under appends/batch=N/
+    // cell=M; `cell` stays a partition-filter level on both layouts
+    val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    val fs = appendsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assigned = if (fs.exists(appendsPath)) {
+      base.unionByName(spark.read.parquet(s"$dir/appends")
+        .select(col("neighbor_id"), col("codes"),
+          col("cell").cast("int").as("cell")))
+    } else base
     IvfPqIndex(cents, PqModel(mdl._1, mdl._2, mdl._3, mdl._4), assigned)
   }
 
@@ -367,6 +376,23 @@ object Pq {
     val idx = readIvfPqIndex(spark, dir)
     encodeAssign(newVectors, idx.centroids, idx.model)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
+  /** IDEMPOTENT batch-keyed append for streaming IVF-PQ maintenance —
+    * [[VectorOps.ivfAppendBatch]]'s replay discipline on the code store:
+    * batch `batchId`'s encoded assignments OVERWRITE their own
+    * `appends/batch=<id>` directory, so a foreachBatch crash-replay
+    * rewrites the same files instead of duplicating index rows.
+    */
+  def ivfPqAppendBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batchId: Long, newVectors: DataFrame): Unit = {
+    // an empty micro-batch must not write a file-less batch directory —
+    // parquet schema inference over it would poison later index reads
+    if (newVectors.isEmpty) return
+    val idx = readIvfPqIndex(spark, dir)
+    encodeAssign(newVectors, idx.centroids, idx.model)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/appends/batch=$batchId")
   }
 
   /** Session-scoped stored IVF-PQ demo indexes, keyed by sfDir — built

@@ -203,6 +203,48 @@ object Graph {
             col("l_orderkey") === col("ok_b") && col("u") < col("v"))
           .select("u", "v").distinct()
         triangleStats(pairs)
+      }),
+
+    // ---- G3: label propagation communities ------------------------------------
+    // The oracle unrolls the SAME two synchronous rounds in SQL (per-node
+    // neighbor-label vote, argmax by votes desc / label asc) — hash
+    // equality proves the iterative frame loop computes the textbook
+    // update exactly, tie policy included. Two rounds keeps the unrolled
+    // twin honest while exercising a genuine label HANDOFF (round 2 votes
+    // with round 1's labels, not ids).
+    Q("q_label_prop", Some(
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey % 10 = 0),
+        |e AS (SELECT u AS src, v AS dst FROM pairs
+        |      UNION ALL SELECT v, u FROM pairs),
+        |c1 AS (SELECT dst AS node, src AS label, count(*) AS votes
+        |       FROM e GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |  SELECT node, label, row_number() OVER (
+        |    PARTITION BY node ORDER BY votes DESC, label) AS rn FROM c1)
+        |  WHERE rn = 1),
+        |c2 AS (SELECT e.dst AS node, l1.label, count(*) AS votes
+        |       FROM e JOIN l1 ON l1.node = e.src GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |  SELECT node, label, row_number() OVER (
+        |    PARTITION BY node ORDER BY votes DESC, label) AS rn FROM c2)
+        |  WHERE rn = 1)
+        |SELECT node, label AS community FROM l2 ORDER BY node""".stripMargin),
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .filter(col("l_orderkey") % 10 === 0)
+          .select("l_orderkey", "l_partkey")
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("v"))
+        val pairs = a.join(b,
+            col("l_orderkey") === col("ok_b") && col("u") < col("v"))
+          .select("u", "v").distinct()
+        labelPropagation(pairs, rounds = 2)
+          .select(col("node"), col("label").as("community"))
+          .orderBy("node")
       })
   )
 
@@ -238,5 +280,44 @@ object Graph {
         when(col("w") > 0,
           round(lit(3.0) * col("n_triangles") / col("w"), 6))
           .as("clustering"))
+  }
+
+  /** G3: synchronous label propagation over an undirected edge frame
+    * (u < v, distinct) — community detection by neighbor-majority vote
+    * (Raghavan et al. 2007), the denser-than-connectivity grouping CC
+    * cannot express (CC merges everything reachable; LP stops where the
+    * vote flips, so sparse bridges between dense groups don't merge
+    * them). Labels start as node ids; each SYNCHRONOUS round relabels
+    * every node to the most frequent label among its neighbors, ties to
+    * the LOWEST label — fully deterministic, unlike the classic
+    * async/random-order formulation, and therefore oracle-checkable
+    * round for round (the DuckDB twin unrolls the same rounds).
+    *
+    * Scale shape per round: one join of labels onto edges (both sides
+    * shuffle on the node key every round — exchange reuse keeps the edge
+    * side warm, the [[pageRank]] layout) + one (node, label) hash
+    * aggregate + one argmax-per-node via the bounded heap plan
+    * ([[graft.plans.TopK]] — never a global sort). Labels live as a
+    * frame; nothing collects.
+    */
+  def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need >= 1 round, got $rounds")
+    val e = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint() // scanned every round; snap once
+    try {
+      var labels = e.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to rounds) {
+        val votes = e.join(labels, e("src") === labels("node"))
+          .groupBy(col("dst").as("n"), col("label")).agg(cnt.as("votes"))
+        labels = graft.plans.TopK.perKey(votes, Seq("n"),
+          Seq(col("votes").desc, col("label").asc), 1)
+          .select(col("n").as("node"), col("label"))
+      }
+      labels.localCheckpoint() // node-count rows; lets the edge snap go
+    } finally {
+      org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(e)
+    }
   }
 }

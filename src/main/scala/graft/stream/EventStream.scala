@@ -309,6 +309,24 @@ object EventStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** [[maintainIvfIndex]] for the IVF-PQ code store: arriving vectors are
+    * encoded + assigned under the stored FIXED quantizers
+    * ([[graft.llm.Pq.ivfPqAppendBatch]] — idempotent batch-keyed
+    * overwrite, exactly-once index contents from an at-least-once sink).
+    * Quantizer drift under sustained appends is the caller's retrain
+    * trigger, as with the float-vector index.
+    */
+  def maintainIvfPqIndex(vectors: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Pq.ivfPqAppendBatch(
+          batch.sparkSession, indexDir, batchId, batch)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Streaming CDC apply (the Delta streaming-MERGE shape): each
     * micro-batch of keyed upserts MERGEs into the partitioned store
     * ([[graft.store.TableStore.merge]] — partition-local keys, touched

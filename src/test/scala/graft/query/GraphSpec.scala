@@ -69,4 +69,43 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
         Seq(0L).toDF("node"), iters = 0)
     }
   }
+
+  private def communities(pairs: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    Graph.labelPropagation(pairs.toDF("u", "v"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("label propagation: two cliques joined by one bridge stay TWO " +
+    "communities — the density distinction CC cannot make") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val pairs = clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((4L, 10L)) // sparse bridge
+    val got = communities(pairs, rounds = 4)
+    // each clique converges to ONE label, and the two labels differ
+    val left = Set(1L, 2L, 3L, 4L).map(got)
+    val right = Set(10L, 11L, 12L, 13L).map(got)
+    assert(left.size == 1, s"left clique split: $got")
+    assert(right.size == 1, s"right clique split: $got")
+    assert(left != right, s"bridge merged the cliques: $got")
+    // while connected components would put all 8 nodes in ONE cluster
+    // (they are all reachable through the bridge) — pin the contrast
+    val cc = graft.llm.TextOps.dedupClusters(
+      pairs.toDF("id_a", "id_b"))
+      .select("cluster_id").distinct().count()
+    assert(cc == 1L)
+  }
+
+  test("label propagation ties resolve to the LOWEST label (determinism pin)") {
+    // node 2 sees one vote each from 1 and 3 (labels 1 and 3) → takes 1
+    val got = communities(Seq((1L, 2L), (2L, 3L)), rounds = 1)
+    assert(got(2L) == 1L)
+    // sync round 1 from id labels: 1 and 3 each see only node 2 → label 2
+    assert(got(1L) == 2L && got(3L) == 2L)
+  }
+
+  test("label propagation rejects zero rounds") {
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(Seq((1L, 2L)).toDF("u", "v"), rounds = 0)
+    }
+  }
 }

@@ -449,6 +449,40 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       new java.io.File(dir).getParentFile)
   }
 
+  test("maintainIvfPqIndex: streamed vectors are encoded under the stored " +
+    "fixed quantizers; batch replay does not duplicate (T∅ + L3pq+ e2e)") {
+    import graft.llm.Pq
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.query.Tables(spark, sf("sf0.001"), "embeddings")
+    val dir = Files.createTempDirectory("ivfpqstream").toString + "/idx"
+    Pq.writeIvfPqIndex(
+      Pq.buildIvfPqIndex(emb.filter(col("vec_id") < 300)), dir)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val late = emb.filter(col("vec_id") >= 300)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val (b1, b2) = late.splitAt(late.length / 2)
+    val ckpt = Files.createTempDirectory("ivfpqstream_ck").toString
+    val q = EventStream.maintainIvfPqIndex(vecs, dir, ckpt)
+    mem.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val grown = Pq.readIvfPqIndex(spark, dir)
+    assert(grown.assignments.count() === emb.count())
+    val res = Pq.ivfPqQuery(grown, emb, emb.filter(col("vec_id") < 5),
+        k = 5, nProbe = 16, shortlist = 256)
+      .select("neighbor_id").as[Long].collect()
+    assert(res.exists(_ >= 300), "streamed vectors never surface")
+    // crash-replay discipline: re-running a batch id overwrites, never adds
+    Pq.ivfPqAppendBatch(spark, dir, 1L,
+      spark.createDataset(b2.toIndexedSeq).toDF("vec_id", "embedding"))
+    assert(Pq.readIvfPqIndex(spark, dir).assignments.count() === emb.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("mergeStream: streamed upserts land as MERGE state; replay is a no-op (T∅ + S13 e2e)") {
     import graft.store.TableStore
     implicit val sqlCtx = spark.sqlContext
