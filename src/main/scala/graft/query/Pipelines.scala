@@ -40,6 +40,8 @@ object Pipelines {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val quarantineDemos =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val expectationDemos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Shared by every session-scoped demo store (compact/z-order here, the
     * stored-IVF index in VectorOps): a temp dir under target/tmp, removed
@@ -354,6 +356,48 @@ object Pipelines {
             countDistinct("date").as("n_dates"))
           .select(col("n_rows"), col("id_sum"), col("n_dates"),
             lit(nQ.toInt).as("n_quarantined"))
+      }),
+
+    // ---- S22: write-path expectations with reject routing -----------------------
+    // The Delta-constraints / dbt store-and-route shape under the hash
+    // gate: one batch appends through two row-local rules; clean rows
+    // land in the table, violators land in _rejects with a deterministic
+    // comma-joined reason string. The output reads BOTH written tables
+    // back (status = 'ok' or the reject reasons), so the oracle — the
+    // same rules restated as a CASE over the raw rows — proves the
+    // routing split the batch exactly and lost nothing.
+    Q("q_expectations", Some(
+      """WITH t AS (SELECT
+        |  CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END AS v_q,
+        |  CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END AS v_d
+        |  FROM lineitem),
+        |lab AS (SELECT CASE
+        |    WHEN v_d = 1 AND v_q = 1
+        |      THEN 'range:l_discount[0.0,0.05],range:l_quantity[1.0,45.0]'
+        |    WHEN v_q = 1 THEN 'range:l_quantity[1.0,45.0]'
+        |    WHEN v_d = 1 THEN 'range:l_discount[0.0,0.05]'
+        |    ELSE 'ok' END AS status FROM t)
+        |SELECT status, count(*) AS n_rows FROM lab
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val dir = expectationDemos.computeIfAbsent(d, _ => {
+          val t = demoRoot("graft_expect").toString + "/lineitem_x"
+          val li = Tables(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+              // month-grain partitions, the schema-evolution lesson:
+              // lineitem spans ~2400 distinct ship days
+              to_date(date_trunc("month", col("l_shipdate"))).as("date"))
+          val (nGood, nBad) = TableStore.appendWithExpectations(li, t, Seq(
+            Constraints.InRange("l_quantity", 1, 45),
+            Constraints.InRange("l_discount", 0, 0.05)))
+          require(nGood + nBad == li.count(), "routing lost rows")
+          t
+        })
+        val ok = TableStore.read(s, dir)
+          .agg(cnt.as("n_rows")).select(lit("ok").as("status"), col("n_rows"))
+        val rejects = s.read.parquet(s"$dir/_rejects")
+          .groupBy(col("reject_reasons").as("status")).agg(cnt.as("n_rows"))
+        ok.unionByName(rejects).orderBy("status")
       }),
 
     // ---- R2+: DYNAMIC partition pruning (runtime, not static) -------------------

@@ -1,7 +1,8 @@
 package graft.store
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array, col, concat, concat_ws, lit, size, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Date-partitioned Parquet table store (S4/S6/S7/S8/S9 in SURVEY.md §2.1).
@@ -121,6 +122,53 @@ object TableStore {
   def append(df: DataFrame, dir: String): Unit =
     df.write.mode("append").partitionBy("date")
       .parquet(writeDir(df.sparkSession, dir))
+
+  /** Write-path expectations (the Delta table-constraints / dbt
+    * store-and-route shape): rows satisfying every ROW-LOCAL check append
+    * into the table; violating rows are ROUTED to `dir/_rejects` with a
+    * `reject_reasons` column (comma-joined sorted names of every failed
+    * check) instead of poisoning the table or failing the batch —
+    * auditable, reprocessable, and the write stays all-rows-accounted-for
+    * (returned counts sum to the batch).
+    *
+    * Row-local checks only ([[graft.query.Constraints.NotNull]] /
+    * [[Constraints.InRange]]): the mask is one codegen'd projection on
+    * the existing write scan — no shuffle, no second pass over history.
+    * Cross-row checks (Unique, ForeignKey) need corpus state and belong
+    * to [[graft.query.Constraints.audit]] BEFORE publish; passing one
+    * here fails loudly rather than silently checking the batch alone.
+    * `df` must carry the store's `date` partition column; rejects
+    * partition by the same dates, so reprocessing a day's rejects is a
+    * partition read.
+    */
+  def appendWithExpectations(df: DataFrame,
+      dir: String,
+      checks: Seq[graft.query.Constraints.Check]): (Long, Long) = {
+    import graft.query.Constraints.{Check, InRange, NotNull}
+    require(checks.nonEmpty, "appendWithExpectations needs >=1 check")
+    val rowLocal: Seq[(String, Column)] = checks.map {
+      case c: NotNull => c.name -> col(c.col).isNull
+      case c: InRange => c.name -> (col(c.col).isNotNull &&
+        (col(c.col) < c.lo || col(c.col) > c.hi))
+      case c: Check => throw new IllegalArgumentException(
+        s"appendWithExpectations takes row-local checks only; '${c.name}' " +
+          "needs corpus state — run Constraints.audit before publish")
+    }.sortBy(_._1)
+    // one conditional-array concat per row, codegen'd; empty = clean
+    val reasons = concat(rowLocal.map { case (n, v) =>
+      when(v, array(lit(n))).otherwise(array().cast("array<string>"))
+    }: _*)
+    val flagged = df.withColumn("_reasons", reasons)
+    val good = flagged.filter(size(col("_reasons")) === 0).drop("_reasons")
+    val bad = flagged.filter(size(col("_reasons")) > 0)
+      .withColumn("reject_reasons", concat_ws(",", col("_reasons")))
+      .drop("_reasons")
+    append(good, dir)
+    val nBad = bad.count()
+    if (nBad > 0) bad.write.mode("append").partitionBy("date")
+      .parquet(s"$dir/_rejects")
+    (good.count(), nBad)
+  }
 
   /** Idempotent per-partition overwrite — re-writing the same dates replaces
     * rather than duplicates them (dynamic partition overwrite; the building
