@@ -770,7 +770,65 @@ object VectorOps {
         element_at(lit(ev.map(_._1)), col("__bc.idx") + 1).as("eval_id"))
   }
 
+  /** L33: deterministic negative sampling for contrastive training — per
+    * anchor, `k` corpus vectors that are (a) NOT semantically close
+    * (exact cosine < `maxCos`, so accidental positives never become
+    * negatives — the false-negative poison in contrastive objectives) and
+    * (b) chosen by a DETERMINISTIC per-(anchor, candidate) hash priority,
+    * no RNG: re-runs, backfills, and resumed jobs draw the SAME
+    * negatives, and so does the DuckDB oracle (the `splitBucket`
+    * arithmetic-hash stance — production callers swap in `xxhash64` with
+    * identical structure).
+    *
+    * Scale shape: anchors are a bounded broadcast batch; ONE corpus scan
+    * joins them (corpus never shuffles), the codegen'd dot prunes
+    * near-duplicates, and the bounded heap plan keeps k rows per anchor —
+    * exchange capped at k·anchors·partitions, never corpus-sized.
+    */
+  def negativeSample(corpus: DataFrame, anchors: DataFrame, k: Int,
+      maxCos: Double = 0.3): DataFrame = {
+    require(k >= 1, s"need k >= 1 negatives, got $k")
+    val a = anchors.select(col("vec_id").as("anchor_id"),
+      toDouble(col("embedding")).as("av"))
+    val t = corpus.select(col("vec_id").as("neighbor_id"),
+      toDouble(col("embedding")).as("tv"))
+    val priority = ((col("anchor_id") * 131L + col("neighbor_id"))
+      % 1000003L) * 31L % 1000003L
+    val cand = t.join(broadcast(a), col("anchor_id") =!= col("neighbor_id"))
+      .filter(cosine(col("av"), col("tv")) < maxCos)
+      .select(col("anchor_id"), col("neighbor_id"), priority.as("priority"))
+    graft.plans.TopK.perKey(cand, Seq("anchor_id"),
+      Seq(col("priority").asc, col("neighbor_id").asc), k)
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ---- L33: deterministic contrastive negative sampling ----------------------
+    // The oracle is the full restatement: exact cosine in SQL (the
+    // q_ann_* list arithmetic), the same integer hash priority, the same
+    // (priority, id) top-k per anchor — hash equality pins selection,
+    // exclusion, and tie policy bit for bit.
+    Q("q_negative_sample", Some(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+        |p AS (
+        |  SELECT a.vec_id AS anchor_id, t.vec_id AS neighbor_id,
+        |    ((a.vec_id * 131 + t.vec_id) % 1000003) * 31 % 1000003 AS priority,
+        |    list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * t.v[i]))
+        |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(t.v, x -> x * x)))) AS cos
+        |  FROM a, e t WHERE a.vec_id <> t.vec_id),
+        |r AS (SELECT anchor_id, neighbor_id, priority, row_number() OVER (
+        |        PARTITION BY anchor_id ORDER BY priority, neighbor_id) AS rn
+        |      FROM p WHERE cos < 0.3)
+        |SELECT anchor_id, neighbor_id, priority FROM r WHERE rn <= 16
+        |ORDER BY anchor_id, priority, neighbor_id""".stripMargin),
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        negativeSample(emb, emb.filter(col("vec_id") < 8), k = 16)
+          .orderBy("anchor_id", "priority", "neighbor_id")
+      }),
 
     // ---- L9s: semantic decontamination (planted-paraphrase oracle) -----------
     // Corpus = all embeddings + a perturbed copy of every eval vector

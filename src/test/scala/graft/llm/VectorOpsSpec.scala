@@ -309,4 +309,30 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
     assert(cos.forall(c => c >= -1.0 && c <= 1.0))
     assert(top.count() === 6)
   }
+
+  test("negativeSample: accidental positives are excluded, selection is " +
+    "deterministic, k is respected (L33)") {
+    val emb = graft.query.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val anchors = emb.filter(col("vec_id") < 3)
+    // plant an exact duplicate of anchor 0 under a new id: cosine 1.0 →
+    // it must NEVER be sampled as a negative for anchor 0
+    val dup = anchors.filter(col("vec_id") === 0L)
+      .select(lit(9999L).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(dup)
+    val got = VectorOps.negativeSample(corpus, anchors, k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(!got.exists(r => r._1 == 0L && r._2 == 9999L),
+      "planted positive drawn as a negative")
+    // k per anchor, and anchors never sample themselves
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.keySet == Set(0L, 1L, 2L))
+    assert(byAnchor.values.forall(_.length == 10))
+    assert(!got.exists(r => r._1 == r._2))
+    // bit-for-bit re-run determinism — the no-RNG contract
+    val again = VectorOps.negativeSample(corpus, anchors, k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._3, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._3, r._2)).toSeq)
+  }
 }
