@@ -32,6 +32,40 @@ object TimeSeries {
 
   val all: Seq[Q] = Seq(
 
+    // ---- W∅d: cumulative DISTINCT users over time, without distinct-in-window --
+    // "How many distinct users has each event type ever seen, day by
+    // day" — the growth-curve query. Neither engine allows DISTINCT
+    // inside a window frame, and the naive collect_set-over-window holds
+    // per-row set state that grows with history (the thing that dies at
+    // 100 TB). The scale-honest idiom both sides state: each (type,
+    // user) contributes on its FIRST day only (one hash agg — map-side
+    // partials bound the wire at distinct pairs), new-user counts roll
+    // up per day (second tiny agg), and the running sum is a window over
+    // types × days rows — thousands, corpus-independent. Distinct state
+    // never lives in any window buffer.
+    Q("q_running_distinct", Some(
+      """WITH f AS (
+        |  SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, first_day AS day, count(*) AS n_new
+        |      FROM f GROUP BY 1, 2)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_new,
+        |  CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day)
+        |       AS BIGINT) AS n_distinct_cum
+        |FROM n ORDER BY event_type, day""".stripMargin),
+      (s, d) => {
+        val firstSeen = Tables(s, d, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_day"))
+        val daily = firstSeen
+          .groupBy(col("event_type"), col("first_day").as("day"))
+          .agg(cnt.as("n_new"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily.select(col("event_type"), Tables.day(col("day")).as("day"),
+            col("n_new"), sum("n_new").over(w).as("n_distinct_cum"))
+          .orderBy("event_type", "day")
+      }),
+
     // ---- W+: exponentially-decayed daily counts (half-life 7 d, 14 d band) --
     // EWMA-family trend smoothing as a BANDED self-join on the rollup:
     // decayed(t) = Σ_{0≤t-t'≤13} cnt(t') · 0.5^((t-t')/7). The window
