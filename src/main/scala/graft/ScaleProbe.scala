@@ -21,7 +21,8 @@ object ScaleProbe {
     // optional section filter: comma-separated names from {lsh, cosine,
     // textops, tick, ngram, cluster, boilerplate, bucket, phrase,
     // ivfappend, zorder, merge, bloom, pagerank, bpe, sketch, triangles,
-    // replace, ewma, semdecon, skyline, hotcluster, pq}; absent/empty = run all
+    // replace, ewma, semdecon, skyline, hotcluster, pq, labelprop,
+    // containment}; absent/empty = run all
     val sections: Set[String] =
       args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty).getOrElse(Set.empty)
@@ -750,6 +751,66 @@ object ScaleProbe {
         org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(big)
       }
     }
+    // ---- label propagation: disjoint graph copies, structure law --------------
+    // Copies shift node ids, so communities replicate exactly: runtime
+    // must track m (edges), and the distinct-community count must be
+    // EXACTLY k x the base count — per-copy structural law, like the
+    // triangles probe.
+    if (want("labelprop")) {
+      println("\n== label propagation: disjoint graph copies ==")
+      val li = graft.query.Tables(spark, sfDir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_partkey")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("v"))
+      val basePairs = a.join(b,
+          col("l_orderkey") === col("ok_b") && col("u") < col("v"))
+        .select("u", "v").distinct().localCheckpoint()
+      var baseComms = -1L
+      for (copies <- Seq(1, 5, 10)) {
+        val pairs = (0 until copies).map(k => basePairs.select(
+            (col("u") + lit(k * 100000000L)).as("u"),
+            (col("v") + lit(k * 100000000L)).as("v")))
+          .reduce(_ union _).localCheckpoint()
+        val m = pairs.count()
+        val comms = time(s"label prop (2 rounds) m=$m") {
+          graft.query.Graph.labelPropagation(pairs, rounds = 2)
+            .select("label").distinct().count()
+        }
+        if (baseComms < 0) baseComms = comms
+        println(s"    communities=$comms")
+        assert(comms == baseComms * copies,
+          s"copies=$copies: expected ${baseComms * copies}, got $comms")
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(pairs)
+      }
+      org.apache.spark.sql.graft.ColumnBridge
+        .releaseLocalCheckpoint(basePairs)
+    }
+
+    // ---- containment: replicated docs, df-cap skew guard ----------------------
+    // Replication grows every shared shingle's document frequency k x, so
+    // uncapped per-hash pair cost is Σ df² ~ k² in principle; at these
+    // fixture sizes fixed job costs dominate and both variants stay flat
+    // — the probe pins THAT (no blowup at 5x), while the cap's
+    // drop-the-boilerplate behavior itself is pinned by the planted
+    // hot-shingle unit test (TextOpsSpec).
+    if (want("containment")) {
+      println("\n== containment: docs 10x, df cap vs uncapped ==")
+      val base = graft.query.Tables(spark, sfDir, "documents")
+        .filter(col("doc_id") < 150).select("doc_id", "text")
+      for (copies <- Seq(1, 3, 5)) {
+        val d = replicateDocs(base, copies).localCheckpoint()
+        val n = d.count()
+        time(s"containment UNCAPPED  docs=$n") {
+          graft.llm.TextOps.containmentPairs(d, 0.5).count()
+        }
+        time(s"containment maxDf=60  docs=$n") {
+          graft.llm.TextOps.containmentPairs(d, 0.5, maxDf = 60).count()
+        }
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(d)
+      }
+    }
+
     // ---- product quantization: corpus 10x, query batch fixed ------------------
     // The claims, stage by stage: TRAIN cost is bounded (fixed driver
     // sample — one TakeOrdered job + driver Lloyd, corpus-independent);
