@@ -292,4 +292,76 @@ class PropertiesSpec extends AnyFunSuite with SparkFixture {
       assert(frac === math.rint(expect * 10000) / 10000, s"words=$words")
     }
   }
+
+  test("containment bounds: jaccard <= containment <= 1 on arbitrary pair " +
+    "sets; superset pairs hit exactly 1 (L2c law)") {
+    for ((docs, i) <- samples(Gen.listOfN(4, Gen.listOfN(8, word)), 6)
+        .zipWithIndex) {
+      val df = docs.zipWithIndex
+        .map { case (ws, j) => (j.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val pairs = TextOps.containmentPairs(df, threshold = 0.0)
+        .as[(Long, Long, Double)].collect()
+      // reference: string shingle sets on the driver
+      def sh(ws: Seq[String]) = ws.sliding(3).map(_.mkString(" ")).toSet
+      val sets = docs.map(sh).toIndexedSeq
+      pairs.foreach { case (a, b, c) =>
+        val (sa, sb) = (sets(a.toInt), sets(b.toInt))
+        val inter = (sa & sb).size.toDouble
+        val jac = inter / (sa | sb).size
+        val expect = inter / math.min(sa.size, sb.size)
+        assert(c === math.rint(expect * 10000) / 10000, s"run=$i pair=($a,$b)")
+        assert(c >= math.rint(jac * 10000) / 10000 - 1e-9)
+        assert(c <= 1.0 + 1e-9)
+        if (sa.subsetOf(sb) || sb.subsetOf(sa)) assert(c === 1.0)
+      }
+    }
+  }
+
+  test("label propagation: converged labels are a fixed point; every label " +
+    "is a member node (G3 law)") {
+    // two disjoint cliques converge by round 2; further rounds must not
+    // move any label (the sync update is a fixed point on cliques)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val pairs = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(7L, 8L, 9L)))
+      .toDF("u", "v")
+    val r2 = graft.query.Graph.labelPropagation(pairs, 2)
+      .as[(Long, Long)].collect().toMap
+    val r4 = graft.query.Graph.labelPropagation(pairs, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == r4, s"converged labels moved: $r2 vs $r4")
+    // closure: a community label is always one of its members' ids
+    val nodes = r2.keySet
+    assert(r2.values.forall(nodes.contains), r2.toString)
+  }
+
+  test("freq sketch bounds bracket exact counts for EVERY item on " +
+    "arbitrary streams, any partitioning (A7f law)") {
+    for ((items, i) <- samples(
+        Gen.listOfN(60, Gen.oneOf("p", "q", "r", "s", "t")), 6).zipWithIndex) {
+      val df = items.toDF("w").repartition(1 + i % 4)
+      val sk = df.agg(
+        graft.functions.SketchAggs.freqAgg(col("w"), 8).as("sk"))
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      exact.foreach { case (item, n) =>
+        val b = sk.select(graft.functions.SketchAggs
+            .freqBounds(col("sk"), lit(item)).as("b"))
+          .selectExpr("b.lb", "b.ub").as[(Long, Long)].head()
+        assert(b._1 <= n && n <= b._2, s"run=$i item=$item n=$n bounds=$b")
+      }
+    }
+  }
+
+  test("negativeSample: output is a function of (corpus, anchors, k) alone " +
+    "— partitioning never changes the draw (L33 law)") {
+    val emb = graft.query.Tables(spark, sf("sf0.001"), "embeddings")
+      .limit(80).localCheckpoint()
+    val anchors = emb.filter(col("vec_id") < 2)
+    def draw(parts: Int) = graft.llm.VectorOps
+      .negativeSample(emb.repartition(parts), anchors, k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(draw(2).toSeq == draw(7).toSeq)
+    org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(emb)
+  }
 }
