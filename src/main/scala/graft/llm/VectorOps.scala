@@ -792,8 +792,11 @@ object VectorOps {
       toDouble(col("embedding")).as("av"))
     val t = corpus.select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("tv"))
-    val priority = ((col("anchor_id") * 131L + col("neighbor_id"))
-      % 1000003L) * 31L % 1000003L
+    // ids reduced mod 1000003 BEFORE the multiply: ANSI mode makes int64
+    // overflow an ERROR, and `id * 131` would throw for ids near
+    // Long.Max/131; the reduced form's intermediate tops out at ~1.3e8
+    val priority = ((col("anchor_id") % 1000003L) * 131L
+      + col("neighbor_id") % 1000003L) % 1000003L * 31L % 1000003L
     val cand = t.join(broadcast(a), col("anchor_id") =!= col("neighbor_id"))
       .filter(cosine(col("av"), col("tv")) < maxCos)
       .select(col("anchor_id"), col("neighbor_id"), priority.as("priority"))
@@ -814,7 +817,8 @@ object VectorOps {
         |a AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
         |p AS (
         |  SELECT a.vec_id AS anchor_id, t.vec_id AS neighbor_id,
-        |    ((a.vec_id * 131 + t.vec_id) % 1000003) * 31 % 1000003 AS priority,
+        |    ((a.vec_id % 1000003) * 131 + t.vec_id % 1000003)
+        |      % 1000003 * 31 % 1000003 AS priority,
         |    list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * t.v[i]))
         |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
         |       * sqrt(list_sum(list_transform(t.v, x -> x * x)))) AS cos

@@ -2,7 +2,7 @@ package graft.store
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, col, concat, concat_ws, lit, size, when}
+import org.apache.spark.sql.functions.{array, col, concat, concat_ws, lit, size, sum, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Date-partitioned Parquet table store (S4/S6/S7/S8/S9 in SURVEY.md §2.1).
@@ -163,11 +163,20 @@ object TableStore {
     val bad = flagged.filter(size(col("_reasons")) > 0)
       .withColumn("reject_reasons", concat_ws(",", col("_reasons")))
       .drop("_reasons")
+    // both counts from ONE aggregate pass (not a count() per branch —
+    // that would re-scan the batch twice more); the branch writes then
+    // re-evaluate the deterministic batch, the store's standing
+    // assumption (append/merge make it too)
+    val counts = flagged.agg(
+      sum(when(size(col("_reasons")) === 0, 1L).otherwise(0L)).as("g"),
+      sum(when(size(col("_reasons")) > 0, 1L).otherwise(0L)).as("b")).head()
+    val (nGood, nBad) =
+      (if (counts.isNullAt(0)) 0L else counts.getLong(0),
+        if (counts.isNullAt(1)) 0L else counts.getLong(1))
     append(good, dir)
-    val nBad = bad.count()
     if (nBad > 0) bad.write.mode("append").partitionBy("date")
       .parquet(s"$dir/_rejects")
-    (good.count(), nBad)
+    (nGood, nBad)
   }
 
   /** Idempotent per-partition overwrite — re-writing the same dates replaces
