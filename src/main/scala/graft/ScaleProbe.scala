@@ -834,6 +834,22 @@ object ScaleProbe {
         time(s"pq adc+rerank top5    corpus=$n") {
           graft.llm.Pq.pqTopK(codes, corpus, pqQueries, model, 5).count()
         }
+        // the STORED IVF-PQ path: build+persist is the one-time cost;
+        // the query must stay flat — probed cells reach the scan as
+        // partition filters and the scanned bytes are codes, not floats
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("pqprobe").toString + "/idx"
+        time(s"ivfpq build+store     corpus=$n") {
+          graft.llm.Pq.writeIvfPqIndex(
+            graft.llm.Pq.buildIvfPqIndex(corpus), idxDir)
+        }
+        val stored = graft.llm.Pq.readIvfPqIndex(spark, idxDir)
+        time(s"ivfpq stored query    corpus=$n") {
+          graft.llm.Pq.ivfPqQuery(stored, corpus, pqQueries, 5,
+            nProbe = 4, shortlist = 128).count()
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(idxDir).getParentFile)
         org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(codes)
         org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(corpus)
       }
