@@ -66,6 +66,56 @@ object TimeSeries {
           .orderBy("event_type", "day")
       }),
 
+    // ---- W∅p: distribution drift between snapshots (PSI) -----------------------
+    // The ingest-drift monitor a training-data pipeline runs between crawl
+    // snapshots: Population Stability Index over a fixed equi-width
+    // histogram, Σ (p_i − q_i)·ln(p_i/q_i) with +0.5 Laplace smoothing
+    // (identical closed form in both engines; the two-digit-rule of thumb:
+    // < 0.1 stable, > 0.25 investigate). Snapshots here = even- vs
+    // odd-day events, non-degenerate at every SF. Scale shape: ONE hash
+    // aggregate over the corpus (10 bucket rows out), then arithmetic on
+    // the 10-row frame with a 1-row broadcast total — no window, no sort,
+    // nothing corpus-sized past the first aggregate.
+    Q("q_drift_psi", Some(
+      """WITH e AS (SELECT
+        |    (day(CAST(ts AS DATE)) % 2 = 0) AS late,
+        |    CAST(least(floor(value / 50.0), 9.0) AS INT) AS bucket
+        |  FROM events),
+        |h AS (SELECT bucket,
+        |    sum(CASE WHEN NOT late THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN late THEN 1 ELSE 0 END) AS nb
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM h),
+        |c AS (SELECT bucket, na, nb,
+        |    ((na + 0.5) / (ta + 5.0) - (nb + 0.5) / (tb + 5.0))
+        |      * ln(((na + 0.5) / (ta + 5.0)) / ((nb + 0.5) / (tb + 5.0)))
+        |      AS contrib
+        |  FROM h, t)
+        |SELECT bucket, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  round(contrib, 6) AS psi_contrib,
+        |  round((SELECT sum(contrib) FROM c), 6) AS psi_total
+        |FROM c ORDER BY bucket""".stripMargin),
+      (s, d) => {
+        val e = Tables(s, d, "events").select(
+          (dayofmonth(to_date(col("ts"))) % 2 === 0).as("late"),
+          least(floor(col("value") / 50.0), lit(9.0)).cast("int").as("bucket"))
+        val h = e.groupBy("bucket").agg(
+          sum(when(!col("late"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("nb"))
+        val t = h.agg(sum("na").as("ta"), sum("nb").as("tb"))
+        val p = (col("na") + 0.5) / (col("ta") + 5.0)
+        val q = (col("nb") + 0.5) / (col("tb") + 5.0)
+        val c = h.crossJoin(broadcast(t))
+          .withColumn("contrib", (p - q) * log(p / q))
+        // total via a 1-row broadcast, not an unpartitioned window
+        val tot = c.agg(sum("contrib").as("psi"))
+        c.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("na"), col("nb"),
+            round(col("contrib"), 6).as("psi_contrib"),
+            round(col("psi"), 6).as("psi_total"))
+          .orderBy("bucket")
+      }),
+
     // ---- W+: exponentially-decayed daily counts (half-life 7 d, 14 d band) --
     // EWMA-family trend smoothing as a BANDED self-join on the rollup:
     // decayed(t) = Σ_{0≤t-t'≤13} cnt(t') · 0.5^((t-t')/7). The window
