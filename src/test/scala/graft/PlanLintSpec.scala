@@ -55,7 +55,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "q_ann_ivf_append" -> "post-append probe set: 10 fixed query ids",
     "q_knn_graph" -> "in-query exact recall audit: 50 fixed query ids",
     "q_ngram_jaccard" -> "exact-Jaccard oracle pairs over a <=20-doc sample",
-    "q_join_range" -> "range join against a 4-row literal band table")
+    "q_join_range" -> "range join against a 4-row literal band table",
+    "q_negative_sample" ->
+      "L33 sampler: 8 fixed anchor ids x corpus, cosine-pruned then heap-bounded")
 
   test("every registry key plans cartesian-free with partitioned windows") {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
