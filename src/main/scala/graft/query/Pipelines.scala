@@ -42,6 +42,8 @@ object Pipelines {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val expectationDemos =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val scd2Demos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Shared by every session-scoped demo store (compact/z-order here, the
     * stored-IVF index in VectorOps): a temp dir under target/tmp, removed
@@ -398,6 +400,67 @@ object Pipelines {
         val rejects = s.read.parquet(s"$dir/_rejects")
           .groupBy(col("reject_reasons").as("status")).agg(cnt.as("n_rows"))
         ok.unionByName(rejects).orderBy("status")
+      }),
+
+    // ---- S23: SCD2 dimension — row-level validity intervals ---------------------
+    // Init the customer dimension, then two rule-driven update batches
+    // (Feb: every 7th key changes segment; Mar: every 11th key changes
+    // balance). The oracle derives the SAME timelines from the rules
+    // alone — as-of counts at three dates plus the total version count —
+    // so hash equality proves close/open/insert interval maintenance end
+    // to end, through two generation swaps and a store round trip.
+    Q("q_scd2", Some(
+      """WITH seg0 AS (
+        |  SELECT c_mktsegment AS seg, count(*) AS n FROM customer GROUP BY 1),
+        |seg1 AS (
+        |  SELECT CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+        |              ELSE c_mktsegment END AS seg, count(*) AS n
+        |  FROM customer GROUP BY 1),
+        |v AS (SELECT CAST(count(*)
+        |    + sum(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_versions FROM customer)
+        |SELECT coalesce(seg0.seg, seg1.seg) AS segment,
+        |  CAST(coalesce(seg0.n, 0) AS BIGINT) AS n_jan,
+        |  CAST(coalesce(seg1.n, 0) AS BIGINT) AS n_feb,
+        |  CAST(coalesce(seg1.n, 0) AS BIGINT) AS n_cur,
+        |  (SELECT n_versions FROM v) AS n_versions
+        |FROM seg0 FULL OUTER JOIN seg1 ON seg0.seg = seg1.seg
+        |ORDER BY segment""".stripMargin),
+      (s, d) => {
+        import graft.store.Scd2
+        val dir = scd2Demos.computeIfAbsent(d, _ => {
+          val t = demoRoot("graft_scd2").toString + "/cust_dim"
+          val c = Tables(s, d, "customer").select(col("c_custkey"),
+            col("c_mktsegment"), round(col("c_acctbal"), 2).as("c_acctbal"))
+          Scd2.init(c, t, java.sql.Date.valueOf("2024-01-01"))
+          val b1 = c.withColumn("c_mktsegment",
+            when(col("c_custkey") % 7 === 0, lit("MOVED"))
+              .otherwise(col("c_mktsegment")))
+          Scd2.apply(s, t, b1, Seq("c_custkey"),
+            java.sql.Date.valueOf("2024-02-01"))
+          val b2 = b1.withColumn("c_acctbal",
+            when(col("c_custkey") % 11 === 0,
+              round(col("c_acctbal") + 100, 2)).otherwise(col("c_acctbal")))
+          Scd2.apply(s, t, b2, Seq("c_custkey"),
+            java.sql.Date.valueOf("2024-03-01"))
+          t
+        })
+        def bySeg(df: org.apache.spark.sql.DataFrame, as: String) =
+          df.groupBy(col("c_mktsegment").as("segment")).agg(cnt.as(as))
+        val jan = bySeg(Scd2.asOf(s, dir, java.sql.Date.valueOf("2024-01-15")), "n_jan")
+        val feb = bySeg(Scd2.asOf(s, dir, java.sql.Date.valueOf("2024-02-15")), "n_feb")
+        val cur = bySeg(Scd2.current(s, dir), "n_cur")
+        val versions = graft.store.TableStore.read(s, dir)
+          .agg(cnt.as("n_versions"))
+        jan.join(feb, Seq("segment"), "full_outer")
+          .join(cur, Seq("segment"), "full_outer")
+          .select(col("segment"),
+            coalesce(col("n_jan"), lit(0L)).as("n_jan"),
+            coalesce(col("n_feb"), lit(0L)).as("n_feb"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+          .crossJoin(broadcast(versions))
+          .orderBy("segment")
       }),
 
     // ---- R2+: DYNAMIC partition pruning (runtime, not static) -------------------
