@@ -44,6 +44,8 @@ object Pipelines {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val scd2Demos =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pitDemos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Shared by every session-scoped demo store (compact/z-order here, the
     * stored-IVF index in VectorOps): a temp dir under target/tmp, removed
@@ -460,6 +462,45 @@ object Pipelines {
             coalesce(col("n_feb"), lit(0L)).as("n_feb"),
             coalesce(col("n_cur"), lit(0L)).as("n_cur"))
           .crossJoin(broadcast(versions))
+          .orderBy("segment")
+      }),
+
+    // ---- S23+: point-in-time join against the SCD2 dimension --------------------
+    // Facts join the dimension version valid AT each fact's own date —
+    // the feature-store correctness rule that prevents label leakage.
+    // Dim: customer segments, with every 7th key moving to 'MOVED' on
+    // 1998-01-01 (mid orders range), so pre-1998 orders aggregate under
+    // the ORIGINAL segment and later ones under the new — exactly what a
+    // join against current-state attributes would get wrong. The oracle
+    // derives version-at-date from the rule alone.
+    Q("q_pit_join", Some(
+      """SELECT CASE WHEN o.o_custkey % 7 = 0
+        |         AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+        |       THEN 'MOVED' ELSE c.c_mktsegment END AS segment,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import graft.store.Scd2
+        val dir = pitDemos.computeIfAbsent(d, _ => {
+          val t = demoRoot("graft_pit").toString + "/cust_dim"
+          val c = Tables(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))
+          Scd2.init(c, t, java.sql.Date.valueOf("1995-01-01"))
+          Scd2.apply(s, t, c.withColumn("c_mktsegment",
+              when(col("c_custkey") % 7 === 0, lit("MOVED"))
+                .otherwise(col("c_mktsegment"))),
+            Seq("c_custkey"), java.sql.Date.valueOf("1998-01-01"))
+          t
+        })
+        val facts = Tables(s, d, "orders").select(
+          col("o_custkey").as("c_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        Scd2.pitJoin(facts, s, dir, Seq("c_custkey"), col("o_orderdate"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(cnt.as("n_orders"),
+            Tables.sumMoney(col("o_totalprice")).as("revenue"))
           .orderBy("segment")
       }),
 

@@ -99,4 +99,31 @@ object Scd2 {
 
   def current(spark: SparkSession, dir: String): DataFrame =
     TableStore.read(spark, dir).filter(col(To).isNull)
+
+  /** Point-in-time join — THE reason SCD2 exists: each fact row joins the
+    * dimension version that was valid AT the fact's own timestamp
+    * (`tsCol`, right-open interval semantics), never today's attributes —
+    * the feature-store "point-in-time correctness" that prevents label
+    * leakage when training data spans dimension changes.
+    *
+    * Plan shape: an EQUI-join on the key columns (broadcast for a small
+    * dim, sort-merge otherwise) with the interval bounds as residual join
+    * predicates — each fact row matches exactly ONE version (intervals
+    * partition the timeline by construction), so output cardinality ==
+    * fact cardinality, law-tested. Facts with timestamps before the key's
+    * first version (or unknown keys) drop, inner-join semantics.
+    */
+  def pitJoin(facts: DataFrame, spark: SparkSession, dir: String,
+      keyCols: Seq[String], tsCol: Column): DataFrame = {
+    // dim keys renamed before the join: no ambiguous-attribute traps, and
+    // the fact side keeps its own key columns in the output
+    val dim = keyCols.foldLeft(TableStore.read(spark, dir)) {
+      (df, k) => df.withColumnRenamed(k, s"__dim_$k")
+    }
+    val at = tsCol.cast("date")
+    facts.join(dim,
+      keyCols.map(k => col(k) === col(s"__dim_$k")).reduce(_ && _) &&
+        col(From) <= at && (col(To).isNull || col(To) > at))
+      .drop(keyCols.map(k => s"__dim_$k"): _*)
+  }
 }

@@ -66,6 +66,28 @@ class Scd2Spec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("must not precede"))
   }
 
+  test("pitJoin totality: intervals partition the timeline, so every fact " +
+    "with a known key and in-range date matches EXACTLY one version") {
+    val dir = newDim()
+    Scd2.apply(spark, dir, Seq((1L, "platinum", 10.0)).toDF("id", "tier", "bal"),
+      Seq("id"), d("2024-02-01"))
+    Scd2.apply(spark, dir, Seq((1L, "diamond", 10.0)).toDF("id", "tier", "bal"),
+      Seq("id"), d("2024-03-01"))
+    val facts = Seq(
+      (1L, d("2024-01-05")), (1L, d("2024-02-05")), (1L, d("2024-03-05")),
+      (2L, d("2024-06-01")),
+      (1L, d("2023-12-01")), // before the first version → drops
+      (9L, d("2024-02-05"))) // unknown key → drops
+      .toDF("id", "ts")
+    val got = Scd2.pitJoin(facts, spark, dir, Seq("id"), $"ts")
+      .select("id", "ts", "tier").as[(Long, Date, String)].collect().toSet
+    assert(got == Set(
+      (1L, d("2024-01-05"), "gold"),
+      (1L, d("2024-02-05"), "platinum"),
+      (1L, d("2024-03-05"), "diamond"),
+      (2L, d("2024-06-01"), "silver")))
+  }
+
   test("each apply is one atomic generation swap: the prior generation " +
     "still reads while the new one commits") {
     val dir = newDim()
