@@ -22,7 +22,7 @@ object ScaleProbe {
     // textops, tick, ngram, cluster, boilerplate, bucket, phrase,
     // ivfappend, zorder, merge, bloom, pagerank, bpe, sketch, triangles,
     // replace, ewma, semdecon, skyline, hotcluster, pq, labelprop,
-    // containment}; absent/empty = run all
+    // containment, scd2}; absent/empty = run all
     val sections: Set[String] =
       args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty).getOrElse(Set.empty)
@@ -809,6 +809,40 @@ object ScaleProbe {
         }
         org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(d)
       }
+    }
+
+    // ---- SCD2 point-in-time join: facts 10x, dim fixed ------------------------
+    // The claim: pitJoin is an equi-join with residual interval bounds —
+    // cost tracks the FACT scan linearly; the versioned dim is the small
+    // broadcast side regardless of fact growth, and output cardinality
+    // equals matched-fact cardinality (totality, asserted per size).
+    if (want("scd2")) {
+      println("\n== scd2 pitJoin: facts 10x, dim fixed ==")
+      val dimDir = java.nio.file.Files
+        .createTempDirectory("scd2probe").toString + "/dim"
+      val cust = graft.query.Tables(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.store.Scd2.init(cust, dimDir, java.sql.Date.valueOf("1995-01-01"))
+      graft.store.Scd2.apply(spark, dimDir, cust.withColumn("c_mktsegment",
+          when(col("c_custkey") % 7 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment"))),
+        Seq("c_custkey"), java.sql.Date.valueOf("1998-01-01"))
+      val o0 = graft.query.Tables(spark, sfDir, "orders").select(
+        col("o_custkey").as("c_custkey"), col("o_orderdate"))
+      for (copies <- Seq(1, 5, 10)) {
+        val facts = (0 until copies).map(_ => o0).reduce(_ union _)
+          .localCheckpoint()
+        val n = facts.count()
+        val joined = time(s"pitJoin               facts=$n") {
+          graft.store.Scd2.pitJoin(facts, spark, dimDir,
+            Seq("c_custkey"), col("o_orderdate")).count()
+        }
+        assert(joined == n,
+          s"totality: every fact key is a known dim key, got $joined of $n")
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(facts)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dimDir).getParentFile)
     }
 
     // ---- product quantization: corpus 10x, query batch fixed ------------------

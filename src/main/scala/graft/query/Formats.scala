@@ -70,6 +70,34 @@ object Formats {
 
   val all: Seq[Q] = Seq(
 
+    // ---- S24: physical storage audit from footers only --------------------------
+    // The engine reads parquet footer thrift fields (compressed /
+    // uncompressed totals, value counts) in a distributed footer pass —
+    // zero data pages. DuckDB's parquet_metadata() would restate the
+    // bytes exactly, but its path argument must be a CONSTANT and the
+    // driver harness only exposes table VIEWS — so the oracle pins what
+    // SQL can state independently: the footer's per-column value count
+    // must equal count(*) (a genuine footer-vs-data cross-check on every
+    // column), the column list must be the full schema, and the byte
+    // fields satisfy sanity laws (positive; compressed within 2x of
+    // uncompressed — parquet chunks can exceed raw size slightly on
+    // incompressible data, e.g. l_linenumber at this fixture).
+    Q("q_storage_audit", Some(
+      """WITH c AS (SELECT count(*) AS n FROM lineitem)
+        |SELECT t.col_name, (SELECT n FROM c) AS n_values, true AS bytes_ok
+        |FROM (VALUES ('l_discount'),('l_extendedprice'),('l_linenumber'),
+        |  ('l_linestatus'),('l_orderkey'),('l_partkey'),('l_quantity'),
+        |  ('l_returnflag'),('l_shipdate'),('l_suppkey'),('l_tax'))
+        |  t(col_name)
+        |ORDER BY 1""".stripMargin),
+      (s, d) => graft.store.StorageAudit
+        .columnProfile(s, Seq(s"$d/lineitem.parquet"))
+        .select(col("column").as("col_name"), col("n_values"),
+          (col("compressed_bytes") > 0 && col("uncompressed_bytes") > 0 &&
+            col("compressed_bytes") <= col("uncompressed_bytes") * 2)
+            .as("bytes_ok"))
+        .orderBy("col_name")),
+
     // ---- S18: CSV sink + scan (quoted, header, explicit schema) -------------
     Q("q_csv_roundtrip", Some(checksumSql),
       (s, d) => {
