@@ -289,6 +289,39 @@ object Behavior {
     // Stage joins stay user_id-keyed: the per-stage frame is users-sized
     // (shrinking), joined back to the co-partitioned events — at 100 TB
     // the events side partitions once and every stage reuses it.
+    // ---- W∅m: event-transition matrix (first-order Markov) ----------------------
+    // The sequence-structure complement to funnel/retention: per-user
+    // event streams yield (from → to) transition counts and row-normalized
+    // probabilities — the behavioral fingerprint drift monitors and
+    // session simulators consume. One lead() window per user (partitioned
+    // — user-bounded state), one hash aggregate on (from, to) pairs, and
+    // the normalizing window runs on |types|² rows. Deterministic: the
+    // per-user order carries an event_id tiebreak, and probabilities
+    // divide exact int64 counts.
+    Q("q_markov", Some(
+      """WITH s AS (SELECT user_id, event_type AS f,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM events),
+        |c AS (SELECT f, t, count(*) AS n FROM s
+        |      WHERE t IS NOT NULL GROUP BY 1, 2)
+        |SELECT f AS from_type, t AS to_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY f), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = Tables(s, d, "events")
+          .select(col("event_type").as("f"),
+            lead(col("event_type"), 1).over(w).as("t"))
+          .filter(col("t").isNotNull)
+          .groupBy("f", "t").agg(cnt.as("n"))
+        val norm = Window.partitionBy("f")
+        pairs.select(col("f").as("from_type"), col("t").as("to_type"),
+            col("n"),
+            round(col("n").cast("double") / sum("n").over(norm), 6).as("p"))
+          .orderBy("from_type", "to_type")
+      }),
+
     Q("q_funnel", Some(
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
