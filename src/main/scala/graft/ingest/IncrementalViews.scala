@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.schema.GhaSchemas
@@ -269,6 +269,80 @@ object IncrementalViews {
     TableStore.read(spark, s"$mvDir/freq_sketches", freqViewSchema)
       .select(col("key"),
         graft.functions.SketchAggs.freqTopItems(col("sk")).as("top"))
+
+  // ---- additive view: equi-width histogram + drift (PSI) --------------------
+  // The streaming face of q_drift_psi: each tick ADDS its bucket counts
+  // into a stored histogram (O(nBuckets) state), and the live histogram
+  // is compared against a frozen REFERENCE (the accepted snapshot) with
+  // the same smoothed-PSI closed form — the continuous ingest-drift
+  // monitor. Addition is NOT idempotent (a replayed batch double-counts),
+  // so the same batchId-in-the-generation-swap protocol as the KLL/freq
+  // views applies.
+
+  private def histViewSchema = StructType(Seq(
+    StructField("bucket", org.apache.spark.sql.types.IntegerType),
+    StructField("n", org.apache.spark.sql.types.LongType),
+    StructField("batch_id", org.apache.spark.sql.types.LongType)))
+
+  /** Equi-width bucket of `v` over [lo, lo + nBuckets·width): values
+    * clamp into the edge buckets, so the histogram is total.
+    */
+  private def bucketOf(v: Column, lo: Double, width: Double,
+      nBuckets: Int): Column =
+    greatest(least(floor((v - lo) / width), lit((nBuckets - 1).toDouble)),
+      lit(0.0)).cast("int")
+
+  /** Fold one batch's `valCol` values into the stored histogram under
+    * `mvDir/histogram`. Returns true if folded, false on replay.
+    */
+  def maintainHistogram(spark: SparkSession, batch: DataFrame,
+      mvDir: String, valCol: String, lo: Double, width: Double,
+      nBuckets: Int, batchId: Long = -1L): Boolean = {
+    require(nBuckets >= 2 && width > 0, s"bad histogram shape: $nBuckets x $width")
+    val dir = s"$mvDir/histogram"
+    val existing =
+      if (TableStore.dataFiles(spark, dir).isEmpty) None
+      else Some(TableStore.read(spark, dir, histViewSchema))
+    val storedMax = existing.map(_.agg(max("batch_id")).head().getLong(0))
+    if (batchId >= 0 && storedMax.exists(_ >= batchId)) return false
+    val stampId = math.max(batchId, storedMax.getOrElse(-1L))
+    val partial = batch
+      .select(bucketOf(col(valCol).cast("double"), lo, width, nBuckets)
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val merged = existing match {
+      case None => partial
+      case Some(e) => e.select(col("bucket"), col("n")).unionByName(partial)
+        .groupBy("bucket").agg(sum("n").as("n"))
+    }
+    TableStore.overwriteVersioned(
+      merged.withColumn("batch_id", lit(stampId)), dir)
+    true
+  }
+
+  /** Smoothed PSI between the maintained histogram and a reference
+    * histogram dir (same bucketing): one row,
+    * (psi, n_live, n_ref) — the q_drift_psi closed form, +0.5 Laplace
+    * per bucket over `nBuckets`.
+    */
+  def histogramDrift(spark: SparkSession, mvDir: String, refDir: String,
+      nBuckets: Int): DataFrame = {
+    val live = TableStore.read(spark, s"$mvDir/histogram", histViewSchema)
+      .select(col("bucket"), col("n").as("na"))
+    val ref = TableStore.read(spark, s"$refDir/histogram", histViewSchema)
+      .select(col("bucket"), col("n").as("nb"))
+    val joined = live.join(ref, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val t = joined.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val p = (col("na") + 0.5) / (col("ta") + 0.5 * nBuckets)
+    val q = (col("nb") + 0.5) / (col("tb") + 0.5 * nBuckets)
+    joined.crossJoin(broadcast(t))
+      .withColumn("contrib", (p - q) * log(p / q))
+      .agg(round(sum("contrib"), 6).as("psi"),
+        sum("na").as("n_live"), sum("nb").as("n_ref"))
+  }
 
   /** Recovery/bootstrap: recompute every view from the curated store (the
     * one full scan, paid only after a crash rollback or when adopting the

@@ -388,6 +388,26 @@ object EventStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Continuous drift monitoring: each micro-batch folds its value
+    * histogram into the stored view
+    * ([[graft.ingest.IncrementalViews.maintainHistogram]] — additive, so
+    * exactly-once rides the same batchId-in-generation protocol), and
+    * [[graft.ingest.IncrementalViews.histogramDrift]] reads the live PSI
+    * against a frozen reference snapshot at any time.
+    */
+  def histogramStream(updates: DataFrame, mvDir: String,
+      checkpointDir: String, valCol: String, lo: Double, width: Double,
+      nBuckets: Int): StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ingest.IncrementalViews.maintainHistogram(
+          batch.sparkSession, batch, mvDir, valCol, lo, width, nBuckets, id)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .start()
+
   def ingestStream(spark: SparkSession, landingDir: String, outDir: String,
       checkpointDir: String, table: String = "watch"): StreamingQuery = {
     val lines = spark.readStream

@@ -590,4 +590,41 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(hotBounds() == ((lb, ub))) // state unchanged, counts not inflated
     } finally q.stop()
   }
+
+  test("histogramStream: live PSI vs a frozen reference rises when the " +
+    "distribution shifts; replay never double-counts") {
+    import graft.ingest.IncrementalViews
+    implicit val sqlCtx = spark.sqlContext
+    val refDir = Files.createTempDirectory("histref").toString + "/mv"
+    val liveDir = Files.createTempDirectory("histlive").toString + "/mv"
+    val ckpt = Files.createTempDirectory("hist_ck").toString
+    // reference snapshot: uniform over [0, 100)
+    IncrementalViews.maintainHistogram(spark,
+      (0 until 2000).map(i => (i % 100).toDouble).toDF("v"),
+      refDir, "v", lo = 0.0, width = 10.0, nBuckets = 10)
+    val mem = MemoryStream[Double]
+    val q = EventStream.histogramStream(mem.toDF().toDF("v"),
+      liveDir, ckpt, "v", lo = 0.0, width = 10.0, nBuckets = 10)
+    def psi(): Double = IncrementalViews
+      .histogramDrift(spark, liveDir, refDir, 10)
+      .as[(Double, Long, Long)].head()._1
+    try {
+      // batch 1 matches the reference shape → PSI ~ 0
+      mem.addData((0 until 1000).map(i => (i % 100).toDouble): _*)
+      q.processAllAvailable()
+      val stable = psi()
+      assert(stable < 0.1, s"uniform-vs-uniform psi=$stable")
+      // batch 2 piles into one bucket → PSI crosses the investigate bar
+      mem.addData((0 until 1000).map(_ => 5.0): _*)
+      q.processAllAvailable()
+      val drifted = psi()
+      assert(drifted > 0.25, s"shifted psi=$drifted")
+      // replaying batch 1 directly must be skipped — additive state would
+      // otherwise double-count and move the PSI
+      assert(!IncrementalViews.maintainHistogram(spark,
+        (0 until 1000).map(i => (i % 100).toDouble).toDF("v"),
+        liveDir, "v", 0.0, 10.0, 10, batchId = 0L))
+      assert(psi() === drifted)
+    } finally q.stop()
+  }
 }
