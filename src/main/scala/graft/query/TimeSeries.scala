@@ -66,6 +66,45 @@ object TimeSeries {
           .orderBy("event_type", "day")
       }),
 
+    // ---- A∅r: robust outliers — median/MAD, the distributional complement ------
+    // q_anomaly flags TEMPORAL spikes (rolling z-score over days); this
+    // flags DISTRIBUTIONAL outliers per group with estimators a
+    // contaminated column can't drag: median and MAD have 50% breakdown
+    // points where mean/stddev have 0% — the difference between "the
+    // outliers move the fence" and "the fence holds" on real dirty data.
+    // Exact medians both engines (percentile / quantile_cont on sorted
+    // runs per group — groups are |types|, each a bounded sort); the
+    // 1.4826 constant rescales MAD to sigma-equivalent under normality.
+    Q("q_mad_outliers", Some(
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+        |    any_value(m.med) AS med
+        |  FROM events e JOIN m USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_outliers,
+        |  round(any_value(d.med), 4) AS med, round(any_value(d.mad), 4) AS mad
+        |FROM events e JOIN d USING (event_type)
+        |WHERE d.mad > 0 AND abs(e.value - d.med) / (1.4826 * d.mad) > 3.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val e = Tables(s, d, "events").select("event_type", "value")
+        val med = e.groupBy("event_type")
+          .agg(percentile(col("value"), lit(0.5)).as("med"))
+        val mad = e.join(med, Seq("event_type"))
+          .groupBy("event_type")
+          .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"),
+            first("med").as("med"))
+        e.join(mad, Seq("event_type"))
+          .filter(col("mad") > 0 &&
+            abs(col("value") - col("med")) / (lit(1.4826) * col("mad")) > 3.0)
+          .groupBy("event_type")
+          .agg(cnt.as("n_outliers"), round(first("med"), 4).as("med"),
+            round(first("mad"), 4).as("mad"))
+          .orderBy("event_type")
+      }),
+
     // ---- W∅p: distribution drift between snapshots (PSI) -----------------------
     // The ingest-drift monitor a training-data pipeline runs between crawl
     // snapshots: Population Stability Index over a fixed equi-width
