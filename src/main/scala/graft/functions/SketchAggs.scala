@@ -87,6 +87,17 @@ object SketchAggs {
       FreqItemsAgg(ColumnBridge.expression(c), maxMapSize)
         .toAggregateExpression())
 
+  /** Weighted frequent-items sketch: `(item, count)` rows, bit-identical
+    * to `count` unweighted updates — lets the sketch build from a vocab-
+    * sized aggregate instead of the exploded occurrence stream.
+    */
+  def freqAggWeighted(item: Column, weight: Column,
+      maxMapSize: Int = 256): Column =
+    ColumnBridge.column(
+      FreqWeightedAgg(ColumnBridge.expression(item),
+        ColumnBridge.expression(weight), maxMapSize)
+        .toAggregateExpression())
+
   /** Union of stored frequent-items sketch bytes → merged bytes. */
   def freqMergeAgg(c: Column, maxMapSize: Int = 256): Column =
     ColumnBridge.column(
@@ -481,6 +492,77 @@ case class FreqItemsAgg(
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): FreqItemsAgg = copy(child = c.head)
   override def prettyName: String = "graft_freq_agg"
+}
+
+/** Weighted frequent-items aggregate: each row contributes `item` with
+  * count `weight` — bit-identical to feeding the item `weight` times
+  * (`ItemsSketch.update(item, count)` is the space-saving algorithm's own
+  * weighted form), so the sketch can be built from a `(item, count)`
+  * AGGREGATE instead of the exploded per-occurrence corpus. At 100 TB that
+  * is the difference between one map-side-combined hash aggregate (vocab
+  * rows on the wire) and materializing every word occurrence (~200x the
+  * document bytes) just to feed a bounded sketch.
+  */
+case class FreqWeightedAgg(
+    child: Expression,
+    weight: Expression,
+    maxMapSize: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends SketchAgg[org.apache.datasketches.frequencies.ItemsSketch[String]] {
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"maxMapSize must be a power of 2 >= 8, got $maxMapSize")
+
+  override def children: Seq[Expression] = child :: weight :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, weight.dataType) match {
+      case (org.apache.spark.sql.types.StringType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (t, w) => TypeCheckResult.TypeCheckFailure(
+        s"graft_freq_agg_weighted requires (string, bigint) input, got ($t, $w)")
+    }
+
+  override def createAggregationBuffer()
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+
+  override def update(
+      buf: org.apache.datasketches.frequencies.ItemsSketch[String],
+      row: InternalRow)
+      : org.apache.datasketches.frequencies.ItemsSketch[String] = {
+    val v = child.eval(row)
+    val w = weight.eval(row)
+    if (v != null && w != null) buf.update(v.toString, w.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      a: org.apache.datasketches.frequencies.ItemsSketch[String],
+      b: org.apache.datasketches.frequencies.ItemsSketch[String])
+      : org.apache.datasketches.frequencies.ItemsSketch[String] = {
+    a.merge(b); a
+  }
+
+  override def eval(
+      buf: org.apache.datasketches.frequencies.ItemsSketch[String]): Any =
+    serialize(buf)
+
+  override def serialize(
+      buf: org.apache.datasketches.frequencies.ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(SketchAggs.stringSerDe)
+  override def deserialize(bytes: Array[Byte])
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    SketchAggs.heapifyFreq(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqWeightedAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqWeightedAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): FreqWeightedAgg =
+    copy(child = c(0), weight = c(1))
+  override def prettyName: String = "graft_freq_agg_weighted"
 }
 
 /** Merge of STORED frequent-items sketch bytes — the incremental-view /

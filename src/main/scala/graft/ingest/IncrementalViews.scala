@@ -182,11 +182,18 @@ object IncrementalViews {
   def maintainQuantileSketches(spark: SparkSession, batch: DataFrame,
       mvDir: String, keyCol: String, valCol: String,
       batchId: Long = -1L): Boolean = {
+    if (batch.isEmpty) return false // nothing to fold; never write an empty generation
     val dir = s"$mvDir/quantile_sketches"
     val existing =
       if (TableStore.dataFiles(spark, dir).isEmpty) None
       else Some(TableStore.read(spark, dir, kllViewSchema))
-    val storedMax = existing.map(_.agg(max("batch_id")).head().getLong(0))
+    // Null-safe: a schema-only generation (e.g. written by a pre-guard
+    // version on an empty first micro-batch) makes max(batch_id) NULL;
+    // getLong(0) on it would NPE and crash-loop the stream forever.
+    val storedMax = existing.flatMap { e =>
+      val r = e.agg(max("batch_id")).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
     if (batchId >= 0 && storedMax.exists(_ >= batchId))
       return false // at-least-once replay: state already holds this batch
     // a batch-mode fold (batchId = -1) must CARRY the stored watermark
@@ -237,11 +244,18 @@ object IncrementalViews {
   def maintainFreqSketches(spark: SparkSession, batch: DataFrame,
       mvDir: String, keyCol: String, itemCol: String,
       batchId: Long = -1L): Boolean = {
+    if (batch.isEmpty) return false // nothing to fold; never write an empty generation
     val dir = s"$mvDir/freq_sketches"
     val existing =
       if (TableStore.dataFiles(spark, dir).isEmpty) None
       else Some(TableStore.read(spark, dir, freqViewSchema))
-    val storedMax = existing.map(_.agg(max("batch_id")).head().getLong(0))
+    // Null-safe: a schema-only generation (e.g. written by a pre-guard
+    // version on an empty first micro-batch) makes max(batch_id) NULL;
+    // getLong(0) on it would NPE and crash-loop the stream forever.
+    val storedMax = existing.flatMap { e =>
+      val r = e.agg(max("batch_id")).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
     if (batchId >= 0 && storedMax.exists(_ >= batchId))
       return false // at-least-once replay: state already holds this batch
     val stampId = math.max(batchId, storedMax.getOrElse(-1L))
@@ -299,11 +313,18 @@ object IncrementalViews {
       mvDir: String, valCol: String, lo: Double, width: Double,
       nBuckets: Int, batchId: Long = -1L): Boolean = {
     require(nBuckets >= 2 && width > 0, s"bad histogram shape: $nBuckets x $width")
+    if (batch.isEmpty) return false // nothing to fold; never write an empty generation
     val dir = s"$mvDir/histogram"
     val existing =
       if (TableStore.dataFiles(spark, dir).isEmpty) None
       else Some(TableStore.read(spark, dir, histViewSchema))
-    val storedMax = existing.map(_.agg(max("batch_id")).head().getLong(0))
+    // Null-safe: a schema-only generation (e.g. written by a pre-guard
+    // version on an empty first micro-batch) makes max(batch_id) NULL;
+    // getLong(0) on it would NPE and crash-loop the stream forever.
+    val storedMax = existing.flatMap { e =>
+      val r = e.agg(max("batch_id")).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
     if (batchId >= 0 && storedMax.exists(_ >= batchId)) return false
     val stampId = math.max(batchId, storedMax.getOrElse(-1L))
     val partial = batch

@@ -1448,24 +1448,36 @@ object TextOps {
       (s, d) => {
         import s.implicits._
         val eps = 0.001
-        val wordsDf = Tables(s, d, "documents")
+        // One tokenize scan feeds one map-side-combined hash aggregate; the
+        // VOCAB-sized (word, count) frame — bounded by distinct words, not
+        // occurrences — is what gets cached and feeds all three consumers
+        // (sketch, exact top-10, N). Building the CMS from weighted counts
+        // is bit-identical to per-occurrence inserts (same seeded hashes,
+        // counters sum the same), so the eps x N law is unchanged — but the
+        // corpus-sized exploded frame never materializes anywhere (the r7
+        // localCheckpoint here wrote every word occurrence to executor
+        // disk, ~200x the document bytes at 100 TB).
+        val agg = Tables(s, d, "documents")
           .select(explode(words(col("text"))).as("w"))
-          .localCheckpoint() // one tokenize pass feeds sketch + exact + N
-        val n = wordsDf.count()
-        val sketch = wordsDf.stat.countMinSketch("w", eps = eps,
-          confidence = 0.99, seed = 42)
-        val top = wordsDf.groupBy("w").agg(cnt.as("cnt"))
-          .orderBy(desc("cnt"), asc("w")).limit(10)
-          .as[(String, Long)].collect()
-        val out = top.toSeq.map { case (w, c) =>
-          val est = sketch.estimateCount(w)
-          (w, c, est >= c && est <= c + (eps * n).toLong)
-        }
-        val res = out.toDF("word", "cnt", "est_ok")
-          .orderBy(desc("cnt"), asc("word"))
-        org.apache.spark.sql.graft.ColumnBridge
-          .releaseLocalCheckpoint(wordsDf)
-        res
+          .groupBy("w").agg(cnt.as("cnt"))
+          .persist()
+        try {
+          val n = agg.agg(sum("cnt")).head().getLong(0)
+          val sketch = agg.select(col("w"), col("cnt")).as[(String, Long)]
+            .rdd.treeAggregate(
+              org.apache.spark.util.sketch.CountMinSketch
+                .create(eps, 0.99, 42))(
+              (sk, wc) => { sk.add(wc._1, wc._2); sk },
+              (a, b) => { a.mergeInPlace(b); a })
+          val top = agg.orderBy(desc("cnt"), asc("w")).limit(10)
+            .as[(String, Long)].collect()
+          val out = top.toSeq.map { case (w, c) =>
+            val est = sketch.estimateCount(w)
+            (w, c, est >= c && est <= c + (eps * n).toLong)
+          }
+          out.toDF("word", "cnt", "est_ok")
+            .orderBy(desc("cnt"), asc("word"))
+        } finally agg.unpersist()
       }),
 
     // ---- L26: corpus-trained bigram LM quality score -----------------------------

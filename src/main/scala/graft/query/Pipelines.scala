@@ -487,7 +487,16 @@ object Pipelines {
           val t = demoRoot("graft_pit").toString + "/cust_dim"
           val c = Tables(s, d, "customer")
             .select(col("c_custkey"), col("c_mktsegment"))
-          Scd2.init(c, t, java.sql.Date.valueOf("1995-01-01"))
+          // Init at TPC-H's global date floor: pitJoin is INNER, so a fact
+          // dated before the first valid_from silently drops while the
+          // oracle counts every order — assert the coupling loudly instead
+          // of letting a fixture regen surface as an opaque hash mismatch.
+          val floor = java.sql.Date.valueOf("1992-01-01")
+          val minOrder = Tables(s, d, "orders")
+            .agg(min(col("o_orderdate").cast("date"))).head().getDate(0)
+          require(!minOrder.before(floor),
+            s"fixture orders start $minOrder, before the dimension floor $floor")
+          Scd2.init(c, t, floor)
           Scd2.apply(s, t, c.withColumn("c_mktsegment",
               when(col("c_custkey") % 7 === 0, lit("MOVED"))
                 .otherwise(col("c_mktsegment"))),

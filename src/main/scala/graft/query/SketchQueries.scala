@@ -39,18 +39,27 @@ object SketchQueries {
         |SELECT lang, w AS word, cnt, true AS bounds_ok
         |FROM r WHERE rn <= 3 ORDER BY lang, cnt DESC, word""".stripMargin),
       (s, d) => {
-        val w = Tables(s, d, "documents")
+        // One tokenize pass into ONE map-side-combined hash aggregate; the
+        // VOCAB-sized (lang, source, w, cnt) frame feeds both the sketch
+        // partials (weighted updates — bit-identical to per-occurrence
+        // feeding, ItemsSketch.update(item, count) IS the space-saving
+        // weighted form) and the exact per-lang top-3. The exploded
+        // occurrence stream never materializes (the r7 localCheckpoint
+        // here wrote every word occurrence to executor disk).
+        val counts = Tables(s, d, "documents")
           .select(col("lang"), col("source"),
             explode(graft.llm.TextOps.words(col("text"))).as("w"))
-          .localCheckpoint() // one tokenize pass feeds partials + exact
-        val res = {
-          val partials = w.groupBy("lang", "source")
-            .agg(freqAgg(col("w")).as("sk"))
+          .groupBy("lang", "source", "w").agg(Tables.cnt.as("cnt"))
+          .persist()
+        try {
+          val partials = counts.groupBy("lang", "source")
+            .agg(freqAggWeighted(col("w"), col("cnt")).as("sk"))
           val merged = partials.groupBy("lang")
             .agg(freqMergeAgg(col("sk")).as("sk"))
           val win = org.apache.spark.sql.expressions.Window
             .partitionBy("lang").orderBy(desc("cnt"), asc("w"))
-          val top = w.groupBy("lang", "w").agg(Tables.cnt.as("cnt"))
+          val top = counts.groupBy("lang", "w")
+            .agg(sum("cnt").as("cnt"))
             .withColumn("rn", row_number().over(win))
             .filter(col("rn") <= 3)
           top.join(merged, Seq("lang"))
@@ -60,9 +69,7 @@ object SketchQueries {
                 .as("bounds_ok"))
             .orderBy(col("lang"), desc("cnt"), col("word"))
             .localCheckpoint()
-        }
-        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(w)
-        res
+        } finally counts.unpersist()
       }),
 
     // ---- A7k: KLL quantile sketch + merge law --------------------------------

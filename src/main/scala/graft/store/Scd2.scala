@@ -53,6 +53,12 @@ object Scd2 {
     val dim = TableStore.read(spark, dir)
     val attrs = attrCols(dim, keyCols)
     require(attrs.nonEmpty, "dimension has no attribute columns")
+    // One row per key, or the left join below fans out and writes DUPLICATE
+    // open (valid_to IS NULL) versions — Delta MERGE fails on multiple
+    // matches for the same reason. Dim-sized count, cheap.
+    val updCount = updates.count()
+    require(updates.select(keyCols.map(col): _*).distinct().count() == updCount,
+      "update batch must carry exactly one row per key")
     // allow equality so re-applying a batch at its own effective date is
     // the idempotent no-op the change detection makes it; anything EARLIER
     // would corrupt intervals — fail loud. (A DIFFERENT batch at the same

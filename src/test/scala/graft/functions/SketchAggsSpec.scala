@@ -148,6 +148,33 @@ class SketchAggsSpec extends AnyFunSuite with SparkFixture {
     assert(top.contains("hot"))
   }
 
+  test("FreqItems: weighted (item, count) updates ≡ per-occurrence feeding") {
+    import spark.implicits._
+    // Below maxMapSize no purge can fire, so estimates are EXACT and
+    // deterministic — weighted build from the (item, count) aggregate must
+    // equal both the exact counts and the per-occurrence build (which is
+    // what lets q_freq_sketch feed sketches from a vocab-sized aggregate
+    // instead of materializing the exploded occurrence stream).
+    val occ = ((1 to 900).map(_ => "hot") ++ (1 to 40).map(i => s"t${i % 20}"))
+      .toDF("w").repartition(6)
+    val counts = occ.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val viaOcc = occ.agg(freqAgg(col("w"), 64).as("sk"))
+    val viaCnt = counts.agg(freqAggWeighted(col("w"), col("cnt"), 64).as("sk"))
+    for ((sk, label) <- Seq(viaOcc -> "occ", viaCnt -> "weighted")) {
+      val b = sk.select(freqBounds(col("sk"), lit("hot")).as("b"))
+        .selectExpr("b.est", "b.lb", "b.ub").as[(Long, Long, Long)].head()
+      assert(b == ((900L, 900L, 900L)), s"$label: $b")
+    }
+    // under purge pressure the weighted form keeps the lb ≤ true ≤ ub law
+    val wide = (1 to 5000).map(i => (s"tail_$i", 1L))
+      .toDF("w", "cnt").unionAll(Seq(("hot", 2000L)).toDF("w", "cnt"))
+      .repartition(8)
+    val b = wide.agg(freqAggWeighted(col("w"), col("cnt"), 64).as("sk"))
+      .select(freqBounds(col("sk"), lit("hot")).as("b"))
+      .selectExpr("b.lb", "b.ub").as[(Long, Long)].head()
+    assert(b._1 <= 2000 && 2000 <= b._2, s"bounds $b")
+  }
+
   test("FreqItems: merge of stored per-group sketches preserves the bound " +
     "guarantee; SQL surface registers") {
     import spark.implicits._

@@ -214,6 +214,55 @@ class IncrementalViewsSpec extends AnyFunSuite with SparkFixture {
     assert(other._3 <= 300 && 300 <= other._4)
   }
 
+  test("empty first micro-batches and pre-guard empty generations never " +
+    "poison the KLL/freq/histogram views") {
+    val dir = tmp("mv_guard")
+    // (1) an empty first micro-batch is SKIPPED, not written as a
+    // schema-only generation that would poison every later max(batch_id)
+    val emptyKV = Seq.empty[(String, String)].toDF("key", "item")
+    assert(!IncrementalViews.maintainFreqSketches(
+      spark, emptyKV, dir, "key", "item", batchId = 0L))
+    assert(TableStore.dataFiles(spark, s"$dir/freq_sketches").isEmpty)
+    val emptyKD = Seq.empty[(String, Double)].toDF("key", "v")
+    assert(!IncrementalViews.maintainQuantileSketches(
+      spark, emptyKD, dir, "key", "v", batchId = 0L))
+    assert(!IncrementalViews.maintainHistogram(
+      spark, emptyKD, dir, "v", 0.0, 10.0, 4, batchId = 0L))
+    // (2) a pre-guard schema-only generation already on disk makes
+    // max(batch_id) NULL: folding over it must not NPE/crash-loop, and the
+    // replay watermark must still engage afterwards
+    TableStore.overwriteVersioned(
+      Seq.empty[(String, Array[Byte], Long)].toDF("key", "sk", "batch_id"),
+      s"$dir/freq_sketches")
+    val b1 = Seq(("k1", "hot"), ("k1", "hot"), ("k2", "x")).toDF("key", "item")
+    assert(IncrementalViews.maintainFreqSketches(
+      spark, b1, dir, "key", "item", batchId = 1L))
+    assert(!IncrementalViews.maintainFreqSketches(
+      spark, b1, dir, "key", "item", batchId = 1L), "replay must skip")
+    val hot = IncrementalViews.freqView(spark, dir)
+      .selectExpr("key", "explode(top) AS t")
+      .selectExpr("key", "t.item", "t.lb", "t.ub")
+      .as[(String, String, Long, Long)].collect()
+      .find(r => r._1 == "k1" && r._2 == "hot").get
+    assert(hot._3 <= 2 && 2 <= hot._4, s"hot bounds [${hot._3},${hot._4}]")
+    TableStore.overwriteVersioned(
+      Seq.empty[(String, Array[Byte], Long)].toDF("key", "sk", "batch_id"),
+      s"$dir/quantile_sketches")
+    val q1 = Seq(("k", 1.0), ("k", 3.0)).toDF("key", "v")
+    assert(IncrementalViews.maintainQuantileSketches(
+      spark, q1, dir, "key", "v", batchId = 1L))
+    assert(!IncrementalViews.maintainQuantileSketches(
+      spark, q1, dir, "key", "v", batchId = 1L), "replay must skip")
+    TableStore.overwriteVersioned(
+      Seq.empty[(Int, Long, Long)].toDF("bucket", "n", "batch_id"),
+      s"$dir/histogram")
+    val h1 = Seq(("k", 1.0), ("k", 15.0)).toDF("key", "v")
+    assert(IncrementalViews.maintainHistogram(
+      spark, h1, dir, "v", 0.0, 10.0, 4, batchId = 1L))
+    assert(!IncrementalViews.maintainHistogram(
+      spark, h1, dir, "v", 0.0, 10.0, 4, batchId = 1L), "replay must skip")
+  }
+
   test("counts view is a merged total, not a last-batch snapshot") {
     val dir = tmp("mv_cnt")
     Files.createDirectories(Paths.get(s"$dir/landing"))

@@ -531,4 +531,19 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     val capped = TextOps.containmentPairs(df, 0.15, maxDf = 3)
     assert(capped.count() == 0)
   }
+
+  test("q_heavy_hitters materializes only the vocab-sized aggregate and " +
+    "releases it (no corpus-sized checkpoint survives)") {
+    // r7 localCheckpointed the exploded per-occurrence frame (~200x doc
+    // bytes at scale); now the CMS builds from weighted (word, count) rows
+    // and the only persisted frame is vocab-sized AND unpersisted before
+    // the query returns — both asserted here.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = graft.SparkEntry.queries("q_heavy_hitters")(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getBoolean(2)), "CMS estimate outside the eps*N law")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached/checkpointed RDD ids: $leaked")
+  }
 }

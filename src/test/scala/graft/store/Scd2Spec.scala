@@ -66,6 +66,22 @@ class Scd2Spec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("must not precede"))
   }
 
+  test("an update batch with duplicate keys is rejected before it can fan out") {
+    val dir = newDim()
+    val before = TableStore.read(spark, dir).collect().toSet
+    // two rows for key 1: the left join against current versions would fan
+    // out and write two open (valid_to IS NULL) versions — must fail loud
+    val e = intercept[IllegalArgumentException] {
+      Scd2.apply(spark, dir,
+        Seq((1L, "platinum", 10.0), (1L, "gold", 11.0))
+          .toDF("id", "tier", "bal"),
+        Seq("id"), d("2024-02-01"))
+    }
+    assert(e.getMessage.contains("one row per key"))
+    // the rejection happened before any write: store byte-unchanged
+    assert(TableStore.read(spark, dir).collect().toSet == before)
+  }
+
   test("pitJoin totality: intervals partition the timeline, so every fact " +
     "with a known key and in-range date matches EXACTLY one version") {
     val dir = newDim()
