@@ -50,48 +50,54 @@ object Scd2 {
     */
   def apply(spark: SparkSession, dir: String, updates: DataFrame,
       keyCols: Seq[String], effective: java.sql.Date): Unit = {
-    val dim = TableStore.read(spark, dir)
-    val attrs = attrCols(dim, keyCols)
-    require(attrs.nonEmpty, "dimension has no attribute columns")
+    // batch-only validation, outside the retry loop
     // One row per key, or the left join below fans out and writes DUPLICATE
     // open (valid_to IS NULL) versions — Delta MERGE fails on multiple
     // matches for the same reason. Dim-sized count, cheap.
     val updCount = updates.count()
     require(updates.select(keyCols.map(col): _*).distinct().count() == updCount,
       "update batch must carry exactly one row per key")
-    // allow equality so re-applying a batch at its own effective date is
-    // the idempotent no-op the change detection makes it; anything EARLIER
-    // would corrupt intervals — fail loud. (A DIFFERENT batch at the same
-    // date closes same-day versions into empty [d, d) intervals — visible
-    // in history, invisible to asOf, consistent either way.)
-    val maxFrom = dim.agg(max(col(From))).head().getDate(0)
-    require(!maxFrom.after(effective),
-      s"effective $effective must not precede the newest valid_from $maxFrom")
-    val upd = updates.select(
-      keyCols.map(col) :+ struct(attrs.map(col): _*).as("_new"): _*)
-    val history = dim.filter(col(To).isNotNull)
-    val current = dim.filter(col(To).isNull)
-      .join(upd, keyCols, "left")
-    val attrStruct = struct(attrs.map(col): _*)
-    // null-safe: a row is CHANGED only when an update exists and differs
-    val changed = col("_new").isNotNull && !(attrStruct <=> col("_new"))
-    val closed = current.filter(changed)
-      .withColumn(To, lit(effective)).drop("_new")
-    val kept = current.filter(!changed).drop("_new")
-    val opened = current.filter(changed)
-      .select(keyCols.map(col) :+ col("_new"): _*)
-      .select(keyCols.map(col) ++
-        attrs.map(a => col(s"_new.$a").as(a)): _*)
-      .withColumn(From, lit(effective))
-      .withColumn(To, lit(null).cast("date"))
-    val known = dim.select(keyCols.map(col): _*).distinct()
-    val inserted = updates.join(known, keyCols, "left_anti")
-      .select((keyCols ++ attrs).map(col): _*)
-      .withColumn(From, lit(effective))
-      .withColumn(To, lit(null).cast("date"))
-    val next = history.unionByName(closed).unionByName(kept)
-      .unionByName(opened).unionByName(inserted)
-    TableStore.overwriteVersioned(next.select(dim.columns.map(col): _*), dir)
+    // Optimistic transaction (Delta's retry loop): the whole read-derive
+    // body re-runs against the new current generation if another applier
+    // committed first — two OVERLAPPING appliers both land, serially.
+    TableStore.transactVersioned(spark, dir) {
+      val dim = TableStore.read(spark, dir)
+      val attrs = attrCols(dim, keyCols)
+      require(attrs.nonEmpty, "dimension has no attribute columns")
+      // allow equality so re-applying a batch at its own effective date is
+      // the idempotent no-op the change detection makes it; anything EARLIER
+      // would corrupt intervals — fail loud. (A DIFFERENT batch at the same
+      // date closes same-day versions into empty [d, d) intervals — visible
+      // in history, invisible to asOf, consistent either way.)
+      val maxFrom = dim.agg(max(col(From))).head().getDate(0)
+      require(!maxFrom.after(effective),
+        s"effective $effective must not precede the newest valid_from $maxFrom")
+      val upd = updates.select(
+        keyCols.map(col) :+ struct(attrs.map(col): _*).as("_new"): _*)
+      val history = dim.filter(col(To).isNotNull)
+      val current = dim.filter(col(To).isNull)
+        .join(upd, keyCols, "left")
+      val attrStruct = struct(attrs.map(col): _*)
+      // null-safe: a row is CHANGED only when an update exists and differs
+      val changed = col("_new").isNotNull && !(attrStruct <=> col("_new"))
+      val closed = current.filter(changed)
+        .withColumn(To, lit(effective)).drop("_new")
+      val kept = current.filter(!changed).drop("_new")
+      val opened = current.filter(changed)
+        .select(keyCols.map(col) :+ col("_new"): _*)
+        .select(keyCols.map(col) ++
+          attrs.map(a => col(s"_new.$a").as(a)): _*)
+        .withColumn(From, lit(effective))
+        .withColumn(To, lit(null).cast("date"))
+      val known = dim.select(keyCols.map(col): _*).distinct()
+      val inserted = updates.join(known, keyCols, "left_anti")
+        .select((keyCols ++ attrs).map(col): _*)
+        .withColumn(From, lit(effective))
+        .withColumn(To, lit(null).cast("date"))
+      history.unionByName(closed).unionByName(kept)
+        .unionByName(opened).unionByName(inserted)
+        .select(dim.columns.map(col): _*)
+    }
   }
 
   /** Rows valid AT `at`: `valid_from <= at < valid_to` (right-open; a

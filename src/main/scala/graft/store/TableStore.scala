@@ -32,17 +32,46 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * (`preprocess.py:205`), which deletes the files a concurrent reader may
   * still be scanning.
   *
-  * Single-WRITER assumption stays (the reference serves exactly one flow,
-  * `preprocess.py:277-280`); generations make concurrent readers safe
-  * ACROSS THE COMPACTION SWAP specifically. Appends (and the in-place
-  * partition rewrites of `compactDates`/`upsertPartitions`) publish into
-  * the live generation through the committer's per-file renames, so a
-  * reader listing the table mid-commit can see a torn batch — the
-  * tx-log-free trade; Delta's log is what makes appends atomic there.
-  * Readers needing append atomicity read behind the ingest high-water
-  * marker (`GhaPipeline`), which advances only after the batch commits.
-  * Pre-generation flat layouts (`dir/date=...`) remain readable and
-  * appendable; their first compaction migrates them to `g0`.
+  * MULTI-WRITER commit protocol (the optimistic-concurrency parity with
+  * the reference's Delta store — `preprocess.py:169-175` gets conflict
+  * detection from the tx log, `retries=10` at `:261` exists because Delta
+  * REBASES commits). Data writes are long and lock-free; only the COMMIT
+  * POINT (metadata renames + the `_SUCCESS` marker) serializes, under a
+  * create-exclusive `_commit.lock` held for milliseconds:
+  *
+  *  - [[append]] stages its batch outside the table ( `dir/.staging/` ),
+  *    then under the lock renames the files into the CURRENT generation —
+  *    two concurrent appenders both commit (append ∥ append always
+  *    commutes, Delta's rule), and an append racing a compaction lands in
+  *    whichever generation is current at ITS commit point, never a dead one.
+  *  - [[compact]]/[[overwriteVersioned]] claim the next generation number
+  *    (create-exclusive `g<N>.claim` — serializes generation producers,
+  *    fail-fast for overlapping compactions), write the new generation
+  *    WITHOUT its `_SUCCESS`, then under the lock REBASE concurrent
+  *    appends (files that appeared in the source since the snapshot are
+  *    copied in — compact only; a blind overwrite replaces them by
+  *    definition) and commit by creating `_SUCCESS` (atomic visibility).
+  *    A file REWRITTEN during compaction (merge/delete raced it) is a true
+  *    conflict: compaction aborts cleanly and can re-run.
+  *  - Read-modify-write callers ([[Scd2]], incremental views) use
+  *    [[transactVersioned]]: [[overwriteVersioned]]'s `expectedGen` CAS
+  *    fails the commit when the base generation moved, and the caller
+  *    re-derives from the new state and retries — exactly Delta's
+  *    optimistic-transaction loop.
+  *  - In-place partition rewrites ([[upsertPartitions]] and the ops built
+  *    on it) verify under the lock that the generation did not advance
+  *    during their write; if a compaction swapped mid-write they throw
+  *    [[ConcurrentWriteException]] (their files went to the superseded
+  *    generation) and the idempotent caller re-runs against the new one.
+  *
+  * Readers needing append atomicity across a multi-table tick still read
+  * behind the ingest high-water marker (`GhaPipeline`), which advances
+  * only after the whole batch commits. Pre-generation flat layouts
+  * (`dir/date=...`) remain readable and appendable; their first compaction
+  * migrates them to `g0`. On rename-less object stores the staged-append
+  * publish degrades to copy (O(batch), never O(table)); `create(path,
+  * overwrite=false)` must be atomic (S3 If-None-Match PUT / GCS
+  * preconditions), the same primitive the generation claim already needs.
   */
 object TableStore {
 
@@ -59,6 +88,30 @@ object TableStore {
 
   private val GenName = "^g(\\d+)$".r
 
+  /** TRULY atomic create-exclusive — the primitive every claim/lock here
+    * stands on. Hadoop's local `create(p, overwrite = false)` is
+    * check-then-act (two racing writers can BOTH win and then clobber one
+    * another's generation); `O_CREAT|O_EXCL` via nio is the kernel-atomic
+    * form. Remote stores keep `FileSystem.create` — HDFS create is
+    * namenode-atomic, and object stores bind it to a conditional PUT
+    * (S3 If-None-Match / GCS preconditions).
+    */
+  private def atomicCreate(f: FileSystem, p: Path): Boolean = {
+    if (f.getUri.getScheme == "file") {
+      val local = new java.io.File(f.makeQualified(p).toUri.getPath)
+      val parent = local.getParentFile
+      if (parent != null) parent.mkdirs()
+      try { java.nio.file.Files.createFile(local.toPath); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
   /** Atomically claim the right to write generation `n` via a create-
     * exclusive lock file (`g<n>.claim`). Generation writers claim BEFORE
     * touching anything; the claim is removed on commit and reclaimed by
@@ -74,12 +127,100 @@ object TableStore {
       if (System.currentTimeMillis - st.getModificationTime > staleMs)
         f.delete(p, false)
     } catch { case _: java.io.FileNotFoundException => () }
-    try { f.create(p, false).close(); true }
-    catch { case _: java.io.IOException => false }
+    atomicCreate(f, p)
   }
 
   private def releaseClaim(f: FileSystem, dir: String, n: Int): Unit =
     f.delete(new Path(dir, s"g$n.claim"), false)
+
+  /** Sentinel for [[overwriteVersioned]]'s `expectedGen`: skip the CAS
+    * check (blind overwrite — last writer wins, Delta's semantics for a
+    * write that read nothing).
+    */
+  val CasUnchecked: Int = Int.MinValue
+
+  /** Current generation NUMBER; -1 for fresh/legacy-flat tables (the CAS
+    * base a read-modify-write caller passes back as `expectedGen`).
+    */
+  def currentGenNumber(spark: SparkSession, dir: String): Int =
+    currentGeneration(spark, dir).map(_._1).getOrElse(-1)
+
+  /** Test hook: runs after a generation writer finishes its staged data
+    * write and before it enters the commit critical section — the window
+    * concurrent appends/commits land in. Production no-op.
+    */
+  private[store] var beforeCommitHook: () => Unit = () => ()
+
+  /** Table-level commit mutex — serializes COMMIT POINTS only (metadata
+    * renames, marker creation), never data writes, so it is held for
+    * milliseconds. Create-exclusive `_commit.lock` with stale-age expiry
+    * (a crashed committer blocks others only until `staleMs`); waiters
+    * poll briefly and fail loudly rather than queueing forever.
+    */
+  private def withCommitLock[T](f: FileSystem, dir: String,
+      staleMs: Long)(body: => T): T = {
+    val p = new Path(dir, "_commit.lock")
+    f.mkdirs(new Path(dir))
+    val deadline = System.currentTimeMillis + math.min(staleMs, 120000L)
+    var held = false
+    while (!held) {
+      try {
+        val st = f.getFileStatus(p)
+        if (System.currentTimeMillis - st.getModificationTime > staleMs)
+          f.delete(p, false)
+      } catch { case _: java.io.FileNotFoundException => () }
+      if (atomicCreate(f, p)) held = true
+      else {
+        if (System.currentTimeMillis > deadline)
+          throw new ConcurrentWriteException(
+            s"timed out waiting for the commit lock on $dir")
+        Thread.sleep(25)
+      }
+    }
+    try body finally f.delete(p, false)
+  }
+
+  /** Claim the next generation number with the committed-behind-us check:
+    * between resolving `cur + 1` and creating the claim, the racing winner
+    * may have committed that very number AND released its claim — writing
+    * into a committed generation would corrupt it, so re-resolve under the
+    * claim and move up. With `expectedGen` set (read-modify-write), a base
+    * that moved fails the CAS here, BEFORE the expensive data write.
+    */
+  private def claimNextGeneration(spark: SparkSession, f: FileSystem,
+      dir: String, staleMs: Long, expectedGen: Int): Int = {
+    var spins = 0
+    while (true) {
+      val cur = currentGenNumber(spark, dir)
+      if (expectedGen != CasUnchecked && cur != expectedGen)
+        throw new ConcurrentWriteException(
+          s"$dir moved to g$cur since this writer read g$expectedGen — " +
+            "re-derive from the current state and retry (transactVersioned)")
+      val n = cur + 1
+      if (!claimGeneration(f, dir, n, staleMs))
+        throw new ConcurrentWriteException(
+          s"another writer holds the claim for $dir/g$n " +
+            s"(stale claims expire after ${staleMs}ms)")
+      if (currentGenNumber(spark, dir) == n - 1) return n
+      releaseClaim(f, dir, n)
+      spins += 1
+      if (spins > 8) throw new ConcurrentWriteException(
+        s"$dir: generations advancing faster than this writer can claim")
+    }
+    -1 // unreachable
+  }
+
+  /** Age-expired cleanup of `.staging/` debris a crashed writer left —
+    * never visible to readers (dot-prefixed), just dead bytes.
+    */
+  private def cleanStaleStaging(f: FileSystem, dir: String,
+      staleMs: Long): Unit = {
+    val st = new Path(dir, ".staging")
+    if (f.exists(st)) f.listStatus(st).foreach { s =>
+      if (System.currentTimeMillis - s.getModificationTime > staleMs)
+        f.delete(s.getPath, true)
+    }
+  }
 
   /** Current (generation number, data dir): the highest `g<N>` subdir with a
     * committed `_SUCCESS`. None for legacy flat layouts and missing tables.
@@ -118,10 +259,47 @@ object TableStore {
         if (legacyFlat) dir else s"$dir/g0"
     }
 
-  /** S6: append one batch, partitioned by `date` (`preprocess.py:165-175`). */
-  def append(df: DataFrame, dir: String): Unit =
-    df.write.mode("append").partitionBy("date")
-      .parquet(writeDir(df.sparkSession, dir))
+  /** S6: append one batch, partitioned by `date` (`preprocess.py:165-175`).
+    *
+    * Staged publish: the batch writes to `dir/.staging/<uuid>` (long,
+    * lock-free, parallel with everything), then the files rename into the
+    * CURRENT generation under the commit lock (milliseconds). Two
+    * concurrent appenders both commit — task-UUID file names can't
+    * collide — and an append racing a compaction resolves its target
+    * generation at its own commit point: either the compactor's locked
+    * rebase picks the files up from the old generation, or the rename
+    * lands them in the new one. Never both (the lock serializes the two
+    * commit points), never neither.
+    */
+  def append(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val staging = s"$dir/.staging/append-${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").partitionBy("date").parquet(staging)
+    withCommitLock(f, dir, 30L * 60 * 1000) {
+      val tgt = new Path(writeDir(spark, dir))
+      f.mkdirs(tgt)
+      f.listStatus(new Path(staging)).foreach { pd =>
+        if (pd.isDirectory && pd.getPath.getName.startsWith("date=")) {
+          val dst = new Path(tgt, pd.getPath.getName)
+          f.mkdirs(dst)
+          f.listStatus(pd.getPath).foreach { file =>
+            val name = file.getPath.getName
+            if (!name.startsWith("_") && !name.startsWith("."))
+              require(f.rename(file.getPath, new Path(dst, name)),
+                s"append publish rename failed: ${file.getPath} -> $dst")
+          }
+        }
+      }
+      // a fresh g0 needs its visibility marker (committer wrote it into
+      // staging, not here); legacy flat roots never carry one
+      if (GenName.matches(tgt.getName)) {
+        val marker = new Path(tgt, "_SUCCESS")
+        if (!f.exists(marker)) f.create(marker).close()
+      }
+      f.delete(new Path(staging), true)
+    }
+  }
 
   /** Write-path expectations (the Delta table-constraints / dbt
     * store-and-route shape): rows satisfying every ROW-LOCAL check append
@@ -184,6 +362,7 @@ object TableStore {
     * block of the pipeline's crash recovery, `GhaPipeline.recoverInflight`).
     */
   def upsertPartitions(spark: SparkSession, df: DataFrame, dir: String): Unit = {
+    val genBefore = currentGenNumber(spark, dir)
     val tgt = writeDir(spark, dir)
     // writer-scoped dynamic mode: must not leak into the session conf, where
     // it would silently change every later partitioned overwrite (and drop
@@ -191,12 +370,23 @@ object TableStore {
     df.write.mode("overwrite").partitionBy("date")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(tgt)
-    // dynamic-overwrite commits move partition dirs but write no top-level
-    // _SUCCESS; if this was the table's FIRST write (fresh g0), commit the
-    // generation marker ourselves, after the data — visibility stays atomic.
     val f = fs(spark, dir)
-    val marker = new Path(tgt, "_SUCCESS")
-    if (!f.exists(marker)) f.create(marker).close()
+    beforeCommitHook()
+    withCommitLock(f, dir, 30L * 60 * 1000) {
+      // a compaction that swapped generations during this write would have
+      // either rebased-then-lost our rewrites or aborted on them — verify
+      // under the lock that our files landed in the LIVE generation; the
+      // idempotent caller re-runs against the new one otherwise
+      if (currentGenNumber(spark, dir) != genBefore)
+        throw new ConcurrentWriteException(
+          s"$dir swapped generations during a partition rewrite " +
+            s"(g$genBefore -> g${currentGenNumber(spark, dir)}) — re-run it")
+      // dynamic-overwrite commits move partition dirs but write no top-level
+      // _SUCCESS; if this was the table's FIRST write (fresh g0), commit the
+      // generation marker ourselves, after the data — visibility stays atomic.
+      val marker = new Path(tgt, "_SUCCESS")
+      if (!f.exists(marker)) f.create(marker).close()
+    }
   }
 
   /** S13: row-level MERGE (Delta `MERGE INTO ... WHEN MATCHED UPDATE ALL /
@@ -402,21 +592,64 @@ object TableStore {
   def overwriteVersioned(df: DataFrame, dir: String,
       partitionCols: Seq[String] = Nil,
       staleLockMs: Long = 30L * 60 * 1000,
-      retainGenerations: Int = 2): Unit = {
+      retainGenerations: Int = 2,
+      expectedGen: Int = CasUnchecked): Unit = {
     require(retainGenerations >= 1,
       s"retainGenerations must be >= 1, got $retainGenerations")
     val spark = df.sparkSession
-    val nextN = currentGeneration(spark, dir).map(_._1 + 1).getOrElse(0)
-    if (!claimGeneration(fs(spark, dir), dir, nextN, staleLockMs))
-      throw new ConcurrentWriteException(
-        s"another writer holds the claim for $dir/g$nextN")
-    val tgt = s"$dir/g$nextN"
-    val w = df.write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tgt)
-    vacuum(spark, dir, keepFrom = nextN - (retainGenerations - 1))
-    releaseClaim(fs(spark, dir), dir, nextN)
+    val f = fs(spark, dir)
+    // claim = mutual exclusion among generation producers (and the CAS
+    // check for read-modify-write callers, BEFORE the expensive write)
+    val nextN = claimNextGeneration(spark, f, dir, staleLockMs, expectedGen)
+    try {
+      val tgt = s"$dir/g$nextN"
+      // no _SUCCESS from the committer: visibility is OUR commit point,
+      // created under the lock after the data is fully in place
+      val w = df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tgt)
+      beforeCommitHook()
+      withCommitLock(f, dir, staleLockMs) {
+        f.create(new Path(tgt, "_SUCCESS"), true).close() // the commit point
+      }
+      vacuum(spark, dir, keepFrom = nextN - (retainGenerations - 1))
+    } finally releaseClaim(f, dir, nextN)
+  }
+
+  /** Delta-style optimistic read-modify-write transaction: `compute` must
+    * READ the table fresh and return its full replacement; the commit
+    * CAS-checks the base generation and, on a concurrent commit, the whole
+    * body re-runs against the new state — the reference's `retries=10`
+    * loop (`preprocess.py:261`), here with the re-derivation made explicit
+    * instead of implicit in Delta's log rebase. Generation retention keeps
+    * the base snapshot's files alive across one concurrent swap, so an
+    * in-flight `compute` reads a consistent snapshot even while losing.
+    */
+  def transactVersioned(spark: SparkSession, dir: String,
+      partitionCols: Seq[String] = Nil,
+      retries: Int = 10,
+      retainGenerations: Int = 2)(compute: => DataFrame): Unit = {
+    var attempt = 0
+    while (true) {
+      val base = currentGenNumber(spark, dir)
+      val next = compute
+      try {
+        overwriteVersioned(next, dir, partitionCols,
+          retainGenerations = retainGenerations, expectedGen = base)
+        return
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt > retries) throw e
+          // bounded backoff with jitter: the winner's commit section is
+          // milliseconds, but its data write (which holds the claim) can
+          // be long — wait out claims, not just commits
+          Thread.sleep(math.min(2000L, 50L << math.min(attempt, 5)) +
+            scala.util.Random.nextInt(50))
+      }
+    }
   }
 
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -942,41 +1175,59 @@ object TableStore {
       s"retainGenerations must be >= 1, got $retainGenerations")
     val cur = currentGeneration(spark, dir)
     val srcDir = cur.map(_._2).getOrElse(dir)
-    val nextN = cur.map(_._1 + 1).getOrElse(0)
-    // CAS the generation number BEFORE touching anything: an overlapping
+    val f = fs(spark, dir)
+    // Claim the generation number BEFORE touching anything: an overlapping
     // tick + manual backfill both computing g<N+1> must not interleave
-    // writes into the same directory — the loser aborts cleanly here.
-    if (!claimGeneration(fs(spark, dir), dir, nextN, staleLockMs))
-      throw new ConcurrentWriteException(
-        s"another writer holds the claim for $dir/g$nextN " +
-          "(concurrent compaction/overwrite; stale claims expire after " +
-          s"${staleLockMs}ms)")
+    // writes into the same directory — the loser aborts cleanly here. The
+    // expectedGen CAS also fails cleanly if another producer committed
+    // between our resolve and the claim.
+    val nextN = claimNextGeneration(spark, f, dir, staleLockMs,
+      expectedGen = cur.map(_._1).getOrElse(-1))
+    try {
     // Crash hygiene FIRST: a compaction attempt that died mid-write left an
     // UNCOMMITTED generation dir (no _SUCCESS). For a generational table
     // that's just dead bytes, but for a legacy flat table it is fatal:
     // srcDir == dir, and partition discovery over dir now sees date= dirs
     // at two depths ("Conflicting directory structures") — wedging reads
-    // and every compaction retry until the leftover goes. Single-writer is
-    // the documented contract, so anything uncommitted is ours to reclaim.
+    // and every compaction retry until the leftover goes. We hold the
+    // claim, so any uncommitted generation is a dead writer's to reclaim.
     locally {
-      val f = fs(spark, dir)
       val root = new Path(dir)
       if (f.exists(root)) {
         val committed = cur.map(_._1).getOrElse(-1)
         f.listStatus(root).foreach { s =>
           if (s.isDirectory) s.getPath.getName match {
-            case GenName(n) if n.toInt > committed &&
+            case GenName(n) if n.toInt > committed && n.toInt != nextN &&
                 !f.exists(new Path(s.getPath, "_SUCCESS")) =>
               f.delete(s.getPath, true)
             case _ => ()
           }
         }
       }
+      cleanStaleStaging(f, dir, staleLockMs)
     }
-    // ONE recursive listing drives everything: the before-count AND the
+    // Paths relative to the source root: stable keys for the snapshot/
+    // re-list diff and the rebase copy targets (the listing returns
+    // qualified URIs; srcDir may be a bare path).
+    val srcRoot = f.makeQualified(new Path(srcDir)).toUri.getPath
+      .reverse.dropWhile(_ == '/').reverse
+    def relOf(p: String): String =
+      new Path(p).toUri.getPath.stripPrefix(srcRoot).dropWhile(_ == '/')
+    // For a legacy FLAT root the recursive listing must ignore generation
+    // dirs (our own in-progress g<N> would otherwise read as source data
+    // at re-list time).
+    def listSrc(): Seq[(String, Long)] =
+      listParquetStatus(spark, srcDir).filter { case (p, _) =>
+        cur.isDefined || !GenName.matches(relOf(p).takeWhile(_ != '/'))
+      }
+    // ONE recursive listing drives everything: the before-count, the
     // per-date byte totals (keyed by the unescaped partition value, so an
-    // escaped char in a dir name still matches the column's string form)
-    val files = listParquetStatus(spark, srcDir)
+    // escaped char in a dir name still matches the column's string form),
+    // AND the pinned file set the read plan scans — concurrent appends
+    // landing after this point are invisible to the rewrite and picked up
+    // by the locked rebase at commit.
+    val files = listSrc()
+    val snapshot = files.map(s => relOf(s._1)).toSet
     val before = files.size.toLong
     val DateSeg = ".*/date=([^/]+)/.*".r
     val bucketsFor: Map[String, Long] = files
@@ -991,37 +1242,63 @@ object TableStore {
     val tgt = s"$dir/g$nextN"
     val reader = schema.orElse(declaredSchema(spark, dir))
       .fold(spark.read)(s => spark.read.schema(s))
-    val df = reader.parquet(srcDir)
+    // pin the scan to the snapshot (basePath keeps the date= partition
+    // column); an empty table falls back to the dir read's error modes
+    val df = if (files.isEmpty) reader.parquet(srcDir)
+      else reader.option("basePath", srcDir).parquet(files.map(_._1): _*)
     val totalBuckets = math.max(1L, bucketsFor.values.sum)
-    if (zorderBy.nonEmpty) {
-      // Z-ORDER variant (Delta OPTIMIZE ZORDER analog): instead of hash
-      // buckets, range-partition + sort on (date, z) so every output file
-      // covers a tight hyper-rectangle of the z-columns. Range sampling
-      // sees heavy dates proportionally, so file sizing still tracks
-      // targetFileBytes without the per-date bucket join. Explicit
-      // partition count keeps AQE from coalescing the layout away.
-      val zCol = "__graft_z"
-      df.withColumn(zCol, ZOrder.zvalue(df, zorderBy, zorderBits))
-        .repartitionByRange(totalBuckets.min(20000).toInt,
-          col("date"), col(zCol))
-        .sortWithinPartitions(col("date"), col(zCol))
-        .drop(zCol)
-        .write.mode("overwrite").partitionBy("date")
-        .option("partitionOverwriteMode", "static").parquet(tgt)
-      writeStatsSidecar(spark, tgt)
-      vacuum(spark, dir, keepFrom = nextN - (retainGenerations - 1))
-      releaseClaim(fs(spark, dir), dir, nextN)
-      return (before, listParquet(spark, tgt).size.toLong)
-    }
-    // Static mode regardless of session conf: the fresh generation dir
-    // must get its committer-written _SUCCESS, which makes it visible.
-    binPack(spark, df, bucketsFor)
-      .write.mode("overwrite").partitionBy("date")
-      .option("partitionOverwriteMode", "static").parquet(tgt)
+    // visibility is OUR commit point (the locked _SUCCESS below), not the
+    // committer's — suppress its marker
+    val compacted =
+      if (zorderBy.nonEmpty) {
+        // Z-ORDER variant (Delta OPTIMIZE ZORDER analog): instead of hash
+        // buckets, range-partition + sort on (date, z) so every output file
+        // covers a tight hyper-rectangle of the z-columns. Range sampling
+        // sees heavy dates proportionally, so file sizing still tracks
+        // targetFileBytes without the per-date bucket join. Explicit
+        // partition count keeps AQE from coalescing the layout away.
+        val zCol = "__graft_z"
+        df.withColumn(zCol, ZOrder.zvalue(df, zorderBy, zorderBits))
+          .repartitionByRange(totalBuckets.min(20000).toInt,
+            col("date"), col(zCol))
+          .sortWithinPartitions(col("date"), col(zCol))
+          .drop(zCol)
+      } else binPack(spark, df, bucketsFor)
+    compacted.write.mode("overwrite").partitionBy("date")
+      .option("partitionOverwriteMode", "static")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(tgt)
+    // sidecar from the staged output only; files rebased below simply have
+    // no stats rows, and pruning keeps stats-less files conservatively
     writeStatsSidecar(spark, tgt)
+    beforeCommitHook()
+    withCommitLock(f, dir, staleLockMs) {
+      val after = listSrc()
+      val afterSet = after.map(s => relOf(s._1)).toSet
+      val removed = snapshot -- afterSet
+      if (removed.nonEmpty) {
+        // a snapshot file VANISHED: a partition rewrite (merge / delete /
+        // replaceWhere) raced this compaction — our output holds rows the
+        // rewriter replaced. True conflict: abort cleanly, re-run.
+        f.delete(new Path(tgt), true)
+        throw new ConcurrentWriteException(
+          s"$dir: ${removed.size} source files were rewritten during " +
+            "compaction (a partition rewrite raced it) — re-run the compact")
+      }
+      // REBASE concurrent appends: files that appeared since the snapshot
+      // COPY into the new generation (never move — the source generation
+      // stays live and complete until the _SUCCESS lands)
+      after.filter(s => !snapshot.contains(relOf(s._1))).foreach { case (p, _) =>
+        val dst = new Path(tgt, relOf(p))
+        f.mkdirs(dst.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(f, new Path(p), f, dst, false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+      f.create(new Path(tgt, "_SUCCESS"), true).close() // the commit point
+    }
     vacuum(spark, dir, keepFrom = nextN - (retainGenerations - 1))
-    releaseClaim(fs(spark, dir), dir, nextN)
     (before, listParquet(spark, tgt).size.toLong)
+    } finally releaseClaim(f, dir, nextN)
   }
 
   /** Deterministic per-date hash bin-packing (shared by [[compact]] and

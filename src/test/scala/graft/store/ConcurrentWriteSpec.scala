@@ -1,0 +1,202 @@
+package graft.store
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+/** Multi-writer commit concurrency — the optimistic-concurrency parity
+  * with the reference's Delta store (`preprocess.py:169-175`; its
+  * `retries=10` exists because Delta REBASES commits instead of failing
+  * them). The laws, each pinned deterministically via the
+  * `beforeCommitHook` injection point (which fires between a writer's
+  * staged data write and its locked commit — exactly the window real
+  * concurrency lands in):
+  *
+  *  - append ∥ append always commutes: both batches commit and read back;
+  *  - append ∥ compact: the compactor REBASES the concurrent batch into
+  *    the new generation at its locked commit point — never lost, never
+  *    doubled — and the swap stays invisible until its `_SUCCESS`;
+  *  - partition-rewrite ∥ compact: a TRUE conflict — the compactor aborts
+  *    cleanly (store untorn) and a re-run converges;
+  *  - generation swap ∥ partition-rewrite: the rewriter detects its files
+  *    went to a superseded generation, throws, and an idempotent re-run
+  *    converges;
+  *  - read-modify-write ∥ read-modify-write (Scd2): the loser re-derives
+  *    from the winner's state and commits — BOTH effects land;
+  *  - a stale `expectedGen` fails BEFORE any data is written (CAS);
+  *  - a dead committer's `_commit.lock` expires by age.
+  */
+class ConcurrentWriteSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, "cw").toString
+  }
+
+  private def mkBatch(day: String, ids: Range) =
+    ids.map(i => (i, s"u$i", java.sql.Date.valueOf(day)))
+      .toDF("id", "user", "date")
+
+  private def resetHook(): Unit = TableStore.beforeCommitHook = () => ()
+
+  test("two overlapping appenders both commit; both batches read back") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-01-01", 0 until 5), dir) // settle g0
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(
+      ("2024-01-01", 100 until 150), ("2024-01-02", 200 until 270)).map {
+      case (d, ids) => new Thread(() =>
+        try TableStore.append(mkBatch(d, ids), dir)
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"appender failed: ${Option(errs.peek())}")
+    val back = TableStore.read(spark, dir)
+    assert(back.count() === 5 + 50 + 70)
+    assert(back.filter($"id" >= 100 && $"id" < 150).count() === 50)
+    assert(back.filter($"id" >= 200).count() === 70)
+  }
+
+  test("an append landing during compaction is rebased into the new " +
+    "generation; the swap is invisible until its _SUCCESS") {
+    val dir = tmpDir() + "/t"
+    (1 to 3).foreach(k =>
+      TableStore.append(mkBatch("2024-02-01", k * 10 until k * 10 + 5), dir))
+    val genBefore = TableStore.currentGenNumber(spark, dir)
+    var genSeenInWindow = -2
+    TableStore.beforeCommitHook = () => {
+      resetHook() // the nested append must not re-fire the hook
+      // the compactor's staged generation must NOT be visible yet
+      genSeenInWindow = TableStore.currentGenNumber(spark, dir)
+      TableStore.append(mkBatch("2024-02-02", 900 until 920), dir)
+    }
+    try {
+      val (before, after) = TableStore.compact(spark, dir)
+      assert(before >= after)
+    } finally resetHook()
+    assert(genSeenInWindow === genBefore,
+      "staged generation leaked before its commit point")
+    assert(TableStore.currentGenNumber(spark, dir) === genBefore + 1)
+    // the concurrent batch is IN the new generation: present exactly once
+    val back = TableStore.read(spark, dir)
+    assert(back.count() === 15 + 20)
+    assert(back.filter($"id" >= 900).count() === 20)
+    // and survives the NEXT compaction (it is real data, not a ghost)
+    TableStore.compact(spark, dir)
+    assert(TableStore.read(spark, dir).count() === 35)
+  }
+
+  test("a partition rewrite during compaction is a true conflict: the " +
+    "compactor aborts cleanly and a re-run converges") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-03-01", 0 until 10), dir)
+    TableStore.append(mkBatch("2024-03-02", 10 until 20), dir)
+    TableStore.beforeCommitHook = () => {
+      resetHook()
+      // rewrite 03-01 mid-compaction (merge semantics: replace ids 0-4)
+      TableStore.merge(spark,
+        mkBatch("2024-03-01", 0 until 5)
+          .withColumn("user", concat(lit("NEW_"), col("user"))),
+        dir, Seq("id"))
+    }
+    val rows =
+      try intercept[TableStore.ConcurrentWriteException] {
+        TableStore.compact(spark, dir)
+      } finally resetHook()
+    assert(rows.getMessage.contains("rewritten during"))
+    // untorn: same generation as the merge left, data = post-merge state
+    val back = TableStore.read(spark, dir)
+    assert(back.count() === 20)
+    assert(back.filter($"user".startsWith("NEW_")).count() === 5)
+    // no uncommitted-generation debris blocks the re-run
+    val (b2, a2) = TableStore.compact(spark, dir)
+    assert(b2 >= a2)
+    assert(TableStore.read(spark, dir).count() === 20)
+    assert(TableStore.read(spark, dir)
+      .filter($"user".startsWith("NEW_")).count() === 5)
+  }
+
+  test("a generation swap during a partition rewrite throws; the " +
+    "idempotent re-run converges") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-04-01", 0 until 10), dir)
+    val upd = mkBatch("2024-04-01", 0 until 3)
+      .withColumn("user", lit("rewritten"))
+    TableStore.beforeCommitHook = () => {
+      resetHook()
+      // a compaction swaps generations while the rewrite is pre-commit
+      TableStore.compact(spark, dir)
+    }
+    try intercept[TableStore.ConcurrentWriteException] {
+      TableStore.merge(spark, upd, dir, Seq("id"))
+    } finally resetHook()
+    // re-run against the new generation converges
+    TableStore.merge(spark, upd, dir, Seq("id"))
+    val back = TableStore.read(spark, dir)
+    assert(back.count() === 10)
+    assert(back.filter($"user" === "rewritten").count() === 3)
+  }
+
+  test("two overlapping SCD2 appliers both commit (optimistic retry — " +
+    "the reference's Delta retries=10 loop)") {
+    val dir = tmpDir() + "/dim"
+    Scd2.init(Seq((1L, "gold"), (2L, "silver"), (3L, "bronze"))
+      .toDF("id", "tier"), dir, java.sql.Date.valueOf("2024-01-01"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // DISJOINT batches (each names only the key it changes — a batch that
+    // restated other keys would legitimately re-assert their old values
+    // over the winner's update under serial semantics): the loser
+    // re-derives from the winner's committed state and retries, so BOTH
+    // updates land whichever order the race resolves to
+    val threads = Seq(
+      Seq((1L, "platinum")), Seq((3L, "iron"))).map { rows =>
+      new Thread(() =>
+        try Scd2.apply(spark, dir, rows.toDF("id", "tier"), Seq("id"),
+          java.sql.Date.valueOf("2024-02-01"))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    assert(errs.isEmpty, s"applier failed: ${Option(errs.peek())}")
+    val cur = Scd2.current(spark, dir)
+      .select("id", "tier").as[(Long, String)].collect().toMap
+    assert(cur === Map(1L -> "platinum", 2L -> "silver", 3L -> "iron"))
+    // interval integrity survived the race: one open version per key
+    val open = TableStore.read(spark, dir)
+      .filter(col("valid_to").isNull).groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(open.values.forall(_ === 1L), s"torn dimension: $open")
+  }
+
+  test("a stale expectedGen fails the CAS before any data is written") {
+    val dir = tmpDir() + "/t"
+    val df = Seq((1, "a")).toDF("k", "v")
+    TableStore.overwriteVersioned(df, dir) // g0
+    TableStore.overwriteVersioned(df, dir) // g1
+    val e = intercept[TableStore.ConcurrentWriteException] {
+      TableStore.overwriteVersioned(df, dir, expectedGen = 0)
+    }
+    assert(e.getMessage.contains("moved to g1"))
+    // nothing was staged or committed past g1
+    assert(TableStore.generations(spark, dir).max === 1)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(dir, "g2")))
+  }
+
+  test("a dead committer's _commit.lock expires by age") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-05-01", 0 until 5), dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(dir, "_commit.lock")
+    f.create(lock, false).close()
+    // age the lock past the default staleness window
+    f.setTimes(lock, System.currentTimeMillis - 31L * 60 * 1000, -1)
+    TableStore.append(mkBatch("2024-05-01", 5 until 10), dir)
+    assert(TableStore.read(spark, dir).count() === 10)
+    assert(!f.exists(lock), "the publishing appender must release the lock")
+  }
+}
