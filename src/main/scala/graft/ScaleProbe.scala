@@ -558,6 +558,162 @@ object ScaleProbe {
       }
       org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(cb)
     }
+    // ---- round-8: REAL tokenizer-scale BPE (32k vocab) ------------------------
+    // The batched trainer's headline claim, exercised for real: jobs must
+    // track rounds (≈ vocab / admitted-per-round), not vocab — 32k merges
+    // as a few hundred job barriers, not 32k. A 50k-word alphabet keeps
+    // pair diversity far above the merge count (upper bound ~ distinct
+    // words x 7 pair types ≈ 350k), so the run never exhausts.
+    if (want("bpe32k")) {
+      println("\n== BPE 32k vocab: tokenizer-scale run, batch=128 ==")
+      val c32 = spark.range(50000L).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(40)),
+          i => substring(md5(pmod(xxhash64(col("id") * 41L + i), lit(50000L))
+            .cast("string")), 1, 8))).as("text")).localCheckpoint()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val jl = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(jl)
+      val m32 = time("bpe 32768 merges batch=128 docs=50000") {
+        graft.llm.Bpe.train(c32, "text", 32768, batch = 128)
+      }
+      spark.sparkContext.removeSparkListener(jl)
+      println(f"    merges=${m32.length} sparkJobs=${jobs.get}" +
+        f" jobsPerMerge=${jobs.get.toDouble / m32.length}%.3f")
+      require(m32.length == 32768, s"expected 32768 merges, got ${m32.length}")
+      org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(c32)
+    }
+
+    // ---- round-8: the x100 sweep (500k docs / 200k vectors) -------------------
+    // The closest the sandbox allows to the 100 TB design claim: push the
+    // dedup + ANN + clustering stack TWO orders past the fixture with the
+    // skew caps engaged and check growth stays sub-quadratic. Replicated
+    // copies make every copy-group an all-pairs near-dup clique, so the
+    // TRUE pair count grows ~copies² — runtime must track corpus size
+    // (bucketed, capped), never the clique count.
+    if (want("heavy100")) {
+      println("\n== heavy stack at x100: dedup ==")
+      for (copies <- Seq(10, 100)) {
+        val d = replicateDocs(docs, copies).repartition(32).localCheckpoint()
+        val n = d.count()
+        val pairs = time(f"minhash LSH pairs     n=$n%-7d") {
+          graft.llm.VectorOps.minhashPairsNative(d, 0.5, maxBucket = 64).count()
+        }
+        println(s"    pairs=$pairs")
+        time(f"dedup resolve         n=$n%-7d") {
+          graft.llm.TextOps.dedupClusters(
+            graft.llm.VectorOps.minhashPairsNative(d, 0.5, maxBucket = 64))
+            .count()
+        }
+        // boilerplate-capped containment: at copies > maxDf EVERY shared
+        // shingle is dropped (conservative under-estimate by design) —
+        // the probe pins that the index build stays corpus-linear
+        val cp = time(f"containment maxDf=60  n=$n%-7d") {
+          graft.llm.TextOps.containmentPairs(d, 0.15, maxDf = 60).count()
+        }
+        println(s"    containment pairs=$cp")
+        // heavy hitters from the vocab-sized aggregate (r8 shape): the
+        // only materialized frame is (word, count) — corpus x100 grows the
+        // tokenize scan, never the persisted state
+        time(f"heavy hitters (CMS)   n=$n%-7d") {
+          val agg = d.select(explode(graft.llm.TextOps.words(col("text")))
+            .as("w")).groupBy("w").agg(count(lit(1)).as("cnt")).persist()
+          try {
+            import spark.implicits._
+            val sk = agg.select(col("w"), col("cnt")).as[(String, Long)]
+              .rdd.treeAggregate(
+                org.apache.spark.util.sketch.CountMinSketch
+                  .create(0.001, 0.99, 42))(
+                (s, wc) => { s.add(wc._1, wc._2); s },
+                (a, b) => { a.mergeInPlace(b); a })
+            println(s"    vocab=${agg.count()} cmsBytes=${sk.toByteArray.length}")
+          } finally agg.unpersist()
+        }
+        d.unpersist()
+      }
+      println("\n== heavy stack at x100: vectors ==")
+      for (copies <- Seq(10, 100)) {
+        val e = replicateEmb(emb, copies).repartition(32).localCheckpoint()
+        val n = e.count()
+        // k/nCells SCALE WITH THE CORPUS — the documented SemDeDup/IVF
+        // contract (fixed target cluster size keeps the within-cluster
+        // pair stage linear in n). The first x100 run capped k at 512:
+        // clusters grew to ~390 members, the pair stage went ~quadratic
+        // (391 s) and knnGraph's candidate fan-out filled the disk — the
+        // cliff this probe exists to catch, recorded in BASELINE.md.
+        val k = 16 * copies
+        val prep = e.select(col("vec_id"),
+          graft.llm.VectorOps.toDouble(col("embedding")).as("v"))
+        time(f"semantic dedup k=$k%-4d  n=$n%-7d") {
+          graft.llm.Clustering.semanticDedup(prep, k, iters = 2,
+            cosThreshold = 0.95, maxCluster = 4096)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(f"knn graph nCells=$k%-4d n=$n%-7d") {
+          graft.llm.Clustering.knnGraph(e, k = 5, nCells = k, nProbe = 4,
+            maxCell = 4096)
+            .write.format("noop").mode("overwrite").save()
+        }
+        e.unpersist()
+      }
+    }
+
+    // ---- round-8 dev: stage breakdown of semanticDedup at x100 ---------------
+    // (profiling aid for the heavy100 super-linear finding; not a claim)
+    if (want("semprof")) {
+      println("\n== semanticDedup stage breakdown, n=200k k=1600 ==")
+      val e = replicateEmb(emb, 100).repartition(32).localCheckpoint()
+      val n = e.count()
+      println(s"    n=$n dim=" + e.select(size(col("embedding"))).head().getInt(0))
+      val prep = e.select(col("vec_id"),
+        graft.llm.VectorOps.toDouble(col("embedding")).as("v"))
+      val cents = time("kmeansFit iters=2 k=1600") {
+        graft.llm.Clustering.kmeansFit(prep, 1600, iters = 2)
+      }
+      val assigned = time("assign + checkpoint") {
+        graft.llm.Clustering.kmeansAssign(prep, cents).localCheckpoint()
+      }
+      val a0 = assigned.select(col("cluster"), col("vec_id").as("__id_a"),
+        col("v").as("__va"))
+      val capped = time("maxCluster cap (TopK 4096)") {
+        graft.plans.TopK.perKey(a0, Seq("cluster"),
+          Seq(col("__id_a").asc), 4096).localCheckpoint()
+      }
+      val b = assigned.select(col("cluster"), col("vec_id").as("__id_b"),
+        col("v").as("__vb"))
+      val nPairs = time("pair join count (no cosine)") {
+        capped.join(b, Seq("cluster"))
+          .filter(col("__id_a") < col("__id_b")).count()
+      }
+      println(s"    pairs=$nPairs")
+      val nDrop = time("pair join + cosine + distinct") {
+        capped.join(b, Seq("cluster"))
+          .filter(col("__id_a") < col("__id_b"))
+          .filter(graft.llm.VectorOps.cosine(col("__va"), col("__vb")) >= 0.95)
+          .select(col("__id_b")).distinct().count()
+      }
+      println(s"    dropped=$nDrop")
+      time("stats agg: select(cluster, posexplode) one-step") {
+        prep.select(graft.llm.Clustering.clusterOf(cents)(col("v"))
+            .as("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cluster", "dim")
+          .agg(sum("x").as("s"), count(lit(1)).as("n")).count()
+      }
+      time("stats agg: cluster -> barrier -> posexplode") {
+        prep.select(graft.llm.Clustering.clusterOf(cents)(col("v"))
+            .as("cluster"), col("v"))
+          .repartition(32)
+          .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cluster", "dim")
+          .agg(sum("x").as("s"), count(lit(1)).as("n")).count()
+      }
+      e.unpersist()
+    }
+
     // ---- sketch aggregates: rows 10x, state FIXED -----------------------------
     // The claim to measure: per-key KLL + Theta aggregation cost tracks the
     // scan linearly while the aggregate STATE stays constant-size (the

@@ -25,13 +25,22 @@ object GhaPipeline {
     * parsed raw is still persisted — the views path folds the SAME batch
     * the appends wrote, without re-parsing.
     */
+  /** Test hook: named crash-injection points inside a tick. A spec that
+    * throws from it simulates the process dying at exactly that point
+    * (ChaosPipelineSpec sweeps every point and proves the resumed run is
+    * byte-identical to a never-crashed one). Production no-op.
+    */
+  private[ingest] var chaosHook: String => Unit = _ => ()
+
   def ingestWith(spark: SparkSession, paths: Seq[String], storeDir: String)(
       f: Map[String, org.apache.spark.sql.DataFrame] => Unit): Unit = {
     val (raw, tables) = Ingest.extractAll(spark, paths)
     try {
       tables.foreach { case (name, df) =>
         TableStore.append(df, s"$storeDir/$name")
+        chaosHook(s"post-append:$name")
       }
+      chaosHook("pre-views")
       f(tables)
     } finally raw.unpersist()
   }
@@ -322,6 +331,7 @@ object GhaPipeline {
       val lastHour = hourly.last._1
       writeMarker(spark, s"$storeDir/_ingest_inflight",
         s"${hourly.head._1}|$lastHour")
+      chaosHook("post-inflight-marker")
       // touched dates come from the batch DATA, not the hour range: an
       // event's created_at (the partition value) can fall on the previous
       // UTC date at an hour-file boundary
@@ -332,12 +342,16 @@ object GhaPipeline {
           df.select(org.apache.spark.sql.functions.col("date").cast("string"))
             .distinct().collect().map(_.getString(0))).toSet
       }
+      chaosHook("post-ingest")
       // maintenance stays O(batch): bin-pack only the touched partitions
       compactTouched(spark, storeDir, touched.toSeq.sorted)
+      chaosHook("post-compact")
       val (commits, comments) = IncrementalViews.queryData(spark, mvDir, keyword)
       TableStore.overwrite(commits, s"$storeDir/results/commits")
       TableStore.overwrite(comments, s"$storeDir/results/comments")
+      chaosHook("post-results")
       writeMarker(spark, s"$storeDir/_ingest_hwm", lastHour.toString)
+      chaosHook("post-hwm")
       deleteMarker(spark, s"$storeDir/_ingest_inflight")
     }
     hourly.map(_._2)

@@ -80,8 +80,26 @@ object Clustering {
     * job total) and spend the full scans only on final assignment.
     */
   def kmeansFit(corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "v"): Seq[(Int, Seq[Double])] = {
-    val seeds = corpus.orderBy(idCol).limit(k)
+      idCol: String = "vec_id", vecCol: String = "v",
+      hashSeeds: Boolean = true): Seq[(Int, Seq[Double])] = {
+    // HASH-SPREAD seeding by default (deterministic: fixed-seed xxhash64,
+    // total order via the id tiebreak). Seeding from the k LOWEST ids —
+    // the pre-round-8 form, kept as `hashSeeds = false` — picks every
+    // seed from whatever corner of the corpus carries the smallest ids;
+    // on any corpus where id order correlates with content (ingest order,
+    // shard order, the x100 replication probe) the seeds all land in one
+    // region, distant regions glom into degenerate mega-clusters, and the
+    // downstream within-cluster pair stage goes QUADRATIC (measured: 778M
+    // pairs instead of ~12M at n=200k, k=1600 — BASELINE.md round-8). A
+    // hash order is an unbiased sample no id layout can skew. The planted
+    // purity fixtures (q_kmeans, q_sample_diverse) pin `false`: their
+    // groups are laid out BY id, so id seeding is the semantically
+    // aligned deterministic choice there, and only there.
+    val seedOrder =
+      if (hashSeeds)
+        Seq(org.apache.spark.sql.functions.xxhash64(col(idCol)), col(idCol))
+      else Seq(col(idCol))
+    val seeds = corpus.orderBy(seedOrder: _*).limit(k)
       .select(col(vecCol)).collect().map(_.getSeq[Double](0))
     require(seeds.nonEmpty, s"k-means: no non-empty vectors in $vecCol")
     // a corpus smaller than k seeds fewer clusters — clamp instead of
@@ -93,7 +111,16 @@ object Clustering {
     for (_ <- 1 to iters) {
       val stats = corpus
         .select(clusterOf(cents)(col(vecCol)).as("cluster"),
-          posexplode(col(vecCol)).as(Seq("dim", "x")))
+          col(vecCol).as("__v"))
+        // BARRIER before the explode: without it CollapseProject merges
+        // the argbest kernel into the post-Generate projection and the
+        // k x dim assignment loop runs once per EXPLODED ELEMENT — dim x
+        // redundant work (measured 55 s vs 2.7 s per iteration at
+        // n=200k, k=1600, dim=64 — the round-8 `semprof` probe). The
+        // exchange moves n x (dim+1) doubles once per iteration, orders
+        // of magnitude under the kernel work it prevents.
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
         .agg(sum("x").as("s"), cnt.as("n"))
         .collect()
@@ -243,11 +270,21 @@ object Clustering {
       .join(cellMembers, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
+    // Re-attach joins are hinted SHUFFLE_HASH with the (small) vector
+    // table as the build side: the candidate stream is n x nProbe x
+    // cellSize rows — the largest frame in the build by far — and a
+    // sort-merge join must SORT it. The round-8 x100 probe (200k vectors,
+    // 312M candidates) filled the disk with exactly that sort's spill
+    // (~170 GB once qv widened the rows); hash re-attach streams the
+    // candidates through per-partition hash maps of the vector table and
+    // never sorts them. At any scale the build side is corpus/partitions
+    // rows — bounded — while the probe side only shuffles 16-byte id
+    // pairs.
     val scored = candidates
-      .join(corpus.select(col("vec_id").as("query_id"), v.as("qv")),
-        Seq("query_id"))
-      .join(idx.assignments.select(col("neighbor_id"), col("tv")),
-        Seq("neighbor_id"))
+      .join(corpus.select(col("vec_id").as("query_id"), v.as("qv"))
+        .hint("shuffle_hash"), Seq("query_id"))
+      .join(idx.assignments.select(col("neighbor_id"), col("tv"))
+        .hint("shuffle_hash"), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(VectorOps.cosine(col("qv"), col("tv")), 4).as("cos"))
     graft.plans.TopK.perKey(scored, Seq("query_id"),
@@ -294,9 +331,9 @@ object Clustering {
     */
   def diverseSample(corpus: DataFrame, k: Int, iters: Int, perCluster: Int,
       idCol: String = "vec_id", vecCol: String = "v",
-      byHash: Boolean = true): DataFrame = {
+      byHash: Boolean = true, hashSeeds: Boolean = true): DataFrame = {
     require(perCluster >= 1, s"perCluster must be >= 1, got $perCluster")
-    val cents = kmeansFit(corpus, k, iters, idCol, vecCol)
+    val cents = kmeansFit(corpus, k, iters, idCol, vecCol, hashSeeds)
     val assigned = kmeansAssign(corpus, cents, vecCol)
     val rank =
       if (byHash) Seq(xxhash64(col(idCol)).asc, col(idCol).asc)
@@ -331,7 +368,10 @@ object Clustering {
         |FROM embeddings GROUP BY 1 ORDER BY g""".stripMargin),
       (s, d) => {
         val e = plantedGroups(Tables(s, d, "embeddings"))
-        val cents = kmeansFit(e, k = 4, iters = 3)
+        // id seeding pinned: the planted groups are laid out BY id
+        // (g = vec_id % 4), so ids 0..3 are one seed per group — the
+        // deterministic choice this fixture was built around
+        val cents = kmeansFit(e, k = 4, iters = 3, hashSeeds = false)
         kmeansAssign(e, cents)
           .groupBy("cluster")
           .agg(min("g").as("g"), cnt.as("n"),
@@ -412,7 +452,8 @@ object Clustering {
         |ORDER BY g, vec_id""".stripMargin),
       (s, d) => {
         val e = plantedGroups(Tables(s, d, "embeddings"))
-        diverseSample(e, k = 4, iters = 3, perCluster = 5, byHash = false)
+        diverseSample(e, k = 4, iters = 3, perCluster = 5, byHash = false,
+          hashSeeds = false) // planted-by-id fixture, see q_kmeans
           .select(col("g"), col("vec_id"))
           .orderBy("g", "vec_id")
       }),

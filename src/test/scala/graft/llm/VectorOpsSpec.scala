@@ -241,9 +241,14 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.head._3 > 0.99)
   }
 
-  test("ivfCentroids: k-means refinement improves the quantizer objective from bad seeds") {
-    // 3 well-separated clusters, but all 3 lowest-id seeds sit in cluster A
-    // — the worst case for seed-only centroids (B and C start unquantized)
+  test("ivfCentroids: hash-spread seeding avoids the one-region degeneracy; " +
+    "refinement never degrades the quantizer objective") {
+    // 3 well-separated clusters whose LOWEST ids all sit in cluster A —
+    // the id-ordered sampler of rounds <8 would seed all 3 centroids
+    // there (B and C unquantized until Lloyd rescued them); the round-8
+    // hash-spread sample must give a good quantizer from the seeds alone,
+    // because at x100 scale the rescue never fully lands and skewed cells
+    // turn the candidate fan-out quadratic (BASELINE.md round-8).
     def cluster(idBase: Long, axis: Int) = Seq.tabulate(6)(i =>
       (idBase + i, Seq.tabulate(8)(d => if (d == axis) 1f else 0.01f * i)))
     val df = emb(cluster(0, 0) ++ cluster(10, 3) ++ cluster(20, 6): _*)
@@ -259,9 +264,11 @@ class VectorOpsSpec extends AnyFunSuite with SparkFixture {
     }
     val seedOnly = objective(VectorOps.ivfCentroids(df, 3, 0))
     val refined = objective(VectorOps.ivfCentroids(df, 3, 2))
-    assert(refined > seedOnly + 0.2,
-      s"k-means did not improve quantization: $seedOnly -> $refined")
-    assert(refined > 0.75) // B and C are now represented by near-mean centroids
+    assert(seedOnly > 0.7,
+      s"hash-spread seeds left the quantizer degenerate: $seedOnly")
+    assert(refined >= seedOnly - 1e-9,
+      s"k-means degraded quantization: $seedOnly -> $refined")
+    assert(refined > 0.75)
   }
 
   test("ivfTopK: recall within probed cells matches brute force on clustered data") {
