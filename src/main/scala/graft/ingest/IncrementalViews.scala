@@ -184,37 +184,49 @@ object IncrementalViews {
       batchId: Long = -1L): Boolean = {
     if (batch.isEmpty) return false // nothing to fold; never write an empty generation
     val dir = s"$mvDir/quantile_sketches"
-    val existing =
-      if (TableStore.dataFiles(spark, dir).isEmpty) None
-      else Some(TableStore.read(spark, dir, kllViewSchema))
-    // Null-safe: a schema-only generation (e.g. written by a pre-guard
-    // version on an empty first micro-batch) makes max(batch_id) NULL;
-    // getLong(0) on it would NPE and crash-loop the stream forever.
-    val storedMax = existing.flatMap { e =>
-      val r = e.agg(max("batch_id")).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    // Optimistic transaction (round 8): two maintainers racing the same
+    // view (a live stream + a batch backfill) would otherwise both derive
+    // from the same base generation and the second commit would silently
+    // DROP the first's fold. The CAS re-runs this whole read-fold body
+    // against the winner's state; the replay check re-decides inside the
+    // loop for the same reason. CONTRACT: `batchId >= 0` implies a single
+    // sequential stream (foreachBatch — the watermark is one max id, so
+    // batch N committed means every id <= N is folded); a CONCURRENT
+    // folder must use batch mode (batchId = -1), which skips the replay
+    // check and carries the stream's watermark forward untouched.
+    TableStore.transactVersionedOpt(spark, dir) {
+      val existing =
+        if (TableStore.dataFiles(spark, dir).isEmpty) None
+        else Some(TableStore.read(spark, dir, kllViewSchema))
+      // Null-safe: a schema-only generation (e.g. written by a pre-guard
+      // version on an empty first micro-batch) makes max(batch_id) NULL;
+      // getLong(0) on it would NPE and crash-loop the stream forever.
+      val storedMax = existing.flatMap { e =>
+        val r = e.agg(max("batch_id")).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+      if (batchId >= 0 && storedMax.exists(_ >= batchId))
+        None // at-least-once replay: state already holds this batch
+      else {
+        // a batch-mode fold (batchId = -1) must CARRY the stored watermark
+        // forward, not stamp -1 over it — that would reset replay
+        // protection for a stream resuming afterwards
+        val stampId = math.max(batchId, storedMax.getOrElse(-1L))
+        val partial = batch
+          .select(col(keyCol).cast("string").as("key"),
+            col(valCol).cast("double").as("v"))
+          .groupBy("key")
+          .agg(graft.functions.SketchAggs.kllAgg(col("v")).as("sk"))
+          .withColumn("batch_id", lit(stampId))
+        Some(existing match {
+          case None => partial
+          case Some(e) => e.unionByName(partial)
+            .groupBy("key")
+            .agg(graft.functions.SketchAggs.kllMergeAgg(col("sk")).as("sk"))
+            .withColumn("batch_id", lit(stampId))
+        })
+      }
     }
-    if (batchId >= 0 && storedMax.exists(_ >= batchId))
-      return false // at-least-once replay: state already holds this batch
-    // a batch-mode fold (batchId = -1) must CARRY the stored watermark
-    // forward, not stamp -1 over it — that would reset replay protection
-    // for a stream resuming afterwards
-    val stampId = math.max(batchId, storedMax.getOrElse(-1L))
-    val partial = batch
-      .select(col(keyCol).cast("string").as("key"),
-        col(valCol).cast("double").as("v"))
-      .groupBy("key")
-      .agg(graft.functions.SketchAggs.kllAgg(col("v")).as("sk"))
-      .withColumn("batch_id", lit(stampId))
-    val merged = existing match {
-      case None => partial
-      case Some(e) => e.unionByName(partial)
-        .groupBy("key")
-        .agg(graft.functions.SketchAggs.kllMergeAgg(col("sk")).as("sk"))
-        .withColumn("batch_id", lit(stampId))
-    }
-    TableStore.overwriteVersioned(merged, dir)
-    true
   }
 
   /** (key, quantiles array at `probs`) from the maintained sketches. */
@@ -246,34 +258,37 @@ object IncrementalViews {
       batchId: Long = -1L): Boolean = {
     if (batch.isEmpty) return false // nothing to fold; never write an empty generation
     val dir = s"$mvDir/freq_sketches"
-    val existing =
-      if (TableStore.dataFiles(spark, dir).isEmpty) None
-      else Some(TableStore.read(spark, dir, freqViewSchema))
-    // Null-safe: a schema-only generation (e.g. written by a pre-guard
-    // version on an empty first micro-batch) makes max(batch_id) NULL;
-    // getLong(0) on it would NPE and crash-loop the stream forever.
-    val storedMax = existing.flatMap { e =>
-      val r = e.agg(max("batch_id")).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    // optimistic transaction — see maintainQuantileSketches
+    TableStore.transactVersionedOpt(spark, dir) {
+      val existing =
+        if (TableStore.dataFiles(spark, dir).isEmpty) None
+        else Some(TableStore.read(spark, dir, freqViewSchema))
+      // Null-safe: a schema-only generation (e.g. written by a pre-guard
+      // version on an empty first micro-batch) makes max(batch_id) NULL;
+      // getLong(0) on it would NPE and crash-loop the stream forever.
+      val storedMax = existing.flatMap { e =>
+        val r = e.agg(max("batch_id")).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+      if (batchId >= 0 && storedMax.exists(_ >= batchId))
+        None // at-least-once replay: state already holds this batch
+      else {
+        val stampId = math.max(batchId, storedMax.getOrElse(-1L))
+        val partial = batch
+          .select(col(keyCol).cast("string").as("key"),
+            col(itemCol).cast("string").as("item"))
+          .groupBy("key")
+          .agg(graft.functions.SketchAggs.freqAgg(col("item")).as("sk"))
+          .withColumn("batch_id", lit(stampId))
+        Some(existing match {
+          case None => partial
+          case Some(e) => e.unionByName(partial)
+            .groupBy("key")
+            .agg(graft.functions.SketchAggs.freqMergeAgg(col("sk")).as("sk"))
+            .withColumn("batch_id", lit(stampId))
+        })
+      }
     }
-    if (batchId >= 0 && storedMax.exists(_ >= batchId))
-      return false // at-least-once replay: state already holds this batch
-    val stampId = math.max(batchId, storedMax.getOrElse(-1L))
-    val partial = batch
-      .select(col(keyCol).cast("string").as("key"),
-        col(itemCol).cast("string").as("item"))
-      .groupBy("key")
-      .agg(graft.functions.SketchAggs.freqAgg(col("item")).as("sk"))
-      .withColumn("batch_id", lit(stampId))
-    val merged = existing match {
-      case None => partial
-      case Some(e) => e.unionByName(partial)
-        .groupBy("key")
-        .agg(graft.functions.SketchAggs.freqMergeAgg(col("sk")).as("sk"))
-        .withColumn("batch_id", lit(stampId))
-    }
-    TableStore.overwriteVersioned(merged, dir)
-    true
   }
 
   /** (key, top items array<struct<item, est, lb, ub>>) from the maintained
@@ -315,30 +330,33 @@ object IncrementalViews {
     require(nBuckets >= 2 && width > 0, s"bad histogram shape: $nBuckets x $width")
     if (batch.isEmpty) return false // nothing to fold; never write an empty generation
     val dir = s"$mvDir/histogram"
-    val existing =
-      if (TableStore.dataFiles(spark, dir).isEmpty) None
-      else Some(TableStore.read(spark, dir, histViewSchema))
-    // Null-safe: a schema-only generation (e.g. written by a pre-guard
-    // version on an empty first micro-batch) makes max(batch_id) NULL;
-    // getLong(0) on it would NPE and crash-loop the stream forever.
-    val storedMax = existing.flatMap { e =>
-      val r = e.agg(max("batch_id")).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    // optimistic transaction — see maintainQuantileSketches
+    TableStore.transactVersionedOpt(spark, dir) {
+      val existing =
+        if (TableStore.dataFiles(spark, dir).isEmpty) None
+        else Some(TableStore.read(spark, dir, histViewSchema))
+      // Null-safe: a schema-only generation (e.g. written by a pre-guard
+      // version on an empty first micro-batch) makes max(batch_id) NULL;
+      // getLong(0) on it would NPE and crash-loop the stream forever.
+      val storedMax = existing.flatMap { e =>
+        val r = e.agg(max("batch_id")).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+      if (batchId >= 0 && storedMax.exists(_ >= batchId)) None
+      else {
+        val stampId = math.max(batchId, storedMax.getOrElse(-1L))
+        val partial = batch
+          .select(bucketOf(col(valCol).cast("double"), lo, width, nBuckets)
+            .as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+        val merged = existing match {
+          case None => partial
+          case Some(e) => e.select(col("bucket"), col("n")).unionByName(partial)
+            .groupBy("bucket").agg(sum("n").as("n"))
+        }
+        Some(merged.withColumn("batch_id", lit(stampId)))
+      }
     }
-    if (batchId >= 0 && storedMax.exists(_ >= batchId)) return false
-    val stampId = math.max(batchId, storedMax.getOrElse(-1L))
-    val partial = batch
-      .select(bucketOf(col(valCol).cast("double"), lo, width, nBuckets)
-        .as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
-    val merged = existing match {
-      case None => partial
-      case Some(e) => e.select(col("bucket"), col("n")).unionByName(partial)
-        .groupBy("bucket").agg(sum("n").as("n"))
-    }
-    TableStore.overwriteVersioned(
-      merged.withColumn("batch_id", lit(stampId)), dir)
-    true
   }
 
   /** Smoothed PSI between the maintained histogram and a reference

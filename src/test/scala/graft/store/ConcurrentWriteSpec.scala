@@ -170,6 +170,40 @@ class ConcurrentWriteSpec extends AnyFunSuite with SparkFixture {
     assert(open.values.forall(_ === 1L), s"torn dimension: $open")
   }
 
+  test("two view maintainers racing the same sketch view lose neither fold " +
+    "(transactVersionedOpt re-derives on CAS conflict)") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/tmp"), "cw_mv").toString
+    // two distinct BATCH-mode folds (batchId = -1: the backfill form —
+    // the replay watermark deliberately only orders ids within ONE
+    // sequential stream, so concurrent folders use batch mode) racing
+    // into one freq view: before the round-8 transaction wrap, the
+    // loser's commit silently DROPPED the winner's fold (both derived
+    // from the same base generation)
+    val b1 = Seq.fill(300)(("k", "alpha")).toDF("key", "item")
+    val b2 = Seq.fill(200)(("k", "beta")).toDF("key", "item")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(b1, b2).map { b =>
+      new Thread(() =>
+        try graft.ingest.IncrementalViews.maintainFreqSketches(
+          spark, b, dir, "key", "item")
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"maintainer failed: ${Option(errs.peek())}")
+    val top = graft.ingest.IncrementalViews.freqView(spark, dir)
+      .selectExpr("key", "explode(top) AS t")
+      .selectExpr("t.item", "t.lb", "t.ub")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // BOTH folds present with exact counts (vocab of 2 — no purge, bounds
+    // are tight); a lost fold would zero one item out entirely
+    assert(top.contains("alpha") && top("alpha")._1 <= 300 && 300 <= top("alpha")._2,
+      s"alpha fold lost or skewed: $top")
+    assert(top.contains("beta") && top("beta")._1 <= 200 && 200 <= top("beta")._2,
+      s"beta fold lost or skewed: $top")
+  }
+
   test("a stale expectedGen fails the CAS before any data is written") {
     val dir = tmpDir() + "/t"
     val df = Seq((1, "a")).toDF("k", "v")
