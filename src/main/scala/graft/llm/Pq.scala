@@ -426,7 +426,7 @@ object Pq {
         |r AS (SELECT query_id, neighbor_id, row_number() OVER (
         |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
         |      FROM p)
-        |SELECT query_id, neighbor_id AS exact_top1, true AS recall_ok
+        |SELECT query_id, neighbor_id AS exact_top1, true AS mean_recall_ok
         |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin),
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
@@ -451,11 +451,19 @@ object Pq {
           .join(approx.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("query_id").agg(Tables.cnt.as("hits"))
-        exact.filter(col("rank") === 1)
+        // batch-MEAN recall@5 >= 0.8, aligning the whole ANN family on one
+        // law form (q_ann_ivf/q_ann_ivfpq/q_knn_graph): per-query recall on
+        // the isotropic fixture is binomial-noisy — shortlist 128 holds
+        // per-query 4/5 today, but a fixture regeneration could flake it
+        // while the batch mean keeps honest margin.
+        val top1 = exact.filter(col("rank") === 1)
           .select(col("query_id"), col("neighbor_id").as("exact_top1"))
-          .join(hits, Seq("query_id"), "left")
+        val mr = top1.join(hits, Seq("query_id"), "left")
+          .agg((sum(coalesce(col("hits"), lit(0L))) /
+            (Tables.cnt * lit(5.0))).as("mr"))
+        top1.crossJoin(broadcast(mr))
           .select(col("query_id"), col("exact_top1"),
-            (coalesce(col("hits"), lit(0L)) >= 4).as("recall_ok"))
+            (col("mr") >= 0.8).as("mean_recall_ok"))
           .orderBy("query_id")
       }),
 
