@@ -99,6 +99,30 @@ object VectorOps {
   def minhashPairsNative(docs: DataFrame, threshold: Double,
       nBands: Int = 16, rowsPerBand: Int = 4,
       exactVerify: Boolean = false, maxBucket: Int = 0): DataFrame = {
+    val (sig, verified) =
+      minhashPairsPlan(docs, threshold, nBands, rowsPerBand, exactVerify,
+        maxBucket)
+    sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER: banding + the two verify joins branch off `sig` as independent
+    // stages AQE runs concurrently; a lazy cache lets them race and each
+    // re-runs the shingle + 64-permutation pass (see cosinePairsNative).
+    sig.count()
+    // the pair set is bounded by true-neighbor density — materialize it and
+    // release the per-invocation caches (no block leak across calls)
+    val out = verified.localCheckpoint()
+    sig.unpersist()
+    out
+  }
+
+  /** The LAZY plan of [[minhashPairsNative]] — `(sig, verified)` with no
+    * cache/checkpoint barriers, so FanoutSortLintSpec can assert the
+    * physical shape of the whole pipeline (the re-attach joins must never
+    * SORT the candidate stream — the round-8 ×100 cliff) without running
+    * it. The public entry point adds the materialization discipline.
+    */
+  private[graft] def minhashPairsPlan(docs: DataFrame, threshold: Double,
+      nBands: Int, rowsPerBand: Int,
+      exactVerify: Boolean, maxBucket: Int): (DataFrame, DataFrame) = {
     val nPerm = nBands * rowsPerBand
     val n = 3
     // `hs` = per-doc distinct 64-bit shingle hashes. The nPerm permutations
@@ -112,11 +136,6 @@ object VectorOps {
     // the one persist left is the plan-branch barrier below.
     val sig = TextOps.shingleHashes(docs, Seq("doc_id"), n)
       .select(col("doc_id"), col("hs"), sigColumn(col("hs"), nPerm).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // EAGER: banding + the two verify joins branch off `sig` as independent
-    // stages AQE runs concurrently; a lazy cache lets them race and each
-    // re-runs the shingle + 64-permutation pass (see cosinePairsNative).
-    sig.count()
     val bands = minhashBands(sig.select("doc_id", "sig"), nBands, rowsPerBand)
     val candidates = bucketPairs(bands, maxBucket)
     // Verify candidates. Default: signature-estimate Jaccard (fraction of
@@ -151,11 +170,7 @@ object VectorOps {
             round(sigJaccard(col("sig_a"), col("sig_b"), nPerm), 4)
               .as("jaccard"))
           .filter(col("jaccard") >= threshold)
-    // the pair set is bounded by true-neighbor density — materialize it and
-    // release the per-invocation caches (no block leak across calls)
-    val out = verified.localCheckpoint()
-    sig.unpersist()
-    out
+    (sig, verified)
   }
 
   /** MLlib cross-check variant of [[minhashPairsNative]] (HashingTF +
@@ -690,15 +705,42 @@ object VectorOps {
   def cosinePairsNative(corpus: DataFrame, cosThreshold: Double,
       nBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 0,
       maxBucket: Int = 0): DataFrame = {
+    val (withSig, verified) =
+      cosinePairsPlan(corpus, cosThreshold, nBands, bitsPerBand, dim,
+        maxBucket)
+    withSig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER materialization before the plan branches: the banding stage and
+    // both verify joins are independent stages that AQE runs concurrently,
+    // and a lazy cache lets them race — each recomputes the parquet scan
+    // and the sign projections before the first cache write lands
+    // (measured as doubled input bytes round 4). One count populates the
+    // cache once.
+    withSig.count()
+    // bounded pair output — materialize, then release per-invocation caches
+    val out = verified.localCheckpoint()
+    withSig.unpersist()
+    out
+  }
+
+  /** The LAZY plan of [[cosinePairsNative]] — `(withSig, verified)` minus
+    * the cache/checkpoint barriers, for FanoutSortLintSpec's standing
+    * no-sort-over-the-candidate-stream assertion (see
+    * [[minhashPairsPlan]]).
+    */
+  private[graft] def cosinePairsPlan(corpus: DataFrame, cosThreshold: Double,
+      nBands: Int, bitsPerBand: Int, dim: Int,
+      maxBucket: Int): (DataFrame, DataFrame) = {
     // hyperplanes must span the full embedding width: hashing only a prefix
     // silently degrades recall (the exact-cosine verify would hide it), so
     // when the caller doesn't pass `dim`, probe one row for the true width
     val d = if (dim > 0) dim else {
       val first = corpus.filter(col("embedding").isNotNull)
         .select(size(col("embedding")).as("d")).limit(1).collect()
-      if (first.isEmpty)
-        return corpus.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
-          lit(0.0).as("cos")).where(lit(false))
+      if (first.isEmpty) {
+        val empty = corpus.select(col("vec_id").as("id_a"),
+          col("vec_id").as("id_b"), lit(0.0).as("cos")).where(lit(false))
+        return (empty.select(col("id_a").as("vec_id")), empty)
+      }
       first(0).getInt(0)
     }
     // signature + banding in ONE native expression (SignBandKeys): all
@@ -716,14 +758,6 @@ object VectorOps {
       .select(col("vec_id"), col("v"),
         graft.functions.GraftFunctions
           .signBandKeys(col("v"), nBands, bitsPerBand, d).as("keys"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // EAGER materialization before the plan branches: the banding stage and
-    // both verify joins are independent stages that AQE runs concurrently,
-    // and a lazy cache lets them race — each recomputes the parquet scan
-    // and the sign projections before the first cache write lands
-    // (measured as doubled input bytes round 4). One count populates the
-    // cache once.
-    withSig.count()
     // band key position IS the band index: (pos, key) ≡ (band_idx, band_hash)
     val bands = withSig.select(col("vec_id"), posexplode(col("keys")))
       .toDF("vec_id", "band_idx", "band_hash")
@@ -738,10 +772,7 @@ object VectorOps {
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= cosThreshold)
-    // bounded pair output — materialize, then release per-invocation caches
-    val out = verified.localCheckpoint()
-    withSig.unpersist()
-    out
+    (withSig, verified)
   }
 
   /** L9s: semantic eval-set decontamination — the embedding-space

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Standing gate for the round-8 ×100 cliff: a bucketed/LSH pipeline that
+  * generates a large (id, id) candidate stream and re-attaches payloads
+  * must NEVER sort that stream — at 200k vectors the knnGraph re-attach
+  * planned as a sort-merge join spilled ~170 GB sorting 312M widened
+  * candidate rows and filled the disk. The fix (hint the re-attach joins
+  * SHUFFLE_HASH with the bounded payload table as build side) was applied
+  * per site; this spec promotes it to an inventory-wide invariant so a
+  * future edit that drops a hint fails the suite instead of the next
+  * ×100 probe.
+  *
+  * The lint: in every candidate-fanout pipeline's physical plan, no
+  * `SortExec` may have a JOIN anywhere beneath it — a sort whose input is
+  * a join output is sorting a fanout stream. Sorts of pre-join inputs
+  * (the band tables under the bucket self-join — corpus×nBands rows of a
+  * few longs) are legitimate and keep planning as the spill-graceful SMJ.
+  * Each pipeline must also still plan ≥2 `ShuffledHashJoin`s (the two
+  * hinted re-attach sides), so the whitelist of shapes can't rot into
+  * vacuous passes if a pipeline is rewritten without joins.
+  *
+  * Pipelines are linted through their LAZY plan builders
+  * ([[graft.llm.VectorOps.minhashPairsPlan]] /
+  * [[graft.llm.VectorOps.cosinePairsPlan]]) because the public entry
+  * points materialize through `localCheckpoint`, which truncates the
+  * plan the registry-level PlanLintSpec can see.
+  */
+class FanoutSortLintSpec extends AnyFunSuite with SparkFixture {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def isJoin(p: SparkPlan): Boolean = p match {
+    case _: SortMergeJoinExec | _: ShuffledHashJoinExec |
+        _: BroadcastHashJoinExec | _: BroadcastNestedLoopJoinExec |
+        _: CartesianProductExec => true
+    case _ => false
+  }
+
+  private def joinsBelow(p: SparkPlan): Int =
+    PlanAsserts.deepCollect(p) { case j if isJoin(j) => j }.size
+
+  /** SortExec nodes whose input subtree contains a join — the cliff shape. */
+  private def fanoutSorts(plan: SparkPlan): Seq[SortExec] =
+    PlanAsserts.deepCollect(plan) { case s: SortExec => s }
+      .filter(_.children.exists(joinsBelow(_) > 0))
+
+  private def shuffledHashJoins(plan: SparkPlan): Int =
+    PlanAsserts.deepCollect(plan) { case j: ShuffledHashJoinExec => j }.size
+
+  test("no candidate-fanout pipeline sorts a join output") {
+    val docs = graft.query.Tables(spark, sfDir, "documents")
+    val emb = graft.query.Tables(spark, sfDir, "embeddings")
+    // lazy signature table (doc_id, sig) for the cross/self signature
+    // entry points — minhashSignatures itself checkpoints, which would
+    // hide its callers' plans from the lint
+    def lazySigs: DataFrame =
+      graft.llm.VectorOps.minhashPairsPlan(docs, 0.5, 16, 4,
+        exactVerify = false, maxBucket = 0)._1.select("doc_id", "sig")
+
+    val pipelines: Seq[(String, () => DataFrame)] = Seq(
+      "minhashPairs(estimate)" -> (() =>
+        graft.llm.VectorOps.minhashPairsPlan(docs, 0.5, 16, 4,
+          exactVerify = false, maxBucket = 0)._2),
+      "minhashPairs(exact)" -> (() =>
+        graft.llm.VectorOps.minhashPairsPlan(docs, 0.5, 16, 4,
+          exactVerify = true, maxBucket = 0)._2),
+      "minhashPairs(capped)" -> (() =>
+        graft.llm.VectorOps.minhashPairsPlan(docs, 0.5, 16, 4,
+          exactVerify = false, maxBucket = 100)._2),
+      "cosinePairs" -> (() =>
+        graft.llm.VectorOps.cosinePairsPlan(emb, 0.9, 8, 8, 0,
+          maxBucket = 0)._2),
+      "cosinePairs(capped)" -> (() =>
+        graft.llm.VectorOps.cosinePairsPlan(emb, 0.9, 8, 8, 0,
+          maxBucket = 1000)._2),
+      "minhashPairsAgainst" -> (() =>
+        graft.llm.VectorOps.minhashPairsAgainst(lazySigs, lazySigs, 0.5)),
+      "minhashPairsAgainst(capped)" -> (() =>
+        graft.llm.VectorOps.minhashPairsAgainst(lazySigs, lazySigs, 0.5,
+          maxBucket = 100)),
+      "minhashPairsFromSigs" -> (() =>
+        graft.llm.VectorOps.minhashPairsFromSigs(lazySigs, 0.5)),
+      "knnGraph" -> (() =>
+        graft.llm.Clustering.knnGraph(emb, k = 5, nCells = 16, nProbe = 4)),
+      "knnGraph(capped)" -> (() =>
+        graft.llm.Clustering.knnGraph(emb, k = 5, nCells = 16, nProbe = 4,
+          maxCell = 50)))
+
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    pipelines.foreach { case (name, build) =>
+      val plan = build().queryExecution.sparkPlan
+      fanoutSorts(plan).foreach { s =>
+        bad += s"$name: SortExec over a join output (the x100 cliff):\n" +
+          s.treeString.linesIterator.take(8).mkString("\n")
+      }
+      val shj = shuffledHashJoins(plan)
+      if (shj < 2)
+        bad += s"$name: expected >=2 shuffle-hash re-attach joins, saw $shj" +
+          " — hints dropped or pipeline reshaped; re-audit the lint"
+    }
+    assert(bad.isEmpty, s"\n${bad.mkString("\n\n")}")
+  }
+}
