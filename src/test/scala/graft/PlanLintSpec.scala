@@ -57,7 +57,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "q_ngram_jaccard" -> "exact-Jaccard oracle pairs over a <=20-doc sample",
     "q_join_range" -> "range join against a 4-row literal band table",
     "q_negative_sample" ->
-      "L33 sampler: 8 fixed anchor ids x corpus, cosine-pruned then heap-bounded")
+      "L33 sampler: 8 fixed anchor ids x corpus, cosine-pruned then heap-bounded",
+    "q_hybrid_rrf" ->
+      "L35 cosine arm: 5 fixed query vectors x corpus, heap-bounded (TopK)")
 
   test("every registry key plans cartesian-free with partitioned windows") {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
