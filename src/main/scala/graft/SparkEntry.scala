@@ -37,6 +37,7 @@ object SparkEntry {
     graft.llm.Clustering.all ++
     graft.llm.PhraseIndex.all ++
     graft.llm.Retrieval.all ++
+    graft.llm.SubstringDedup.all ++
     graft.llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

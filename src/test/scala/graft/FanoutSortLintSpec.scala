@@ -89,7 +89,9 @@ class FanoutSortLintSpec extends AnyFunSuite with SparkFixture {
         graft.llm.Clustering.knnGraph(emb, k = 5, nCells = 16, nProbe = 4)),
       "knnGraph(capped)" -> (() =>
         graft.llm.Clustering.knnGraph(emb, k = 5, nCells = 16, nProbe = 4,
-          maxCell = 50)))
+          maxCell = 50)),
+      "substringDedup" -> (() =>
+        graft.llm.SubstringDedup.clean(docs, 8)))
 
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     pipelines.foreach { case (name, build) =>
