@@ -38,6 +38,7 @@ object SparkEntry {
     graft.llm.PhraseIndex.all ++
     graft.llm.Retrieval.all ++
     graft.llm.SubstringDedup.all ++
+    graft.llm.Dsir.all ++
     graft.llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
