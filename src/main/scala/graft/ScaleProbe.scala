@@ -22,7 +22,7 @@ object ScaleProbe {
     // textops, tick, ngram, cluster, boilerplate, bucket, phrase,
     // ivfappend, zorder, merge, bloom, pagerank, bpe, sketch, triangles,
     // replace, ewma, semdecon, skyline, hotcluster, pq, labelprop,
-    // containment, scd2}; absent/empty = run all
+    // containment, scd2, retrieval}; absent/empty = run all
     val sections: Set[String] =
       args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty).getOrElse(Set.empty)
@@ -1045,6 +1045,46 @@ object ScaleProbe {
       }
       org.apache.spark.sql.graft.ColumnBridge
         .releaseLocalCheckpoint(pqQueries)
+    }
+
+    // ---- round-8 session 2: the retrieval/substring/DSIR stack ---------------
+    // Replicated copies are WORST-CASE inputs for all three text ops: every
+    // content gram repeats `copies` times (substring dedup cuts almost the
+    // whole corpus), and the query terms cover the fixture vocabulary (bm25
+    // postings ≈ all token occurrences). Runtime must track corpus size.
+    if (want("retrieval")) {
+      println("\n== retrieval + substring dedup + DSIR at x100 ==")
+      for (copies <- Seq(10, 100)) {
+        val d = replicateDocs(docs, copies).repartition(32).localCheckpoint()
+        val n = d.count()
+        val queries = d.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            array_distinct(split(col("text"), " ")).as("terms"))
+        time(f"bm25 top-10           n=$n%-7d") {
+          graft.llm.Retrieval.bm25(d, queries, 10).count()
+        }
+        val kept = time(f"substring dedup k=8   n=$n%-7d") {
+          graft.llm.SubstringDedup.clean(d, 8)
+            .agg(sum(col("kept_tokens"))).head.getLong(0)
+        }
+        println(s"    kept_tokens=$kept")
+        time(f"dsir hashed 64k       n=$n%-7d") {
+          graft.llm.Dsir.importanceWeights(d,
+            pmod(col("doc_id"), lit(20L)) === 0L, hashBuckets = 65536)
+            .agg(avg(col("logw"))).head
+        }
+        d.unpersist()
+      }
+      for (copies <- Seq(10, 100)) {
+        val d = replicateDocs(docs, copies).repartition(32).localCheckpoint()
+        val e = replicateEmb(emb, copies).repartition(32).localCheckpoint()
+        val n = d.count()
+        time(f"hybrid RRF top-10     n=$n%-7d") {
+          graft.llm.Retrieval.hybridRrf(d, e, Seq(0L, 1L, 2L, 3L, 4L),
+            k = 10, n = 50).count()
+        }
+        d.unpersist(); e.unpersist()
+      }
     }
     spark.stop()
   }

@@ -96,6 +96,96 @@ object Sampling {
   private def arithBucket(id: Column): Column =
     (id % 1000003L) * 31L % 100L
 
+  /** Temperature-scaled source mixing (the mT5/multilingual α-sampling
+    * recipe): source s gets a quota proportional to `n_s^alpha` —
+    * alpha = 1 reproduces the natural distribution, alpha → 0 approaches
+    * uniform-over-sources, values in between damp head sources and boost
+    * tail sources, which is how multilingual/multi-domain training mixes
+    * are actually built. Returns one row per source:
+    * (source, n_avail, quota, n_kept, id_sum) where id_sum checksums the
+    * selected doc set.
+    *
+    * Selection within a source is the deterministic hash order (same
+    * stance as every sampler here — no RNG); quotas use a round(·, 6)
+    * barrier on the normalized weight so the floor is reproducible
+    * cross-engine. A tail source with fewer docs than its quota
+    * contributes everything it has (downsampling-only mixing; true
+    * upsampling is a repeat-the-rows concern for the data loader).
+    *
+    * Scale shape: one count aggregate (sources-sized), a 1-row broadcast
+    * total, and a [[graft.plans.TopK]] heap pass capped at `budget` rows
+    * per source per map partition — no corpus-sized window sort; the
+    * rank window runs over the already-budget-bounded lists.
+    */
+  def temperatureMix(docs: org.apache.spark.sql.DataFrame, budget: Int,
+      alpha: Double): org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy("source").agg(Tables.cnt.as("n"))
+    val tot = counts.agg(sum(pow(col("n"), lit(alpha))).as("tw"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_avail"),
+        floor(lit(budget) * round(pow(col("n"), lit(alpha)) / col("tw"), 6))
+          .cast("long").as("quota"))
+    val ranked = graft.plans.TopK.perKey(
+      docs.select(col("doc_id"), col("source"),
+        ((col("doc_id") * 31L) % 1000003L).as("h")),
+      Seq("source"), Seq(col("h").asc, col("doc_id").asc), budget)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+    val sel = ranked
+      .join(broadcast(quota.select("source", "quota")), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .groupBy("source")
+      .agg(Tables.cnt.as("n_kept"), sum(col("doc_id")).as("id_sum"))
+    quota.join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_avail"), col("quota"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+      .orderBy("source")
+  }
+
+  /** Epoch-expanded temperature mixing — the UPSAMPLING completion of
+    * [[temperatureMix]]: when a source's α-quota exceeds its document
+    * count, its docs repeat across epochs (the Llama/RedPajama recipe —
+    * "Wikipedia for ~5 epochs"), instead of silently truncating at one
+    * pass. Every source s with quota q and n docs emits each doc
+    * `q div n` times, plus one extra epoch for the `q mod n` docs lowest
+    * in deterministic hash order — so exactly q rows per source come out
+    * and re-runs are bit-identical.
+    *
+    * Output: the exploded training frame (doc_id, source, epoch) with
+    * epoch 1..reps per doc — what a sequence-packing / shard-shuffle
+    * stage downstream consumes.
+    *
+    * Scale shape: the corpus-side work is ONE rank shuffle partitioned
+    * by source (the stratifiedTake window precedent — remainder
+    * assignment needs a total per-source rank, and `q mod n` can be
+    * ~n so a heap pass cannot bound it); quotas are a sources-sized
+    * aggregate + 1-row broadcast; the explode is map-side and the OUTPUT
+    * is budget-sized, not corpus-sized — the frame on the wire after the
+    * rank tracks the training budget.
+    */
+  def epochMix(docs: org.apache.spark.sql.DataFrame, budget: Int,
+      alpha: Double): org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy("source").agg(Tables.cnt.as("n"))
+    val tot = counts.agg(sum(pow(col("n"), lit(alpha))).as("tw"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_avail"),
+        floor(lit(budget) * round(pow(col("n"), lit(alpha)) / col("tw"), 6))
+          .cast("long").as("quota"))
+    val ranked = docs.select(col("doc_id"), col("source"),
+        ((col("doc_id") * 31L) % 1000003L).as("h"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+    ranked.join(broadcast(quota), Seq("source"))
+      .withColumn("reps", expr("quota DIV n_avail") +
+        when(col("rk") <= col("quota") % col("n_avail"), 1L).otherwise(0L))
+      .filter(col("reps") >= 1L)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("reps"))).as("epoch"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- deterministic train/test split assignment -----------------------------
@@ -242,6 +332,91 @@ object Sampling {
             Seq(col("h").asc, col("event_id").asc), k = 5)
           .select(col("event_type"), col("event_id"))
           .orderBy("event_type", "event_id")
+      }),
+
+    // ---- L38: temperature-scaled source mixing (α-sampling) -----------------
+    // Full DuckDB twin of [[temperatureMix]] at alpha = 0.5, budget = 200:
+    // quotas land on floor(budget · round-6 weight) — the rounding barrier
+    // makes the floor reproducible cross-engine (pow/ln ulp discipline) —
+    // and the id_sum checksum proves the SELECTED SETS are identical, not
+    // just their sizes.
+    Q("q_mix_temperature", Some(
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents
+        |                GROUP BY source),
+        |tot AS (SELECT sum(pow(n, 0.5)) AS tw FROM counts),
+        |quota AS (
+        |  SELECT source, n AS n_avail,
+        |    CAST(floor(200 * round(pow(n, 0.5) / tw, 6)) AS BIGINT) AS quota
+        |  FROM counts, tot),
+        |ranked AS (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY (doc_id * 31) % 1000003, doc_id) AS rk
+        |  FROM documents),
+        |sel AS (
+        |  SELECT r.source, count(*) AS n_kept,
+        |    CAST(sum(r.doc_id) AS BIGINT) AS id_sum
+        |  FROM ranked r JOIN quota q USING (source)
+        |  WHERE r.rk <= q.quota GROUP BY r.source)
+        |SELECT q.source, q.n_avail, q.quota,
+        |  coalesce(s.n_kept, 0) AS n_kept, coalesce(s.id_sum, 0) AS id_sum
+        |FROM quota q LEFT JOIN sel s USING (source)
+        |ORDER BY q.source""".stripMargin),
+      (s, d) => temperatureMix(Tables(s, d, "documents"),
+        budget = 200, alpha = 0.5)),
+
+    // ---- L38+: epoch-expanded (upsampling) temperature mix ------------------
+    // budget=2000 straddles the fixture sizes: at sf0.001 (500 docs) every
+    // source upsamples across epochs, at sf0.01 (5000 docs) the same call
+    // downsamples — both regimes oracle-checked by the ONE key. The DuckDB
+    // twin restates the exploded frame in closed form (Σ_{e=1..r} e =
+    // r(r+1)/2), so hash equality proves the explode emitted exactly the
+    // epochs 1..reps per doc and nothing else.
+    Q("q_mix_epochs", Some(
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents
+        |                GROUP BY source),
+        |tot AS (SELECT sum(pow(n, 0.5)) AS tw FROM counts),
+        |quota AS (
+        |  SELECT source, n AS n_avail,
+        |    CAST(floor(2000 * round(pow(n, 0.5) / tw, 6)) AS BIGINT) AS quota
+        |  FROM counts, tot),
+        |ranked AS (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY (doc_id * 31) % 1000003, doc_id) AS rk
+        |  FROM documents),
+        |rep AS (
+        |  SELECT r.source, r.doc_id,
+        |    q.quota // q.n_avail
+        |      + CASE WHEN r.rk <= q.quota % q.n_avail THEN 1 ELSE 0 END AS reps
+        |  FROM ranked r JOIN quota q USING (source)),
+        |agg AS (
+        |  SELECT source, count(*) FILTER (WHERE reps > 0) AS n_docs,
+        |    CAST(sum(reps) AS BIGINT) AS n_rows,
+        |    CAST(sum(doc_id * ((reps * (reps + 1)) // 2)) AS BIGINT) AS wid_sum
+        |  FROM rep GROUP BY source)
+        |SELECT q.source, q.n_avail, q.quota,
+        |  coalesce(a.n_docs, 0) AS n_docs, coalesce(a.n_rows, 0) AS n_rows,
+        |  coalesce(a.wid_sum, 0) AS wid_sum
+        |FROM quota q LEFT JOIN agg a USING (source)
+        |ORDER BY q.source""".stripMargin),
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val counts = docs.groupBy("source").agg(Tables.cnt.as("n"))
+        val tot = counts.agg(sum(pow(col("n"), lit(0.5))).as("tw"))
+        val quota = counts.crossJoin(broadcast(tot))
+          .select(col("source"), col("n").as("n_avail"),
+            floor(lit(2000) * round(pow(col("n"), lit(0.5)) / col("tw"), 6))
+              .cast("long").as("quota"))
+        val agg = epochMix(docs, budget = 2000, alpha = 0.5)
+          .groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            Tables.cnt.as("n_rows"),
+            sum(col("doc_id") * col("epoch")).as("wid_sum"))
+        quota.join(agg, Seq("source"), "left")
+          .select(col("source"), col("n_avail"), col("quota"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+            coalesce(col("wid_sum"), lit(0L)).as("wid_sum"))
+          .orderBy("source")
       })
   )
 }
