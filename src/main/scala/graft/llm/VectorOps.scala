@@ -99,14 +99,17 @@ object VectorOps {
   def minhashPairsNative(docs: DataFrame, threshold: Double,
       nBands: Int = 16, rowsPerBand: Int = 4,
       exactVerify: Boolean = false, maxBucket: Int = 0): DataFrame = {
-    val (sig, verified) =
-      minhashPairsPlan(docs, threshold, nBands, rowsPerBand, exactVerify,
-        maxBucket)
+    val sig = minhashSigPlan(docs, nBands * rowsPerBand)
     sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // EAGER: banding + the two verify joins branch off `sig` as independent
     // stages AQE runs concurrently; a lazy cache lets them race and each
     // re-runs the shingle + 64-permutation pass (see cosinePairsNative).
     sig.count()
+    // verify is constructed AFTER the count so Reattach.adaptive reads the
+    // REAL cached signature size: broadcast re-attach under the threshold
+    // (fixture scale — candidates never exchange), shuffle-hash floor above
+    val verified = minhashVerifyPlan(sig, threshold, nBands, rowsPerBand,
+      exactVerify, maxBucket, graft.plans.Reattach.adaptive)
     // the pair set is bounded by true-neighbor density — materialize it and
     // release the per-invocation caches (no block leak across calls)
     val out = verified.localCheckpoint()
@@ -123,19 +126,28 @@ object VectorOps {
   private[graft] def minhashPairsPlan(docs: DataFrame, threshold: Double,
       nBands: Int, rowsPerBand: Int,
       exactVerify: Boolean, maxBucket: Int): (DataFrame, DataFrame) = {
-    val nPerm = nBands * rowsPerBand
-    val n = 3
-    // `hs` = per-doc distinct 64-bit shingle hashes. The nPerm permutations
-    // re-hash these 8-byte longs, never the text — and the exact verify
-    // intersects them too (Jaccard over distinct hash sets == Jaccard over
-    // shingle-string sets modulo 2^-64 collisions; q_ngram_jaccard proves
-    // the parity against DuckDB's string-built sets). Shingle strings are
-    // never materialized on any path. Shingling + signing is now ONE
-    // codegen'd map stage (native ShingleHashes + MinHashSig — the old
-    // HOF shingle form needed its own persisted word-hash barrier here);
-    // the one persist left is the plan-branch barrier below.
-    val sig = TextOps.shingleHashes(docs, Seq("doc_id"), n)
+    val sig = minhashSigPlan(docs, nBands * rowsPerBand)
+    (sig, minhashVerifyPlan(sig, threshold, nBands, rowsPerBand, exactVerify,
+      maxBucket, graft.plans.Reattach.shuffleHash))
+  }
+
+  /** `hs` = per-doc distinct 64-bit shingle hashes. The nPerm permutations
+    * re-hash these 8-byte longs, never the text — and the exact verify
+    * intersects them too (Jaccard over distinct hash sets == Jaccard over
+    * shingle-string sets modulo 2^-64 collisions; q_ngram_jaccard proves
+    * the parity against DuckDB's string-built sets). Shingle strings are
+    * never materialized on any path. Shingling + signing is ONE codegen'd
+    * map stage (native ShingleHashes + MinHashSig); the one persist is the
+    * plan-branch barrier in the public entry.
+    */
+  private def minhashSigPlan(docs: DataFrame, nPerm: Int): DataFrame =
+    TextOps.shingleHashes(docs, Seq("doc_id"), 3)
       .select(col("doc_id"), col("hs"), sigColumn(col("hs"), nPerm).as("sig"))
+
+  private def minhashVerifyPlan(sig: DataFrame, threshold: Double,
+      nBands: Int, rowsPerBand: Int, exactVerify: Boolean, maxBucket: Int,
+      reattach: DataFrame => DataFrame): DataFrame = {
+    val nPerm = nBands * rowsPerBand
     val bands = minhashBands(sig.select("doc_id", "sig"), nBands, rowsPerBand)
     val candidates = bucketPairs(bands, maxBucket)
     // Verify candidates. Default: signature-estimate Jaccard (fraction of
@@ -144,33 +156,32 @@ object VectorOps {
     // clusters are large (all-pairs-within-bucket is quadratic in cluster
     // size; the per-pair constant must be tiny). exactVerify joins back to
     // the shingle-hash sets for true Jaccard — the high-precision last pass.
-    // Verify re-attach joins are hinted SHUFFLE_HASH with the signature
-    // table as the build side: the candidate stream is the largest frame
-    // in the build, and a sort-merge join would SORT it (the round-8 x100
-    // knnGraph probe filled the disk with exactly that sort's spill once
-    // attached payloads widened the rows). Hash re-attach streams the
-    // candidates through per-partition hash maps and never sorts them.
-    val verified =
-      if (exactVerify)
-        candidates
-          .join(sig.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
-            .hint("shuffle_hash"), "id_a")
-          .join(sig.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))
-            .hint("shuffle_hash"), "id_b")
-          .select(col("id_a"), col("id_b"),
-            round(TextOps.jaccard(col("hs_a"), col("hs_b")), 4).as("jaccard"))
-          .filter(col("jaccard") >= threshold)
-      else
-        candidates
-          .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-            .hint("shuffle_hash"), "id_a")
-          .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-            .hint("shuffle_hash"), "id_b")
-          .select(col("id_a"), col("id_b"),
-            round(sigJaccard(col("sig_a"), col("sig_b"), nPerm), 4)
-              .as("jaccard"))
-          .filter(col("jaccard") >= threshold)
-    (sig, verified)
+    // Verify re-attach joins take the size-adaptive build-side strategy
+    // ([[graft.plans.Reattach]]): the candidate stream is the largest
+    // frame in the build, and a sort-merge join would SORT it (the
+    // round-8 x100 knnGraph probe filled the disk with exactly that
+    // sort's spill once attached payloads widened the rows). Broadcast
+    // (small, proven build side) and hash re-attach both stream the
+    // candidates without ever sorting them.
+    if (exactVerify)
+      candidates
+        .join(reattach(
+          sig.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))), "id_a")
+        .join(reattach(
+          sig.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(TextOps.jaccard(col("hs_a"), col("hs_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    else
+      candidates
+        .join(reattach(
+          sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))), "id_a")
+        .join(reattach(
+          sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(sigJaccard(col("sig_a"), col("sig_b"), nPerm), 4)
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
   }
 
   /** MLlib cross-check variant of [[minhashPairsNative]] (HashingTF +
@@ -270,7 +281,9 @@ object VectorOps {
     */
   def minhashPairsAgainst(newSigs: DataFrame, baseSigs: DataFrame,
       threshold: Double, nBands: Int = 16, rowsPerBand: Int = 4,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0,
+      reattach: DataFrame => DataFrame = graft.plans.Reattach.adaptive)
+      : DataFrame = {
     val nPerm = nBands * rowsPerBand
     val nb = minhashBands(newSigs, nBands, rowsPerBand)
       .withColumnRenamed("doc_id", "id_new")
@@ -285,10 +298,10 @@ object VectorOps {
     val cand = nb.join(bb, Seq("band_idx", "band_hash"))
       .select("id_new", "id_base").distinct()
     cand
-      .join(newSigs.select(col("doc_id").as("id_new"), col("sig").as("sig_a"))
-        .hint("shuffle_hash"), "id_new")
-      .join(baseSigs.select(col("doc_id").as("id_base"), col("sig").as("sig_b"))
-        .hint("shuffle_hash"), "id_base")
+      .join(reattach(newSigs
+        .select(col("doc_id").as("id_new"), col("sig").as("sig_a"))), "id_new")
+      .join(reattach(baseSigs
+        .select(col("doc_id").as("id_base"), col("sig").as("sig_b"))), "id_base")
       .select(col("id_new"), col("id_base"),
         round(sigJaccard(col("sig_a"), col("sig_b"), nPerm), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -299,15 +312,17 @@ object VectorOps {
     * signatures instead of text).
     */
   def minhashPairsFromSigs(sigs: DataFrame, threshold: Double,
-      nBands: Int = 16, rowsPerBand: Int = 4, maxBucket: Int = 0): DataFrame = {
+      nBands: Int = 16, rowsPerBand: Int = 4, maxBucket: Int = 0,
+      reattach: DataFrame => DataFrame = graft.plans.Reattach.adaptive)
+      : DataFrame = {
     val nPerm = nBands * rowsPerBand
     val candidates =
       bucketPairs(minhashBands(sigs, nBands, rowsPerBand), maxBucket)
     candidates
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-        .hint("shuffle_hash"), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-        .hint("shuffle_hash"), "id_b")
+      .join(reattach(sigs
+        .select(col("doc_id").as("id_a"), col("sig").as("sig_a"))), "id_a")
+      .join(reattach(sigs
+        .select(col("doc_id").as("id_b"), col("sig").as("sig_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         round(sigJaccard(col("sig_a"), col("sig_b"), nPerm), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -705,7 +720,7 @@ object VectorOps {
   def cosinePairsNative(corpus: DataFrame, cosThreshold: Double,
       nBands: Int = 8, bitsPerBand: Int = 8, dim: Int = 0,
       maxBucket: Int = 0): DataFrame = {
-    val (withSig, verified) =
+    val (withSig, lazyVerified) =
       cosinePairsPlan(corpus, cosThreshold, nBands, bitsPerBand, dim,
         maxBucket)
     withSig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -716,6 +731,13 @@ object VectorOps {
     // (measured as doubled input bytes round 4). One count populates the
     // cache once.
     withSig.count()
+    // rebuilt AFTER the count so Reattach.adaptive reads the real cached
+    // size (broadcast under threshold, shuffle-hash floor above); the
+    // degenerate empty-corpus plan has no signature column to re-verify
+    val verified =
+      if (!withSig.columns.contains("keys")) lazyVerified
+      else cosineVerifyPlan(withSig, cosThreshold, maxBucket,
+        graft.plans.Reattach.adaptive)
     // bounded pair output — materialize, then release per-invocation caches
     val out = verified.localCheckpoint()
     withSig.unpersist()
@@ -758,21 +780,28 @@ object VectorOps {
       .select(col("vec_id"), col("v"),
         graft.functions.GraftFunctions
           .signBandKeys(col("v"), nBands, bitsPerBand, d).as("keys"))
+    (withSig, cosineVerifyPlan(withSig, cosThreshold, maxBucket,
+      graft.plans.Reattach.shuffleHash))
+  }
+
+  private def cosineVerifyPlan(withSig: DataFrame, cosThreshold: Double,
+      maxBucket: Int, reattach: DataFrame => DataFrame): DataFrame = {
     // band key position IS the band index: (pos, key) ≡ (band_idx, band_hash)
     val bands = withSig.select(col("vec_id"), posexplode(col("keys")))
       .toDF("vec_id", "band_idx", "band_hash")
     val candidates = bucketPairs(bands, maxBucket)
     // exact-cosine verify: three codegen'd dots per candidate pair (dot +
-    // two norms) — cost scales with candidate count only, never corpus size
-    val verified = candidates
-      .join(withSig.select(col("vec_id").as("id_a"), col("v").as("va"))
-        .hint("shuffle_hash"), "id_a")
-      .join(withSig.select(col("vec_id").as("id_b"), col("v").as("vb"))
-        .hint("shuffle_hash"), "id_b")
+    // two norms) — cost scales with candidate count only, never corpus
+    // size. Build sides ride the size-adaptive re-attach strategy
+    // ([[graft.plans.Reattach]] — never a sort over the candidate stream).
+    candidates
+      .join(reattach(
+        withSig.select(col("vec_id").as("id_a"), col("v").as("va"))), "id_a")
+      .join(reattach(
+        withSig.select(col("vec_id").as("id_b"), col("v").as("vb"))), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= cosThreshold)
-    (withSig, verified)
   }
 
   /** L9s: semantic eval-set decontamination — the embedding-space

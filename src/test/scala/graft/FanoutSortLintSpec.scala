@@ -79,12 +79,14 @@ class FanoutSortLintSpec extends AnyFunSuite with SparkFixture {
         graft.llm.VectorOps.cosinePairsPlan(emb, 0.9, 8, 8, 0,
           maxBucket = 1000)._2),
       "minhashPairsAgainst" -> (() =>
-        graft.llm.VectorOps.minhashPairsAgainst(lazySigs, lazySigs, 0.5)),
+        graft.llm.VectorOps.minhashPairsAgainst(lazySigs, lazySigs, 0.5,
+          reattach = graft.plans.Reattach.shuffleHash)),
       "minhashPairsAgainst(capped)" -> (() =>
         graft.llm.VectorOps.minhashPairsAgainst(lazySigs, lazySigs, 0.5,
-          maxBucket = 100)),
+          maxBucket = 100, reattach = graft.plans.Reattach.shuffleHash)),
       "minhashPairsFromSigs" -> (() =>
-        graft.llm.VectorOps.minhashPairsFromSigs(lazySigs, 0.5)),
+        graft.llm.VectorOps.minhashPairsFromSigs(lazySigs, 0.5,
+          reattach = graft.plans.Reattach.shuffleHash)),
       "knnGraph" -> (() =>
         graft.llm.Clustering.knnGraph(emb, k = 5, nCells = 16, nProbe = 4)),
       "knnGraph(capped)" -> (() =>
@@ -106,5 +108,38 @@ class FanoutSortLintSpec extends AnyFunSuite with SparkFixture {
           " — hints dropped or pipeline reshaped; re-audit the lint"
     }
     assert(bad.isEmpty, s"\n${bad.mkString("\n\n")}")
+  }
+
+  test("Reattach.adaptive: broadcast under the threshold on a MATERIALIZED " +
+    "build side; shuffle-hash floor when broadcasting is disabled — " +
+    "sort-merge unreachable in both regimes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val build = (0L until 100L).map(i => (i, Seq.fill(8)(i))).toDF("id", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    build.count() // real cached size lands in the plan stats
+    val probe = (0L until 1000L).map(i => (i % 100, i)).toDF("id", "x")
+    def joinPlan(): SparkPlan =
+      probe.join(graft.plans.Reattach.adaptive(build), "id")
+        .queryExecution.sparkPlan
+    // default threshold (10 MB): a 100-row cached frame is provably small
+    val bc = PlanAsserts.deepCollect(joinPlan()) {
+      case j: BroadcastHashJoinExec => j }
+    assert(bc.nonEmpty, "small materialized build side must broadcast")
+    // threshold disabled == the 100 TB regime: the floor is shuffle-hash,
+    // NEVER a sort-merge over the probe (candidate) side
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thrKey)
+    spark.conf.set(thrKey, "-1")
+    try {
+      val plan = joinPlan()
+      assert(PlanAsserts.deepCollect(plan) {
+        case j: ShuffledHashJoinExec => j }.nonEmpty,
+        s"expected the shuffle-hash floor in:\n$plan")
+      assert(PlanAsserts.deepCollect(plan) {
+        case j: SortMergeJoinExec => j }.isEmpty,
+        s"sort-merge re-attach is the x100 cliff:\n$plan")
+    } finally spark.conf.set(thrKey, old)
+    build.unpersist()
   }
 }
