@@ -156,14 +156,78 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$dir/stats_appends/batch=$batchId")
   }
 
-  private def unionAppends(spark: SparkSession, basePath: String,
-      appendsPath: String, cols: Seq[String]): DataFrame = {
-    val base = spark.read.parquet(basePath).selectExpr(cols: _*)
-    val p = new org.apache.hadoop.fs.Path(appendsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      base.unionByName(spark.read.parquet(appendsPath).selectExpr(cols: _*))
-    else base
+  /** One logical layer of the stored index (postings or stats): the
+    * CURRENT generation's base ∪ the live append batches — batches at or
+    * below the generation's fold watermark are already IN the base and are
+    * excluded, so a folded-but-not-yet-GC'd dir (or one resurrected by an
+    * at-least-once replay of a folded batch) never double-counts
+    * ([[graft.store.IndexGenerations]]).
+    */
+  private def readLayer(spark: SparkSession, dir: String,
+      base: graft.store.IndexGenerations.Base, sub: String,
+      appendsSub: String, cols: Seq[String]): DataFrame = {
+    val baseDf = spark.read.parquet(base.sub(dir, sub)).selectExpr(cols: _*)
+    val live = graft.store.IndexGenerations
+      .liveBatches(spark, dir, appendsSub, base)
+    if (live.isEmpty) baseDf
+    else baseDf.unionByName(spark.read
+      .option("basePath", s"$dir/$appendsSub").parquet(live: _*)
+      .selectExpr(cols: _*))
+  }
+
+  /** Fold the live append batches into a new committed generation — the
+    * maintenance step that keeps [[bm25Stored]]'s read a 2-leg union
+    * forever instead of base + one dir per streamed batch (at the
+    * reference's hourly cadence that is 8,760 legs/year of file listing
+    * and footer reads). Generation-swap visibility: the fold writes to
+    * `g<N+1>/` and becomes readable only at the `_SUCCESS` commit; GC then
+    * drops what the PREVIOUS generation had already folded (one full
+    * cycle of grace for in-flight readers). Query results are
+    * bit-identical before and after (law-tested) because postings rows
+    * are disjoint across base and batches (a doc arrives whole in one
+    * batch) and the stats rows SUM — the same identities the live-union
+    * read path relies on. Single-compactor contract per
+    * [[graft.store.IndexGenerations]]; concurrent appends stay above the
+    * new watermark and remain live.
+    */
+  def compactBm25Index(spark: SparkSession, dir: String): Unit = {
+    val G = graft.store.IndexGenerations
+    val prev = G.current(spark, dir)
+    val toFold = G.batches(spark, dir, "appends").filter(_._1 > prev.maxFolded)
+    if (toFold.isEmpty && prev.gen >= 0) return // nothing new to fold
+    val statsFold = G.batches(spark, dir, "stats_appends")
+      .filter(_._1 > prev.maxFolded)
+    val newMax = (prev.maxFolded +: toFold.map(_._1)).max
+    val tgt = s"$dir/g${prev.gen + 1}"
+    val pCols = Seq("th", "doc_id", "tf", "dl", "bucket")
+    val postings = {
+      val b = spark.read.parquet(prev.sub(dir, "postings"))
+        .selectExpr(pCols: _*)
+      if (toFold.isEmpty) b
+      else b.unionByName(spark.read.option("basePath", s"$dir/appends")
+        .parquet(toFold.map(_._2): _*).selectExpr(pCols: _*))
+    }
+    // one shuffle keyed by bucket: every bucket lands whole in one task,
+    // so each bucket dir collapses to a single file (the point of the fold)
+    postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(s"$tgt/postings")
+    val sCols = Seq("n", "dl_sum")
+    val st = {
+      val b = spark.read.parquet(prev.sub(dir, "stats")).selectExpr(sCols: _*)
+      if (statsFold.isEmpty) b
+      else b.unionByName(spark.read
+        .option("basePath", s"$dir/stats_appends")
+        .parquet(statsFold.map(_._2): _*).selectExpr(sCols: _*))
+    }
+    st.agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum"))
+      .coalesce(1).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(s"$tgt/stats")
+    G.commit(spark, dir, prev.gen + 1, newMax)
+    G.gc(spark, dir, prev.gen + 1, prev, Seq("appends", "stats_appends"),
+      Seq("postings", "stats"))
   }
 
   /** BM25 top-`k` per query through the stored index — no corpus scan.
@@ -189,7 +253,8 @@ object Retrieval {
     val buckets = ths.map(h => ((h % nBuckets) + nBuckets) % nBuckets).distinct
     // the bucket filter pushes through the base∪appends union to BOTH
     // parquet scans as a partition filter (plan-asserted in RetrievalSpec)
-    val tf = unionAppends(spark, s"$dir/postings", s"$dir/appends",
+    val base = graft.store.IndexGenerations.current(spark, dir)
+    val tf = readLayer(spark, dir, base, "postings", "appends",
         Seq("th", "doc_id", "tf", "dl", "bucket"))
       .filter(col("bucket").isin(buckets.toSeq: _*)) // partition pruning
       .filter(col("th").isin(ths.toSeq: _*))
@@ -199,7 +264,7 @@ object Retrieval {
     val dfs = tf.groupBy("th").agg(Tables.cnt.as("df"))
     // stats rows (base + any appends) SUM into the one true corpus row;
     // the global Aggregate is PROVABLY single-row (the PlanLint shape)
-    val stats = unionAppends(spark, s"$dir/stats", s"$dir/stats_appends",
+    val stats = readLayer(spark, dir, base, "stats", "stats_appends",
         Seq("n", "dl_sum"))
       .agg(sum(col("n")).as("n"),
         (sum(col("dl_sum")) / sum(col("n"))).as("avgdl"))

@@ -615,35 +615,102 @@ object VectorOps {
   }
 
   /** Persist an index: assignments partitioned by cell (probing = partition
-    * pruning), centroids as one tiny parquet.
+    * pruning), centroids as one tiny parquet. On a FRESH dir this is the
+    * flat layout; on a dir that already carries generations or streaming
+    * appends, a rebuild is a GENERATION SWAP ([[graft.store
+    * .IndexGenerations]]): the new assignments+centroids land under
+    * `g<N+1>/` and commit atomically with a fold watermark covering every
+    * append batch present — the rebuilt index REPLACES history, so
+    * pre-rebuild appends must not union back in — while in-flight readers
+    * keep the generation they resolved.
     */
   def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
     import index.assignments.sparkSession.implicits._
+    val spark = index.assignments.sparkSession
+    val G = graft.store.IndexGenerations
+    val prev = G.current(spark, dir)
+    val appendIds = G.batches(spark, dir, "appends").map(_._1)
+    val fresh = prev.gen < 0 && appendIds.isEmpty
+    val tgt = if (fresh) dir else s"$dir/g${prev.gen + 1}"
     index.assignments.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/assignments")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(s"$tgt/assignments")
     index.centroids.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      .coalesce(1).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(s"$tgt/centroids")
+    if (!fresh) {
+      G.commit(spark, dir, prev.gen + 1,
+        (prev.maxFolded +: appendIds).max)
+      G.gc(spark, dir, prev.gen + 1, prev, Seq("appends"),
+        Seq("assignments", "centroids"))
+    }
   }
 
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfIndex = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val G = graft.store.IndexGenerations
+    val b = G.current(spark, dir)
+    val cents = spark.read.parquet(b.sub(dir, "centroids"))
       .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     // normalize the partition column's position/type back to the built shape
-    val base = spark.read.parquet(s"$dir/assignments")
+    val base = spark.read.parquet(b.sub(dir, "assignments"))
       .select(col("neighbor_id"), col("tv"), col("cell").cast("int").as("cell"))
     // streaming appends (ivfAppendBatch) live under appends/batch=N/cell=M;
     // `cell` remains a partition filter level there too, so probes prune
-    // files on both layouts
-    val appendsPath = new org.apache.hadoop.fs.Path(s"$dir/appends")
-    val fs = appendsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val assigned = if (fs.exists(appendsPath)) {
-      base.unionByName(spark.read.parquet(s"$dir/appends")
+    // files on both layouts. Only batches ABOVE the generation's fold
+    // watermark union in — folded dirs awaiting GC (or resurrected by an
+    // at-least-once replay) never double-count.
+    val live = G.liveBatches(spark, dir, "appends", b)
+    val assigned = if (live.isEmpty) base else {
+      base.unionByName(spark.read.option("basePath", s"$dir/appends")
+        .parquet(live: _*)
         .select(col("neighbor_id"), col("tv"),
           col("cell").cast("int").as("cell")))
-    } else base
+    }
     IvfIndex(cents, assigned)
+  }
+
+  /** Fold live append batches into a new committed generation — bounds
+    * [[readIvfIndex]]'s union width under sustained [[ivfAppendBatch]]
+    * maintenance (without it, every micro-batch is a read-time union leg
+    * forever). Centroids are FIXED under appends, so the fold rewrites
+    * assignments only (centroids copy into the generation for
+    * self-contained reads); query results are bit-identical before and
+    * after (law-tested). Same visibility/GC/single-compactor contract as
+    * [[Retrieval.compactBm25Index]].
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val G = graft.store.IndexGenerations
+    val prev = G.current(spark, dir)
+    val toFold = G.batches(spark, dir, "appends").filter(_._1 > prev.maxFolded)
+    if (toFold.isEmpty && prev.gen >= 0) return
+    val assigned = {
+      val b = spark.read.parquet(prev.sub(dir, "assignments"))
+        .select(col("neighbor_id"), col("tv"),
+          col("cell").cast("int").as("cell"))
+      if (toFold.isEmpty) b
+      else b.unionByName(spark.read.option("basePath", s"$dir/appends")
+        .parquet(toFold.map(_._2): _*)
+        .select(col("neighbor_id"), col("tv"),
+          col("cell").cast("int").as("cell")))
+    }
+    val tgt = s"$dir/g${prev.gen + 1}"
+    // keyed by cell: each cell dir collapses to one file
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(s"$tgt/assignments")
+    spark.read.parquet(prev.sub(dir, "centroids"))
+      .coalesce(1).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(s"$tgt/centroids")
+    G.commit(spark, dir, prev.gen + 1,
+      (prev.maxFolded +: toFold.map(_._1)).max)
+    G.gc(spark, dir, prev.gen + 1, prev, Seq("appends"),
+      Seq("assignments", "centroids"))
   }
 
   /** L18+: incremental maintenance of a stored IVF index — add a vector
@@ -664,10 +731,14 @@ object VectorOps {
     val idx = readIvfIndex(spark, dir)
     val (flat, dim) = flatCents(idx.centroids)
     val v = toDouble(col("embedding"))
+    // lands in the CURRENT generation's assignments (new files in existing
+    // cell dirs — additive, so in-flight readers are unaffected)
+    val tgt = graft.store.IndexGenerations.current(spark, dir)
+      .sub(dir, "assignments")
     newVectors.select(col("vec_id").as("neighbor_id"), v.as("tv"),
       graft.functions.GraftFunctions
         .nearestCentroid(v, flat, dim, euclidean = false).as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+      .write.mode("append").partitionBy("cell").parquet(tgt)
   }
 
   /** IDEMPOTENT batch-keyed append for streaming index maintenance: batch

@@ -1,0 +1,156 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Generation layout shared by the STORED-INDEX families (BM25 postings,
+  * IVF assignments, IVF-PQ code tables) — the mechanism that keeps their
+  * idempotent `appends/batch=<id>` maintenance bounded. Without it every
+  * streaming micro-batch adds a directory forever: reads degrade into a
+  * thousand-leg union (file listing + per-leg footer reads dominate), the
+  * exact failure the reference's hourly cadence would hit within weeks
+  * (gha.ipynb's 9,504 hourly files is the cautionary corpus;
+  * preprocess.py:277-280 re-serves hourly).
+  *
+  * Layout under an index root `dir`:
+  *  - flat legacy base (index-specific subdirs, e.g. `postings/`) — the
+  *    pre-compaction layout, still written by the builders; "generation -1"
+  *  - `g<N>/<subdirs>` + `_max_folded_batch` + `_SUCCESS` — compacted
+  *    generation N; `_SUCCESS` is the COMMIT POINT (a generation with no
+  *    marker is a dead compactor's leftovers and is never read)
+  *  - `appends/batch=<id>/...` — the idempotent batch-keyed append dirs
+  *
+  * Correctness NEVER depends on deletion: a reader resolves the newest
+  * committed generation, reads its `_max_folded_batch` watermark, and
+  * unions only append batches ABOVE it — so an append dir that was folded
+  * but not yet GC'd (or was re-created by an at-least-once replay of a
+  * folded batch) is simply filtered out. Deletion is pure garbage
+  * collection, with one full compaction cycle of grace: committing g<N>
+  * deletes only the append batches g<N-1> had already folded and the
+  * generations older than N-1, so any reader that resolved its file list
+  * against the PREVIOUS generation still finds every file it planned.
+  * (Same retention discipline as [[TableStore.compact]]'s
+  * retainGenerations=2 default, specialized to the index stores.)
+  *
+  * Single-compactor contract: compaction is invoked by the index's one
+  * maintainer (the streaming foreachBatch thread between batches, or an
+  * operator's scheduled job) — the multi-writer claim protocol of the
+  * table store is deliberately NOT replicated here. Concurrent APPENDS
+  * race compaction safely (a batch landing after the compactor pinned its
+  * fold list stays above the new watermark and is unioned by readers).
+  */
+object IndexGenerations {
+
+  /** The resolved base of an index: `gen` = -1 for the legacy flat layout
+    * (paths are the index's flat subdirs), else the newest committed
+    * generation (paths live under `dir/g<gen>/`); `maxFolded` = the append
+    * watermark — batches <= maxFolded are IN the base.
+    */
+  final case class Base(gen: Int, maxFolded: Long) {
+    /** Path of an index subdir (e.g. "postings") under this base. */
+    def sub(dir: String, name: String): String =
+      if (gen < 0) s"$dir/$name" else s"$dir/g$gen/$name"
+  }
+
+  private[store] def fsFor(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val GenDir = "g(\\d+)".r
+  private val BatchDir = "batch=(\\d+)".r
+
+  /** Newest committed generation, or the flat base if none exists. */
+  def current(spark: SparkSession, dir: String): Base = {
+    val f = fsFor(spark, dir)
+    val root = new Path(dir)
+    if (!f.exists(root)) return Base(-1, -1L)
+    val gens = f.listStatus(root).collect {
+      case s if s.isDirectory => s.getPath.getName match {
+        case GenDir(n) if f.exists(new Path(s.getPath, "_SUCCESS")) => n.toInt
+        case _ => -1
+      }
+    }.filter(_ >= 0)
+    if (gens.isEmpty) Base(-1, -1L)
+    else {
+      val g = gens.max
+      Base(g, readWatermark(f, new Path(s"$dir/g$g")))
+    }
+  }
+
+  /** Append batch ids + paths under `dir/<sub>` (e.g. "appends"),
+    * ascending by id. Missing dir = no batches.
+    */
+  def batches(spark: SparkSession, dir: String,
+      sub: String): Seq[(Long, String)] = {
+    val f = fsFor(spark, dir)
+    val p = new Path(s"$dir/$sub")
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.collect {
+      case s if s.isDirectory => s.getPath.getName match {
+        case BatchDir(id) => Some(id.toLong -> s.getPath.toString)
+        case _ => None
+      }
+    }.flatten.sortBy(_._1)
+  }
+
+  /** The batches a reader on `base` must union: ids above the fold
+    * watermark (folded-but-not-yet-GC'd dirs and replay-resurrected
+    * folded batches are both correctly excluded here).
+    */
+  def liveBatches(spark: SparkSession, dir: String, sub: String,
+      base: Base): Seq[String] =
+    batches(spark, dir, sub).collect {
+      case (id, p) if id > base.maxFolded => p
+    }
+
+  /** Commit generation `gen`: persist the fold watermark, then the
+    * `_SUCCESS` marker (the atomic visibility point — readers that list
+    * before the marker lands keep resolving the previous base).
+    */
+  def commit(spark: SparkSession, dir: String, gen: Int,
+      maxFolded: Long): Unit = {
+    val f = fsFor(spark, dir)
+    val g = new Path(s"$dir/g$gen")
+    val wm = f.create(new Path(g, "_max_folded_batch"), true)
+    try wm.write(maxFolded.toString.getBytes("UTF-8")) finally wm.close()
+    f.create(new Path(g, "_SUCCESS"), true).close()
+  }
+
+  private def readWatermark(f: FileSystem, genDir: Path): Long = {
+    val p = new Path(genDir, "_max_folded_batch")
+    if (!f.exists(p)) -1L
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toLong
+      } finally in.close()
+    }
+  }
+
+  /** Garbage-collect after committing generation `newGen` over previous
+    * base `prev`: drop append batches the PREVIOUS base had already
+    * folded (ids <= prev.maxFolded) from every append subdir, generations
+    * older than the previous, and — once a committed generation stands
+    * between them and the head — the legacy flat subdirs. One-cycle grace
+    * for in-flight readers, per the object contract.
+    */
+  def gc(spark: SparkSession, dir: String, newGen: Int, prev: Base,
+      appendSubs: Seq[String], flatSubs: Seq[String]): Unit = {
+    val f = fsFor(spark, dir)
+    appendSubs.foreach { sub =>
+      batches(spark, dir, sub).foreach { case (id, p) =>
+        if (id <= prev.maxFolded) f.delete(new Path(p), true)
+      }
+    }
+    val root = new Path(dir)
+    if (f.exists(root)) f.listStatus(root).foreach { s =>
+      if (s.isDirectory) s.getPath.getName match {
+        case GenDir(n) if n.toInt < newGen - 1 => f.delete(s.getPath, true)
+        case _ => ()
+      }
+    }
+    if (prev.gen >= 0) // flat base is >= 2 generations old: dead bytes
+      flatSubs.foreach(sub => f.delete(new Path(s"$dir/$sub"), true))
+  }
+}

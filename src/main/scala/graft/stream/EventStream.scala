@@ -299,11 +299,18 @@ object EventStream {
     * appends is the caller's retrain trigger (rebuild + generation swap).
     */
   def maintainIvfIndex(vectors: DataFrame, indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.llm.VectorOps.ivfAppendBatch(
           batch.sparkSession, indexDir, batchId, batch)
+        // the maintainer thread IS the single compactor (IndexGenerations
+        // contract); a fold every `compactEvery` batches bounds the read
+        // union width under a sustained stream. Compaction after a
+        // replayed batch is safe: folded batches sit at or below the
+        // generation watermark and are filtered on every read.
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.llm.VectorOps.compactIvfIndex(batch.sparkSession, indexDir)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update())
@@ -317,11 +324,43 @@ object EventStream {
     * trigger, as with the float-vector index.
     */
   def maintainIvfPqIndex(vectors: DataFrame, indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.llm.Pq.ivfPqAppendBatch(
           batch.sparkSession, indexDir, batchId, batch)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.llm.Pq.compactIvfPqIndex(batch.sparkSession, indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .start()
+
+  /** Continuous BM25-index maintenance — the search-index member of the
+    * index-maintainer family: every micro-batch of arriving documents
+    * (doc_id, text) lands in the stored posting index at `indexDir`
+    * through the idempotent batch-keyed append
+    * ([[graft.llm.Retrieval.bm25IndexAppend]] — a crash-replayed batch
+    * OVERWRITES its own `appends/batch=<id>` dirs, so index contents are
+    * exactly-once from an at-least-once sink), keeping ranked retrieval
+    * live at the reference's hourly cadence. Per-term df needs no
+    * maintenance at all (derived from probed postings) and the stats rows
+    * SUM, so a query after any number of batches equals a from-scratch
+    * build of the union bit-for-bit. `compactEvery > 0` folds the append
+    * batches into a new base generation every that-many batches
+    * ([[graft.llm.Retrieval.compactBm25Index]]), bounding the read-time
+    * union width; the maintainer thread is the single compactor. Caller
+    * contract: a doc arrives whole in ONE batch.
+    */
+  def maintainBm25Index(docs: DataFrame, indexDir: String,
+      checkpointDir: String, nBuckets: Int = 64,
+      compactEvery: Int = 0): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Retrieval.bm25IndexAppend(
+          batch.sparkSession, indexDir, batchId, batch, nBuckets)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.llm.Retrieval.compactBm25Index(batch.sparkSession, indexDir)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update())

@@ -1,0 +1,180 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.store.IndexGenerations
+
+/** Laws for the stored-index generation fold ([[graft.store
+  * .IndexGenerations]] + compactBm25Index / compactIvfIndex /
+  * compactIvfPqIndex): N appends + compact ≡ a fresh build of the union
+  * bit-for-bit; file widths collapse; appends AFTER a compact stay live;
+  * a replay-resurrected FOLDED batch is invisible (the watermark, not
+  * deletion, carries correctness); GC retains one full cycle of grace.
+  */
+class IndexCompactionSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown cat sleeps on the warm mat"),
+    (2L, "a slow green turtle walks under the old bridge"),
+    (3L, "quick quick quick repetition inflates term frequency here"),
+    (4L, "entirely disjoint vocabulary zone alpha beta gamma delta"),
+    (5L, "the lazy dog naps beside the quick brown fox"),
+    (6L, "gamma rays cross the warm bridge at dawn"),
+    (7L, "the turtle and the fox share the old mat")
+  ).toDF("doc_id", "text")
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString + "/idx"
+
+  private def rm(dirs: String*): Unit = dirs.foreach(d =>
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(d).getParentFile))
+
+  private def parquetFiles(path: String): Seq[String] = {
+    val root = new java.io.File(path)
+    if (!root.exists()) Nil
+    else {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(_.getPath).filter(_.endsWith(".parquet"))
+    }
+  }
+
+  test("bm25: appends + compact == fresh build bit-for-bit; post-compact " +
+    "appends stay live; resurrected folded batch is invisible; second " +
+    "compact GCs the folded dirs and the flat base") {
+    val docs = docsDf
+    val queries = docs.select($"doc_id".as("query_id"),
+      array_distinct(split($"text", " ")).as("terms"))
+    val dirInc = tmp("bm25cmp")
+    val dirFull = tmp("bm25cmpfull")
+    def run(dir: String) =
+      Retrieval.bm25Stored(spark, dir, queries, k = 5, nBuckets = 8)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+
+    Retrieval.buildBm25Index(docs.filter($"doc_id" < 3), dirInc, nBuckets = 8)
+    Retrieval.bm25IndexAppend(spark, dirInc, 1L,
+      docs.filter($"doc_id" >= 3 && $"doc_id" < 5), nBuckets = 8)
+    Retrieval.bm25IndexAppend(spark, dirInc, 2L,
+      docs.filter($"doc_id" >= 5 && $"doc_id" < 7), nBuckets = 8)
+    Retrieval.buildBm25Index(docs.filter($"doc_id" < 7), dirFull, nBuckets = 8)
+    val before = run(dirInc)
+    assert(before === run(dirFull), "append path must equal fresh build")
+
+    Retrieval.compactBm25Index(spark, dirInc)
+    val b0 = IndexGenerations.current(spark, dirInc)
+    assert(b0.gen === 0 && b0.maxFolded === 2L)
+    assert(run(dirInc) === before, "fold must not change query results")
+    // first compact retains EVERYTHING older (one-cycle grace): flat base
+    // and both folded batch dirs still on disk, excluded only by watermark
+    assert(new java.io.File(s"$dirInc/postings").exists())
+    assert(new java.io.File(s"$dirInc/appends/batch=1").exists())
+
+    // a crash-replay resurrects folded batch 2 AFTER the fold: the
+    // watermark (not deletion) keeps it invisible — results unchanged
+    Retrieval.bm25IndexAppend(spark, dirInc, 2L,
+      docs.filter($"doc_id" >= 5 && $"doc_id" < 7), nBuckets = 8)
+    assert(run(dirInc) === before, "resurrected folded batch double-counted")
+
+    // a batch ABOVE the watermark is live immediately
+    Retrieval.bm25IndexAppend(spark, dirInc, 3L,
+      docs.filter($"doc_id" === 7), nBuckets = 8)
+    val withLate = run(dirInc)
+    assert(withLate.exists(_._2 === 7L), "post-compact append not readable")
+
+    // second compact folds batch 3 and GCs what g0 had already folded
+    // (batches <= 2) plus the flat base — g0 itself is the retained
+    // previous generation
+    Retrieval.compactBm25Index(spark, dirInc)
+    val b1 = IndexGenerations.current(spark, dirInc)
+    assert(b1.gen === 1 && b1.maxFolded === 3L)
+    assert(run(dirInc) === withLate)
+    assert(!new java.io.File(s"$dirInc/postings").exists(),
+      "flat base must be GC'd once two generations stand past it")
+    assert(!new java.io.File(s"$dirInc/appends/batch=1").exists())
+    assert(!new java.io.File(s"$dirInc/appends/batch=2").exists())
+    assert(new java.io.File(s"$dirInc/g0").exists(),
+      "previous generation is the in-flight readers' grace copy")
+    // equality with a fresh build over all 8 docs closes the loop
+    val dirAll = tmp("bm25cmpall")
+    Retrieval.buildBm25Index(docs, dirAll, nBuckets = 8)
+    assert(run(dirInc) === run(dirAll))
+    // the fold collapses per-bucket file counts: one file per bucket in
+    // the new base vs base+2 appends worth before
+    val genFiles = parquetFiles(s"$dirInc/g1/postings")
+    val buckets = genFiles.flatMap(p =>
+      "bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1))).distinct
+    assert(genFiles.size === buckets.size, "expected one file per bucket")
+    rm(dirInc, dirFull, dirAll)
+  }
+
+  test("ivf: appends + compact == same query results; rebuild over a " +
+    "generational dir is a generation swap that retires old appends") {
+    val emb = graft.query.Tables(spark, sf("sf0.001"), "embeddings")
+    val dir = tmp("ivfcmp")
+    VectorOps.writeIvfIndex(
+      VectorOps.buildIvfIndex(emb.filter(col("vec_id") < 300)), dir)
+    val late = emb.filter(col("vec_id") >= 300)
+      .select("vec_id", "embedding")
+    VectorOps.ivfAppendBatch(spark, dir, 0L,
+      late.filter(col("vec_id") < 400))
+    VectorOps.ivfAppendBatch(spark, dir, 1L,
+      late.filter(col("vec_id") >= 400))
+    def query() = VectorOps.ivfQuery(VectorOps.readIvfIndex(spark, dir),
+        emb.filter(col("vec_id") < 5), k = 5, nProbe = 16)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val before = query()
+    assert(before.nonEmpty)
+
+    VectorOps.compactIvfIndex(spark, dir)
+    val b0 = IndexGenerations.current(spark, dir)
+    assert(b0.gen === 0 && b0.maxFolded === 1L)
+    assert(VectorOps.readIvfIndex(spark, dir).assignments.count()
+      === emb.count(), "fold must carry every assignment exactly once")
+    assert(query() === before, "fold must not change query results")
+
+    // replay-resurrect folded batch 1: watermark keeps it invisible
+    VectorOps.ivfAppendBatch(spark, dir, 1L,
+      late.filter(col("vec_id") >= 400))
+    assert(VectorOps.readIvfIndex(spark, dir).assignments.count()
+      === emb.count())
+
+    // full rebuild over the generational dir = generation swap whose
+    // watermark retires every append batch present
+    VectorOps.writeIvfIndex(VectorOps.buildIvfIndex(emb), dir)
+    val b1 = IndexGenerations.current(spark, dir)
+    assert(b1.gen === 1 && b1.maxFolded >= 1L)
+    assert(VectorOps.readIvfIndex(spark, dir).assignments.count()
+      === emb.count(), "rebuild must replace history, not add to it")
+    rm(dir)
+  }
+
+  test("ivfpq: appends + compact == same query results through the fixed " +
+    "quantizers") {
+    val emb = graft.query.Tables(spark, sf("sf0.001"), "embeddings")
+    val dir = tmp("ivfpqcmp")
+    Pq.writeIvfPqIndex(
+      Pq.buildIvfPqIndex(emb.filter(col("vec_id") < 300)), dir)
+    Pq.ivfPqAppendBatch(spark, dir, 0L, emb.filter(col("vec_id") >= 300)
+      .select("vec_id", "embedding"))
+    def query() = Pq.ivfPqQuery(Pq.readIvfPqIndex(spark, dir), emb,
+        emb.filter(col("vec_id") < 5), k = 5, nProbe = 16, shortlist = 256)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val before = query()
+    assert(before.nonEmpty)
+    Pq.compactIvfPqIndex(spark, dir)
+    assert(IndexGenerations.current(spark, dir).gen === 0)
+    assert(Pq.readIvfPqIndex(spark, dir).assignments.count() === emb.count())
+    assert(query() === before, "fold must not change IVF-PQ query results")
+    rm(dir)
+  }
+}
