@@ -211,6 +211,8 @@ object GraftFunctionRegistry {
       ShingleHashes(es(0), foldI("graft_shingle_hashes", "n", es(1))) },
     "graft_nfc_normalize" -> { es: Seq[Expression] =>
       arity("graft_nfc_normalize", es, 1); NfcNormalize(es(0)) },
+    "graft_drop_indices" -> { es: Seq[Expression] =>
+      arity("graft_drop_indices", es, 2); DropIndices(es(0), es(1)) },
     "graft_kll_quantiles" -> { es: Seq[Expression] =>
       arity("graft_kll_quantiles", es, 2)
       KllQuantiles(es(0), foldDs("graft_kll_quantiles", "probs", es(1))) },

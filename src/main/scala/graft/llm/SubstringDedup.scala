@@ -33,15 +33,17 @@ import graft.query.Tables
   *    the corpus never re-groups token-by-token.
   *
   * One-pass semantics: cutting can juxtapose new k-grams; like the
-  * reference implementations, those are not re-examined (iterate the
-  * operator for a fixpoint if required).
+  * reference implementations, [[clean]] does not re-examine those —
+  * [[cleanFixpoint]] iterates the operator to quiescence when the
+  * stronger guarantee is required.
   */
 object SubstringDedup {
 
-  /** (doc_id, kept_tokens, clean_text) for EVERY input doc — untouched
-    * docs pass through with their original text and full token count.
+  /** (doc_id, cutpos) for every doc with ≥ 1 cut token position: the
+    * sorted, deduped 0-based token positions covered by a non-canonical
+    * occurrence of a duplicated k-gram. Docs with no cuts are absent.
     */
-  def clean(docs: DataFrame, k: Int): DataFrame = {
+  private def cutPositions(docs: DataFrame, k: Int): DataFrame = {
     val grams = docs
       .select(col("doc_id"), posexplode(TextOps.ngramHashes(col("text"), k)))
       .toDF("doc_id", "pos", "gh")
@@ -57,19 +59,89 @@ object SubstringDedup {
         col("pos") === col("first").getField("pos")))
     // covered token positions, deduped (overlapping non-canonical spans
     // union cleanly), then folded to ONE bounded array per affected doc
-    val cutDocs = cuts
+    cuts
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tpos"))
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("tpos"))).as("cutpos"))
-    // row-local rebuild; the join streams the corpus through per-partition
-    // hash maps of the (small) affected-doc array table — never a sort
+  }
+
+  /** Row-local rebuild: drop each affected doc's cut positions from its
+    * token array in ONE linear merge pass ([[graft.functions.DropIndices]]
+    * — cutpos arrives sorted, so the kernel is O(len + cuts) where the HOF
+    * `filter + array_contains` form was O(len × cuts) on a long
+    * mostly-duplicated doc). The join streams the corpus through
+    * per-partition hash maps of the (small) affected-doc array table —
+    * never a sort.
+    */
+  private def rebuild(docs: DataFrame, cutDocs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     val keptArr = when(col("cutpos").isNull, ws)
-      .otherwise(filter(ws, (_, i) => !array_contains(col("cutpos"), i)))
+      .otherwise(graft.functions.DropIndices.dropIndices(ws, col("cutpos")))
     docs.join(cutDocs.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), size(keptArr).cast("long").as("kept_tokens"),
         concat_ws(" ", keptArr).as("clean_text"))
+  }
+
+  /** (doc_id, kept_tokens, clean_text) for EVERY input doc — untouched
+    * docs pass through with their original text and full token count.
+    */
+  def clean(docs: DataFrame, k: Int): DataFrame =
+    rebuild(docs, cutPositions(docs, k))
+
+  /** Iterate [[clean]] to quiescence: one pass can juxtapose previously
+    * non-adjacent tokens into NEW duplicated k-grams, which the next pass
+    * then sees. Stops when a round cuts zero token positions or after
+    * `maxRounds` (real corpora converge in 2–3 rounds: each round only
+    * re-examines text that the previous round rewrote, and the cut set
+    * shrinks monotonically toward the canonical occurrences).
+    *
+    * Returns the final (doc_id, kept_tokens, clean_text) frame — persisted,
+    * caller may `unpersist()` — and the per-round cut-position counts (the
+    * convergence log; a trailing 0 means quiescence was OBSERVED, a
+    * non-zero final entry means `maxRounds` stopped the loop first).
+    *
+    * Scale note: each round is one full [[clean]] (gram agg + two
+    * shuffle-hash joins); rounds are materialized (persist + count) so
+    * lineage stays one round deep instead of stacking `maxRounds` plans.
+    */
+  def cleanFixpoint(docs: DataFrame, k: Int,
+      maxRounds: Int = 4): (DataFrame, Seq[Long]) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var cur = docs.select(col("doc_id"), col("text")).persist()
+    cur.count()
+    var prev: DataFrame = null
+    val roundCuts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val cutDocs = cutPositions(cur, k).persist()
+      val nCut = cutDocs
+        .agg(coalesce(sum(size(col("cutpos"))), lit(0L)).as("n"))
+        .head.getLong(0)
+      roundCuts += nCut
+      if (nCut == 0) converged = true
+      else {
+        val next = rebuild(cur, cutDocs)
+          .select(col("doc_id"), col("clean_text").as("text")).persist()
+        next.count()
+        if (prev != null) prev.unpersist()
+        prev = cur
+        cur = next
+      }
+      cutDocs.unpersist()
+      round += 1
+    }
+    // empty text splits to [""] — guard so a fully-cut doc reports 0 tokens
+    val out = cur.select(col("doc_id"),
+      when(length(col("text")) === 0, lit(0L))
+        .otherwise(size(split(col("text"), " ")).cast("long"))
+        .as("kept_tokens"),
+      col("text").as("clean_text")).persist()
+    out.count()
+    if (prev != null) prev.unpersist()
+    cur.unpersist()
+    (out, roundCuts.toSeq)
   }
 
   val all: Seq[Q] = Seq(
