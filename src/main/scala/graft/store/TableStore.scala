@@ -89,12 +89,30 @@ object TableStore {
   private val GenName = "^g(\\d+)$".r
 
   /** TRULY atomic create-exclusive — the primitive every claim/lock here
-    * stands on. Hadoop's local `create(p, overwrite = false)` is
-    * check-then-act (two racing writers can BOTH win and then clobber one
-    * another's generation); `O_CREAT|O_EXCL` via nio is the kernel-atomic
-    * form. Remote stores keep `FileSystem.create` — HDFS create is
-    * namenode-atomic, and object stores bind it to a conditional PUT
-    * (S3 If-None-Match / GCS preconditions).
+    * stands on (`_commit.lock`, `g<N>.claim`, `_claims/date=*.claim`).
+    * Hadoop's local `create(p, overwrite = false)` is check-then-act (two
+    * racing writers can BOTH win and then clobber one another's
+    * generation); `O_CREAT|O_EXCL` via nio is the kernel-atomic form.
+    *
+    * DEPLOYMENT ADJUDICATION (what "atomic" means per store — the S3
+    * story, pinned by `ObjectStoreSemanticsSpec`'s contended-claim test):
+    *
+    *  - `file:` — nio `O_CREAT|O_EXCL`, kernel-atomic (this branch);
+    *  - HDFS — `FileSystem.create(p, overwrite=false)` is namenode-atomic;
+    *  - S3 via s3a — atomic ONLY with conditional writes enabled
+    *    (`fs.s3a.create.conditional.enabled`, Hadoop ≥ 3.4.1 binding
+    *    create-no-overwrite to an `If-None-Match: *` PUT — S3 supports the
+    *    precondition natively since 2024-11); GCS and ABFS have the
+    *    equivalent preconditions/lease. This is the REQUIRED mode for
+    *    multi-writer tables on S3.
+    *  - S3 WITHOUT conditional writes — `create(p, false)` degrades to
+    *    check-then-act over eventually-listed objects: two writers can both
+    *    "win" a claim. The documented mode there is SINGLE WRITER PER TABLE
+    *    PREFIX (the reference's own deployment shape — one Prefect flow per
+    *    store, `preprocess.py:258,277-280`); the claims still serialize
+    *    same-process writers and still expire stale crashes, they just stop
+    *    being a cross-process guarantee. Delta solves the same gap with an
+    *    external LogStore (DynamoDB) — out of scope here by design.
     */
   private def atomicCreate(f: FileSystem, p: Path): Boolean = {
     if (f.getUri.getScheme == "file") {
@@ -208,6 +226,52 @@ object TableStore {
         s"$dir: generations advancing faster than this writer can claim")
     }
     -1 // unreachable
+  }
+
+  /** Per-date rewrite claims — the same-date conflict detection partition
+    * rewriters need BEYOND the commit lock. The commit lock serializes
+    * commit points (milliseconds); it cannot see that two merges both read
+    * the same base slice of `date=D` and are about to publish independent
+    * rewrites of it — the second commit would silently drop the first's
+    * rows (a classic lost update). A rewriter therefore claims every date
+    * it will rewrite via create-exclusive `_claims/date=<d>.claim` files
+    * held across its whole read→rewrite→commit window:
+    *
+    *  - DISJOINT-date rewrites claim disjoint files and run fully in
+    *    parallel (the common case — e.g. two backfills of different weeks);
+    *  - SAME-date rewrites produce one clean winner and one clean
+    *    [[ConcurrentWriteException]] loser, which re-runs against the
+    *    winner's committed state (the Delta `retries=10` loop) — never a
+    *    torn partition.
+    *
+    * Claims acquire in sorted order (no deadlock: losers fail fast, they
+    * never block holding a subset), expire by age like the generation
+    * claims (a crashed rewriter blocks its dates only until `staleMs`),
+    * and stand on the same [[atomicCreate]] primitive — see the S3 note
+    * there. Appends never claim (append ∥ anything commutes at the file
+    * level); compaction conflicts are caught by the rewritten-file check.
+    */
+  private def withDateClaims[T](f: FileSystem, dir: String,
+      dates: Seq[String], staleMs: Long)(body: => T): T = {
+    val claimsDir = new Path(dir, "_claims")
+    f.mkdirs(claimsDir)
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      dates.distinct.sorted.foreach { d =>
+        val p = new Path(claimsDir,
+          s"date=${java.net.URLEncoder.encode(d, "UTF-8")}.claim")
+        try {
+          val st = f.getFileStatus(p)
+          if (System.currentTimeMillis - st.getModificationTime > staleMs)
+            f.delete(p, false)
+        } catch { case _: java.io.FileNotFoundException => () }
+        if (atomicCreate(f, p)) acquired += p
+        else throw new ConcurrentWriteException(
+          s"another writer holds the rewrite claim for date=$d on $dir — " +
+            "re-run after it commits (disjoint-date rewrites run in parallel)")
+      }
+      body
+    } finally acquired.foreach(f.delete(_, false))
   }
 
   /** Age-expired cleanup of `.staging/` debris a crashed writer left —
@@ -422,14 +486,20 @@ object TableStore {
     try {
       val touched = batch.select("date").distinct().collect().map(_.get(0))
       if (touched.isEmpty) return
-      val cols = batch.columns.toSeq
-      val current = read(spark, dir)
-        .filter(col("date").isin(touched: _*))
-        .select(cols.map(col): _*)
-      val joinKeys = "date" +: keyCols
-      val survivors = current.join(batch.select(joinKeys.map(col): _*),
-        joinKeys, "left_anti")
-      upsertPartitions(spark, survivors.unionByName(batch), dir)
+      // claim the touched dates for the whole read→rewrite window: two
+      // merges into DISJOINT dates run in parallel; a same-date race loses
+      // cleanly here instead of silently dropping the winner's rows
+      withDateClaims(fs(spark, dir), dir,
+        touched.toIndexedSeq.map(String.valueOf), 30L * 60 * 1000) {
+        val cols = batch.columns.toSeq
+        val current = read(spark, dir)
+          .filter(col("date").isin(touched: _*))
+          .select(cols.map(col): _*)
+        val joinKeys = "date" +: keyCols
+        val survivors = current.join(batch.select(joinKeys.map(col): _*),
+          joinKeys, "left_anti")
+        upsertPartitions(spark, survivors.unionByName(batch), dir)
+      }
     } finally {
       org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(batch)
     }
@@ -456,22 +526,42 @@ object TableStore {
   def deleteWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    val perDate = readEvolved(spark, dir).filter(predicate)
-      .groupBy("date").count().collect()
-      .map(r => r.get(0) -> r.getLong(1)).toMap
-    if (perDate.isEmpty) return 0L
-    val touched = perDate.keys.toSeq
-    val slice = readEvolved(spark, dir).filter(col("date").isin(touched: _*))
-    val totals = slice.groupBy("date").count().collect()
-      .map(r => r.get(0) -> r.getLong(1)).toMap
-    val (emptied, partial) = touched.partition(d => perDate(d) == totals(d))
-    if (partial.nonEmpty) {
-      val survivors = slice.filter(col("date").isin(partial: _*))
-        .filter(coalesce(not(predicate), lit(true)))
-      upsertPartitions(spark, survivors, dir)
+    // discover the candidate dates, then CLAIM them and recompute the
+    // counts under the claims — a rewrite that committed between the
+    // discovery scan and the claim would otherwise feed stale counts into
+    // the emptied/partial split. Matching rows appearing in an UNclaimed
+    // date mid-flight (concurrent append) fail loudly; the re-run claims
+    // them. Serialized-after semantics for appends racing the delete.
+    val candidates = readEvolved(spark, dir).filter(predicate)
+      .select("date").distinct().collect().map(_.get(0))
+    if (candidates.isEmpty) return 0L
+    withDateClaims(fs(spark, dir), dir,
+      candidates.toIndexedSeq.map(String.valueOf), 30L * 60 * 1000) {
+      val perDate = readEvolved(spark, dir).filter(predicate)
+        .groupBy("date").count().collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val unclaimed = perDate.keySet.map(String.valueOf) --
+        candidates.map(String.valueOf)
+      if (unclaimed.nonEmpty) throw new ConcurrentWriteException(
+        s"$dir: matching rows appeared in unclaimed dates " +
+          s"${unclaimed.mkString(",")} during the delete — re-run it")
+      if (perDate.isEmpty) 0L
+      else {
+        val touched = perDate.keys.toSeq
+        val slice = readEvolved(spark, dir)
+          .filter(col("date").isin(touched: _*))
+        val totals = slice.groupBy("date").count().collect()
+          .map(r => r.get(0) -> r.getLong(1)).toMap
+        val (emptied, partial) = touched.partition(d => perDate(d) == totals(d))
+        if (partial.nonEmpty) {
+          val survivors = slice.filter(col("date").isin(partial: _*))
+            .filter(coalesce(not(predicate), lit(true)))
+          upsertPartitions(spark, survivors, dir)
+        }
+        emptied.foreach(d => dropPartition(spark, dir, d.toString))
+        perDate.values.sum
+      }
     }
-    emptied.foreach(d => dropPartition(spark, dir, d.toString))
-    perDate.values.sum
   }
 
   /** S20: predicate-scoped overwrite (Delta `replaceWhere`) — replace
@@ -536,30 +626,45 @@ object TableStore {
       require(violations == 0L,
         s"replaceWhere: $violations batch rows do not satisfy the predicate")
       val batchPerDate = batchAgg.map(r => r.get(0) -> r.getLong(1)).toMap
-      val perDate = readEvolved(spark, dir).filter(predicate)
-        .groupBy("date").count().collect()
-        .map(r => r.get(0) -> r.getLong(1)).toMap
-      val touched = (perDate.keySet ++ batchPerDate.keySet).toSeq
-      if (touched.isEmpty) return 0L
-      val slice = readEvolved(spark, dir)
-        .filter(col("date").isin(touched: _*))
-      val totals = slice.groupBy("date").count().collect()
-        .map(r => r.get(0) -> r.getLong(1)).toMap
-      val emptied = touched.filter { d =>
-        totals.getOrElse(d, 0L) - perDate.getOrElse(d, 0L) +
-          batchPerDate.getOrElse(d, 0L) == 0L
+      // candidate dates = batch dates ∪ predicate-matching base dates;
+      // claim them, then recompute the base counts UNDER the claims (same
+      // protocol as deleteWhere — stale counts from a pre-claim racer
+      // would corrupt the emptied/written split)
+      val candidates = (readEvolved(spark, dir).filter(predicate)
+        .select("date").distinct().collect().map(_.get(0)).toSet ++
+        batchPerDate.keySet).toSeq
+      if (candidates.isEmpty) 0L
+      else withDateClaims(fs(spark, dir), dir,
+        candidates.toIndexedSeq.map(String.valueOf), 30L * 60 * 1000) {
+        val perDate = readEvolved(spark, dir).filter(predicate)
+          .groupBy("date").count().collect()
+          .map(r => r.get(0) -> r.getLong(1)).toMap
+        val unclaimed = perDate.keySet.map(String.valueOf) --
+          candidates.map(String.valueOf)
+        if (unclaimed.nonEmpty) throw new ConcurrentWriteException(
+          s"$dir: matching rows appeared in unclaimed dates " +
+            s"${unclaimed.mkString(",")} during the replace — re-run it")
+        val touched = (perDate.keySet ++ batchPerDate.keySet).toSeq
+        val slice = readEvolved(spark, dir)
+          .filter(col("date").isin(touched: _*))
+        val totals = slice.groupBy("date").count().collect()
+          .map(r => r.get(0) -> r.getLong(1)).toMap
+        val emptied = touched.filter { d =>
+          totals.getOrElse(d, 0L) - perDate.getOrElse(d, 0L) +
+            batchPerDate.getOrElse(d, 0L) == 0L
+        }
+        val written = touched.diff(emptied)
+        // drops BEFORE the upsert: a crash mid-sweep then leaves missing
+        // data (conservative, rerun converges), never stale predicate rows
+        // alongside already-committed replacements — see the scaladoc
+        emptied.foreach(d => dropPartition(spark, dir, d.toString))
+        if (written.nonEmpty) {
+          val survivors = slice.filter(col("date").isin(written: _*))
+            .filter(coalesce(not(predicate), lit(true)))
+          upsertPartitions(spark, survivors.unionByName(batch), dir)
+        }
+        perDate.values.sum
       }
-      val written = touched.diff(emptied)
-      // drops BEFORE the upsert: a crash mid-sweep then leaves missing
-      // data (conservative, rerun converges), never stale predicate rows
-      // alongside already-committed replacements — see the scaladoc
-      emptied.foreach(d => dropPartition(spark, dir, d.toString))
-      if (written.nonEmpty) {
-        val survivors = slice.filter(col("date").isin(written: _*))
-          .filter(coalesce(not(predicate), lit(true)))
-        upsertPartitions(spark, survivors.unionByName(batch), dir)
-      }
-      perDate.values.sum
     } finally {
       org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(batch)
     }

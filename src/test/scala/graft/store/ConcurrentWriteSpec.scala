@@ -204,6 +204,79 @@ class ConcurrentWriteSpec extends AnyFunSuite with SparkFixture {
       s"beta fold lost or skewed: $top")
   }
 
+  test("disjoint-date merges run in parallel: per-date claims do not " +
+    "serialize them and both land") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-06-01", 0 until 10), dir)
+    TableStore.append(mkBatch("2024-06-02", 10 until 20), dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(
+      ("2024-06-01", 0 until 5, "m1"), ("2024-06-02", 10 until 15, "m2")).map {
+      case (d, ids, tag) => new Thread(() =>
+        try TableStore.merge(spark,
+          mkBatch(d, ids).withColumn("user", lit(tag)), dir, Seq("id"))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    assert(errs.isEmpty, s"disjoint-date merge failed: ${Option(errs.peek())}")
+    val back = TableStore.read(spark, dir)
+    assert(back.count() === 20)
+    assert(back.filter($"user" === "m1").count() === 5)
+    assert(back.filter($"user" === "m2").count() === 5)
+  }
+
+  test("same-date merges: one clean winner, one clean claim-loser, and the " +
+    "retry converges — never a torn partition") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-07-01", 0 until 10), dir)
+    val loserBatch = mkBatch("2024-07-01", 0 until 3)
+      .withColumn("user", lit("B"))
+    var loserErr: Throwable = null
+    TableStore.beforeCommitHook = () => {
+      resetHook()
+      // the winner holds the date claim through its whole rewrite window —
+      // a same-date merge landing inside it must lose CLEANLY, before
+      // touching any file
+      loserErr = intercept[TableStore.ConcurrentWriteException] {
+        TableStore.merge(spark, loserBatch, dir, Seq("id"))
+      }
+    }
+    try TableStore.merge(spark,
+      mkBatch("2024-07-01", 5 until 8).withColumn("user", lit("A")),
+      dir, Seq("id"))
+    finally resetHook()
+    assert(loserErr != null &&
+      loserErr.getMessage.contains("rewrite claim"), s"got: $loserErr")
+    // untorn: the winner's rewrite landed whole, the loser wrote nothing
+    val back = TableStore.read(spark, dir)
+    assert(back.count() === 10)
+    assert(back.filter($"user" === "A").count() === 3)
+    assert(back.filter($"user" === "B").count() === 0)
+    // the loser re-runs against the winner's committed state: BOTH land
+    TableStore.merge(spark, loserBatch, dir, Seq("id"))
+    val after = TableStore.read(spark, dir)
+    assert(after.count() === 10)
+    assert(after.filter($"user" === "A").count() === 3)
+    assert(after.filter($"user" === "B").count() === 3)
+  }
+
+  test("a dead rewriter's date claim expires by age") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-08-01", 0 until 5), dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(dir, "_claims/date=2024-08-01.claim")
+    f.mkdirs(claim.getParent)
+    f.create(claim, false).close()
+    f.setTimes(claim, System.currentTimeMillis - 31L * 60 * 1000, -1)
+    TableStore.merge(spark,
+      mkBatch("2024-08-01", 0 until 2).withColumn("user", lit("late")),
+      dir, Seq("id"))
+    assert(TableStore.read(spark, dir)
+      .filter($"user" === "late").count() === 2)
+    assert(!f.exists(claim), "the winning merge must release the claim")
+  }
+
   test("a stale expectedGen fails the CAS before any data is written") {
     val dir = tmpDir() + "/t"
     val df = Seq((1, "a")).toDF("k", "v")

@@ -2,6 +2,7 @@ package graft.store
 
 import java.nio.file.{Files, Paths}
 import java.time.Instant
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkFixture
@@ -159,6 +160,57 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite with SparkFixture {
       Seq(TableStore.ColRange("event_id", 1, 5)))
     assert(pruned.statsSource === "sidecar")
     assert(pruned.df.filter(col("event_id") <= 5).count() === 5)
+  }
+
+  test("a contended claim on the object store loses CLEANLY — the " +
+    "conditional-create adjudication for _commit.lock / g<N>.claim / " +
+    "date claims") {
+    NonAtomicRenameFs.reset()
+    val dir = mockDir("objstore_claim_")
+    val tbl = s"$dir/t"
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0 until 10).map(i =>
+        (i, s"u$i", java.sql.Date.valueOf("2024-03-01")))
+      .toDF("id", "user", "date")
+    TableStore.append(df, tbl)
+
+    val f = new Path(tbl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // another writer holds the date claim, created through the store's
+    // create-exclusive (the conditional-PUT stand-in — see atomicCreate's
+    // deployment adjudication): a same-date merge must fail BEFORE touching
+    // any file, leaving the store untorn
+    val claim = new Path(tbl, "_claims/date=2024-03-01.claim")
+    f.mkdirs(claim.getParent)
+    f.create(claim, false).close()
+    val e = intercept[TableStore.ConcurrentWriteException] {
+      TableStore.merge(spark,
+        df.limit(3).withColumn("user", org.apache.spark.sql.functions.lit("X")),
+        tbl, Seq("id"))
+    }
+    assert(e.getMessage.contains("rewrite claim"))
+    val back = TableStore.read(spark, tbl)
+    assert(back.count() === 10)
+    assert(back.filter(col("user") === "X").count() === 0)
+
+    // a contended generation claim fails a compaction the same clean way
+    val gclaim = new Path(tbl, "g1.claim")
+    f.create(gclaim, false).close()
+    val e2 = intercept[TableStore.ConcurrentWriteException] {
+      TableStore.compact(spark, tbl)
+    }
+    assert(e2.getMessage.contains("holds the claim"))
+
+    // holders release; both operations then converge on the object store
+    f.delete(claim, false)
+    f.delete(gclaim, false)
+    TableStore.merge(spark,
+      df.limit(3).withColumn("user", org.apache.spark.sql.functions.lit("X")),
+      tbl, Seq("id"))
+    TableStore.compact(spark, tbl)
+    val after = TableStore.read(spark, tbl)
+    assert(after.count() === 10)
+    assert(after.filter(col("user") === "X").count() === 3)
   }
 
   test("ingest ticks on an object store: crash windows stay exactly-once") {
