@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
@@ -132,6 +132,90 @@ case class PqEncode(child: Expression, books: Seq[Double], m: Int,
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** SDC pair scoring (symmetric distance computation, the PQ paper's
+  * code-vs-code regime): two PQ code arrays → the approximate dot product
+  * of the two QUANTIZED unit vectors, read off the precomputed
+  * per-subspace centroid×centroid dot table `tables` (flat m·ksub·ksub,
+  * entry (j,a,b) = dot(centroid (j,a), centroid (j,b)) — 32 K doubles at
+  * the knn-graph m=8/ksub=64 shape, one driver-side computation per
+  * trained model).
+  *
+  * This is the candidate PRE-RANK of the k-NN graph: where the exact
+  * verify must re-attach two 8·dim-byte vectors per candidate pair and
+  * walk dim multiplies, SDC re-attaches two m-int code rows (~60× less
+  * join payload at dim=64) and does m table lookups — so the expensive
+  * exact stage runs on k·refine survivors per query instead of
+  * nProbe·cellSize candidates. Out-of-range codes contribute 0 (same
+  * contract as [[AdcScores]]); a pair of SHORT code arrays sums over the
+  * common prefix.
+  */
+case class SdcScore(left: Expression, right: Expression,
+    tables: Seq[Double], ksub: Int) extends BinaryExpression {
+  require(ksub > 0, s"ksub must be positive, got $ksub")
+  require(tables.nonEmpty && tables.length % (ksub * ksub) == 0,
+    s"flat table length ${tables.length} not a multiple of " +
+      s"ksub*ksub = ${ksub * ksub}")
+
+  private val m = tables.length / (ksub * ksub)
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sdc_score"
+
+  @transient private lazy val tab: Array[Double] = tables.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<int>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ca = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val nm = math.min(math.min(ca.numElements(), cb.numElements()), m)
+    var s = 0.0
+    var j = 0
+    while (j < nm) {
+      val x = ca.getInt(j)
+      val y = cb.getInt(j)
+      if (x >= 0 && x < ksub && y >= 0 && y < ksub)
+        s += tab(j * ksub * ksub + x * ksub + y)
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tabRef = ctx.addReferenceObj("tab", tab, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nm = ctx.freshName("nm")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $nm = java.lang.Math.min(
+         |  java.lang.Math.min($a.numElements(), $b.numElements()), $m);
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $nm; $j++) {
+         |  int $x = $a.getInt($j);
+         |  int $y = $b.getInt($j);
+         |  if ($x >= 0 && $x < $ksub && $y >= 0 && $y < $ksub)
+         |    $s += $tabRef[$j * $ksub * $ksub + $x * $ksub + $y];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** ADC batch scoring: `array<int>` PQ codes → `array<double>` of one

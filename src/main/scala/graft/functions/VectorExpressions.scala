@@ -131,6 +131,12 @@ object GraftFunctions {
     ColumnBridge.column(
       AdcScores(ColumnBridge.expression(codes), tables, ksub, nQueries))
 
+  /** Codegen'd code-vs-code SDC dot product (see [[SdcScore]]). */
+  def sdcScore(a: Column, b: Column, tables: Seq[Double], ksub: Int): Column =
+    ColumnBridge.column(
+      SdcScore(ColumnBridge.expression(a), ColumnBridge.expression(b),
+        tables, ksub))
+
   /** Register the whole graft SQL function family on an existing session
     * (no extensions needed at build time) — see [[GraftFunctionRegistry]].
     */
@@ -213,6 +219,10 @@ object GraftFunctionRegistry {
       arity("graft_nfc_normalize", es, 1); NfcNormalize(es(0)) },
     "graft_drop_indices" -> { es: Seq[Expression] =>
       arity("graft_drop_indices", es, 2); DropIndices(es(0), es(1)) },
+    "graft_sdc_score" -> { es: Seq[Expression] =>
+      arity("graft_sdc_score", es, 4)
+      SdcScore(es(0), es(1), foldDs("graft_sdc_score", "tables", es(2)),
+        foldI("graft_sdc_score", "ksub", es(3))) },
     "graft_kll_quantiles" -> { es: Seq[Expression] =>
       arity("graft_kll_quantiles", es, 2)
       KllQuantiles(es(0), foldDs("graft_kll_quantiles", "probs", es(1))) },

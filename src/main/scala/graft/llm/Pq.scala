@@ -150,6 +150,40 @@ object Pq {
         model.flat, model.m, model.dsub, model.ksub).as("codes"))
   }
 
+  /** The flat (subspace × centroid × centroid) SDC lookup table for
+    * code-vs-code scoring ([[graft.functions.SdcScore]]): entry (j,a,b) =
+    * dot(centroid (j,a), centroid (j,b)). m·ksub² doubles — 32 K at the
+    * knn-graph m=8/ksub=64 shape — computed once per trained model on the
+    * driver (m·ksub²·dsub flops) and shipped to executors as ONE reference
+    * object on the expression node.
+    */
+  def sdcTables(model: PqModel): Seq[Double] = {
+    import model.{m, dsub, ksub, flat}
+    val out = new Array[Double](m * ksub * ksub)
+    var j = 0
+    while (j < m) {
+      val base = j * ksub * dsub
+      var a = 0
+      while (a < ksub) {
+        var b = a
+        while (b < ksub) {
+          var s = 0.0
+          var i = 0
+          while (i < dsub) {
+            s += flat(base + a * dsub + i) * flat(base + b * dsub + i)
+            i += 1
+          }
+          out(j * ksub * ksub + a * ksub + b) = s
+          out(j * ksub * ksub + b * ksub + a) = s
+          b += 1
+        }
+        a += 1
+      }
+      j += 1
+    }
+    out.toIndexedSeq
+  }
+
   /** The flat (query × subspace × centroid) ADC lookup table for a query
     * batch: entry (q,j,c) = dot(unit-query subvector j, centroid (j,c)).
     */

@@ -275,6 +275,56 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(graph.size == 12 * 3)
   }
 
+  test("knnGraph with the SDC pre-rank (refine) matches the exact graph " +
+    "when quantization is exact") {
+    // same planted fixture as the uncapped test; with <= ksub distinct
+    // vectors every vector IS its own PQ centroid, so the SDC pre-rank
+    // scores are the exact dots and the refined graph must EQUAL brute
+    // force — this isolates the pre-rank plumbing from quantization error
+    val rows = (0 until 12).map { i =>
+      val g = i % 3
+      val base = Array(0.0f, 0.0f, 0.0f, 0.0f)
+      base(g) = 10.0f
+      base(3) = 0.01f * i
+      (i.toLong, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val graph = Clustering.knnGraph(df, k = 3, nCells = 3, nProbe = 3,
+      refine = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = VectorOps.bruteForceTopK(df, df, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(graph == exact)
+  }
+
+  test("SdcScore reads the (j,a,b) table exactly; the table is symmetric") {
+    // m=2, dsub=2, ksub=2: subspace 0 centroids (1,0),(0,1); subspace 1
+    // centroids (2,0),(0,3)
+    val model = Pq.PqModel(m = 2, dsub = 2, ksub = 2,
+      flat = Seq(1.0, 0.0, 0.0, 1.0, 2.0, 0.0, 0.0, 3.0))
+    val t = Pq.sdcTables(model)
+    assert(t == Seq(1.0, 0.0, 0.0, 1.0, 4.0, 0.0, 0.0, 9.0))
+    val pairs = Seq(
+      (Seq(0, 1), Seq(0, 1), 1.0 + 9.0),
+      (Seq(0, 1), Seq(1, 0), 0.0),
+      (Seq(1, 1), Seq(1, 1), 1.0 + 9.0),
+      (Seq(0, 0), Seq(0, 0), 1.0 + 4.0)).toDF("a", "b", "want")
+    val got = pairs.select(
+      graft.functions.GraftFunctions.sdcScore(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"), t, model.ksub).as("got"),
+      org.apache.spark.sql.functions.col("want"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (g, w) => assert(math.abs(g - w) < 1e-12, s"$g != $w") }
+    // out-of-range codes contribute 0, never read out of bounds
+    val oob = Seq((Seq(0, 7), Seq(0, 1))).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.sdcScore(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"), t, model.ksub))
+      .as[Double].head()
+    assert(oob == 1.0)
+  }
+
   test("knnGraph ranking runs the TopK heap plan, not a window sort") {
     val rows = (0 until 20).map { i =>
       (i.toLong, Seq.tabulate(4)(j => if (j == i % 2) 10.0f else 0.01f * i))
