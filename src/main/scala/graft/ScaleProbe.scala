@@ -662,6 +662,46 @@ object ScaleProbe {
       }
     }
 
+    // ---- round-9: knnGraph SDC pre-rank vs exact-all verify ------------------
+    // heavy100 recorded knnGraph as the one super-linear curve (15x time
+    // for 10x vectors — candidate-bound by construction: the exact verify
+    // touches n * nProbe * cellSize re-attached vector pairs). refine=N
+    // inserts the PQ/SDC pre-rank so the exact stage touches n * k * N
+    // rows regardless of cell size; this probe measures the same x10/x100
+    // points with the pre-rank on, plus the relative recall@5 of the
+    // refined graph against the exact-all-verify graph (isolating what the
+    // quantized pre-rank loses — the IVF probe recall is common to both).
+    if (want("knnrefine")) {
+      println("\n== knnGraph: SDC pre-rank (refine=3) vs exact-all verify ==")
+      for (copies <- Seq(1, 10, 100)) {
+        val e = replicateEmb(emb, copies).repartition(32).localCheckpoint()
+        val n = e.count()
+        val k = 16 * copies
+        val base = time(f"knnGraph refine=0   nCells=$k%-5d n=$n%-7d") {
+          graft.llm.Clustering.knnGraph(e, k = 5, nCells = k, nProbe = 4,
+            maxCell = 4096).localCheckpoint()
+        }
+        val fast = time(f"knnGraph refine=3   nCells=$k%-5d n=$n%-7d") {
+          graft.llm.Clustering.knnGraph(e, k = 5, nCells = k, nProbe = 4,
+            maxCell = 4096, refine = 3).localCheckpoint()
+        }
+        val tot = base.count()
+        val hit = base.join(fast, Seq("query_id", "neighbor_id"), "left_semi")
+          .count()
+        // identity recall vs NEIGHBOR QUALITY: on the replicated fixture
+        // every candidate is a near-tie (copies differ by ~1e-3 cosine), so
+        // exact-top-5 membership is decided past the quantization
+        // resolution — the honest measure of what the pre-rank loses is
+        // the exact cosine of the edges each graph RETURNS (both paths
+        // exact-score their survivors)
+        val mb = base.agg(avg("cos")).head.getDouble(0)
+        val mf = fast.agg(avg("cos")).head.getDouble(0)
+        println(f"    edges=$tot  relative recall@5 = ${hit.toDouble / tot}%.4f" +
+          f"  mean-cos exact-all $mb%.6f vs refined $mf%.6f")
+        base.unpersist(); fast.unpersist(); e.unpersist()
+      }
+    }
+
     // ---- round-8 dev: stage breakdown of semanticDedup at x100 ---------------
     // (profiling aid for the heavy100 super-linear finding; not a claim)
     if (want("semprof")) {

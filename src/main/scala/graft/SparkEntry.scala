@@ -35,6 +35,7 @@ object SparkEntry {
     graft.llm.Pq.all ++
     graft.llm.Sampling.all ++
     graft.llm.Clustering.all ++
+    graft.llm.Selection.all ++
     graft.llm.PhraseIndex.all ++
     graft.llm.Retrieval.all ++
     graft.llm.SubstringDedup.all ++

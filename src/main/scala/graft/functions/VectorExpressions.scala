@@ -188,6 +188,16 @@ object GraftFunctionRegistry {
     }
   }
 
+  private def foldSs(fn: String, arg: String, e: Expression): Seq[String] = {
+    require(e.foldable, s"$fn: $arg must be a literal array of strings")
+    e.eval() match {
+      case a: ArrayData =>
+        a.toObjectArray(StringType).map(String.valueOf).toSeq
+      case v => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal array of strings, got $v")
+    }
+  }
+
   private def arity(fn: String, es: Seq[Expression], ns: Int*): Unit =
     require(ns.contains(es.length),
       s"$fn expects ${ns.mkString(" or ")} arguments, got ${es.length}")
@@ -223,6 +233,9 @@ object GraftFunctionRegistry {
       arity("graft_sdc_score", es, 4)
       SdcScore(es(0), es(1), foldDs("graft_sdc_score", "tables", es(2)),
         foldI("graft_sdc_score", "ksub", es(3))) },
+    "graft_match_phrases" -> { es: Seq[Expression] =>
+      arity("graft_match_phrases", es, 2)
+      MatchPhrases(es(0), foldSs("graft_match_phrases", "phrases", es(1))) },
     "graft_kll_quantiles" -> { es: Seq[Expression] =>
       arity("graft_kll_quantiles", es, 2)
       KllQuantiles(es(0), foldDs("graft_kll_quantiles", "probs", es(1))) },

@@ -1,0 +1,152 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.query.Tables
+import graft.query.Tables.cnt
+
+/** Corpus-selection operators past sampling/mixing: budget-constrained
+  * greedy selection and blocklist filtering — the last two gates a training
+  * mix passes before packing. The reference has no analog (its scope ends
+  * at analytics tables); these are north-star curation ops like L6/L9.
+  *
+  * 100 TB stances:
+  *  - [[budgetSelect]] is the "fill a token budget with the best docs"
+  *    primitive. The semantics need a GLOBAL cumulative sum under a total
+  *    order — the naive form is an unpartitioned window (one task sorts
+  *    the corpus; PlanLint bans it). This is the classic two-phase scan
+  *    instead: range-partition on the order key, per-partition token
+  *    totals (a partitions-sized collect), driver prefix offsets, then a
+  *    per-partition window that runs ONLY on partitions whose offset is
+  *    still under budget — with budget ≪ corpus (the normal regime:
+  *    trillion-token corpus, billions-of-tokens budget) almost every
+  *    partition is eliminated before the window by a partition-constant
+  *    comparison.
+  *  - [[blocklistScan]] matches every blocklist phrase in ONE pass per
+  *    document via the Aho–Corasick kernel
+  *    ([[graft.functions.MatchPhrases]]): cost O(bytes + matches)
+  *    regardless of phrase count, where the contains-per-phrase plan
+  *    re-reads the corpus once per phrase. Map-only — no shuffle until
+  *    the (tiny) per-phrase aggregate.
+  */
+object Selection {
+
+  /** Greedy token-budget selection: rank docs by (score desc, doc_id asc)
+    * and keep them while the running token total stays ≤ `budget` — the
+    * deterministic "best docs first until the budget is spent" selection
+    * (score here: stopword ratio, the naturalness signal the quality
+    * stack already exposes; any per-doc score column works the same way).
+    *
+    * Returns one row per doc: (doc_id, source, toks, score, cum) for the
+    * SELECTED set. The cumulative sum is exact and global; see the object
+    * scaladoc for why this is a two-phase scan and not one window.
+    */
+  def budgetSelect(docs: DataFrame, budget: Long,
+      parts: Int = 32): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(w).cast("long").as("toks"),
+      (size(filter(w, x => x.isin(TextOps.STOPWORDS: _*))).cast("double")
+        / size(w)).as("score"))
+    // phase 1: range-partition on the selection order, so partition i
+    // holds strictly better rows than partition i+1; stage partition ids
+    // while the layout is live
+    val ranged = scored
+      .repartitionByRange(parts, col("score").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("score").desc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    // phase 2: per-partition token totals -> driver prefix offsets
+    // (partitions-sized, never corpus-sized)
+    val totals = ranged.groupBy("pid").agg(sum("toks").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+    val offsets: Map[Int, Long] = (0 to maxPid).map { p =>
+      p -> (0 until p).map(q => totals.getOrElse(q, 0L)).sum
+    }.toMap
+    if (offsets.isEmpty) return ranged.select(
+      col("doc_id"), col("source"), col("toks"), col("score"),
+      lit(0L).as("cum")).limit(0)
+    val off = element_at(typedLit(offsets), col("pid"))
+    // phase 3: drop whole partitions already past the budget (a
+    // partition-constant predicate — at at-scale budgets this eliminates
+    // nearly everything before the window), then one PARTITIONED window
+    // finishes the prefix sum locally
+    ranged.filter(off < budget)
+      .withColumn("cum", sum(col("toks")).over(
+        Window.partitionBy("pid")
+          .orderBy(col("score").desc, col("doc_id").asc)) + off)
+      .filter(col("cum") <= budget)
+      .select("doc_id", "source", "toks", "score", "cum")
+  }
+
+  /** Per-document blocklist matches: (doc_id, source, matched
+    * array<string> sorted) — one automaton pass per doc.
+    */
+  def blocklistScan(docs: DataFrame, phrases: Seq[String]): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      graft.functions.MatchPhrases.matchPhrases(col("text"), phrases)
+        .as("matched"))
+
+  /** The fixture blocklist: multi-word phrases that occur in the synthetic
+    * corpus (so the oracle rows are non-trivial at every SF).
+    */
+  private val Blocklist = Seq(
+    "slow join", "table scan", "batch batch batch", "merge slow",
+    "fast key order", "never matches anything")
+
+  private def sqlList(ps: Seq[String]): String =
+    ps.map(p => s"'$p'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- L39: token-budget greedy selection -------------------------------
+    // The oracle restates the global greedy semantics as DuckDB's
+    // single-window cumulative sum; the engine's two-phase scan must
+    // produce the IDENTICAL selected set (scores are exact IEEE divisions
+    // of the same integers in both engines, so the order is bit-equal).
+    Q("q_budget_select", Some(
+      s"""WITH sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w IN (${TextOps.StopwordsSql}))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |cum AS (
+        |  SELECT *, sum(toks) OVER (
+        |    ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sc)
+        |SELECT source, count(*) AS n_sel,
+        |  CAST(sum(toks) AS BIGINT) AS tok_sum,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM cum WHERE cum <= 10000
+        |GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => budgetSelect(Tables(s, d, "documents"), budget = 10000L)
+        .groupBy("source")
+        .agg(cnt.as("n_sel"), sum("toks").as("tok_sum"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("source")),
+
+    // ---- L40: blocklist filter (Aho–Corasick multi-phrase scan) -----------
+    // Per-phrase hit counts + an id checksum of the flagged docs; the
+    // oracle's list_filter-over-literal-list is the contains-per-phrase
+    // reference semantics, list_sort pins the emit order.
+    Q("q_blocklist", Some(
+      s"""WITH m AS (
+        |  SELECT doc_id, unnest(list_sort(list_filter(
+        |    [${sqlList(Blocklist)}],
+        |    p -> contains(text, p)))) AS phrase
+        |  FROM documents)
+        |SELECT phrase, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM m GROUP BY phrase ORDER BY phrase""".stripMargin),
+      (s, d) => blocklistScan(Tables(s, d, "documents"), Blocklist)
+        .select(col("doc_id"), explode(col("matched")).as("phrase"))
+        .groupBy("phrase")
+        .agg(cnt.as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("phrase"))
+  )
+}

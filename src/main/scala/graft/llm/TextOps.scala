@@ -140,12 +140,12 @@ object TextOps {
   def fingerprint(text: Column): Column =
     xxhash64(split(text, " "))
 
-  private val STOPWORDS = Seq("the", "a")
+  private[llm] val STOPWORDS = Seq("the", "a")
 
   /** [[STOPWORDS]] as a SQL IN-list, interpolated into the oracle twins so
     * the two sides can never drift (editing the list updates both).
     */
-  private val StopwordsSql = STOPWORDS.map(w => s"'$w'").mkString(", ")
+  private[llm] val StopwordsSql = STOPWORDS.map(w => s"'$w'").mkString(", ")
 
   // PII/boilerplate patterns valid in BOTH Java regex (Spark) and RE2
   // (DuckDB oracle) — no backrefs, no lookaround
