@@ -702,6 +702,57 @@ object ScaleProbe {
       }
     }
 
+    // ---- round-9: selection layer at scale ------------------------------------
+    // budgetSelect claims two scans + a prefix-partition-only window; the
+    // probe grows the corpus 10x/100x with a FIXED budget and checks the
+    // wall-clock tracks the scan, not the corpus-sized window the naive
+    // form would run. blocklist claims O(bytes + matches) INDEPENDENT of
+    // phrase count; the probe grows the phrase list 10x/100x on a fixed
+    // corpus and compares against the contains-per-phrase reduce plan.
+    if (want("selection")) {
+      val docsS = graft.query.Tables(spark, sfDir, "documents")
+        .select("doc_id", "text", "source")
+      println("\n== budgetSelect: fixed budget, corpus x10/x100 ==")
+      for (copies <- Seq(1, 10, 100)) {
+        val d = replicateDocs(docsS, copies).repartition(32).localCheckpoint()
+        val n = d.count()
+        val sel = time(f"budgetSelect budget=10k  n=$n%-7d") {
+          graft.llm.Selection.budgetSelect(d, budget = 10000L).count()
+        }
+        println(s"    selected=$sel")
+        d.unpersist()
+      }
+      println("\n== blocklist: fixed corpus (x10), phrases x10/x100 ==")
+      val d = replicateDocs(docsS, 10).repartition(32).localCheckpoint()
+      val n = d.count()
+      val vocab = Seq("spark", "join", "filter", "window", "merge", "sort",
+        "batch", "stream", "table", "hash")
+      for (nPhrases <- Seq(6, 60, 600)) {
+        // synthetic 3-word phrases off the fixture vocabulary (some hit,
+        // most miss — cost is what's probed, match counts are printed)
+        val phrases = (0 until nPhrases).map(i =>
+          s"${vocab(i % 10)} ${vocab((i / 10) % 10)} ${vocab((i / 100) % 10)}")
+          .distinct
+        val hits = time(f"aho-corasick p=${phrases.length}%-4d n=$n%-7d") {
+          graft.llm.Selection.blocklistScan(d, phrases)
+            .select(explode(col("matched"))).count()
+        }
+        // the naive LEFT-NESTED reduce (a+b+c+...) StackOverflows the
+        // analyzer at 600 phrases before a single row is read — balance
+        // the tree to even get a comparison number out of the plan
+        def bal(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+          if (cs.lengthCompare(1) == 0) cs.head
+          else { val (l, r) = cs.splitAt(cs.length / 2); bal(l) + bal(r) }
+        val hits2 = time(f"contains-reduce p=${phrases.length}%-4d n=$n%-7d") {
+          d.select(bal(phrases.map(p =>
+            when(col("text").contains(p), 1).otherwise(0))).as("hits"))
+            .agg(sum("hits")).head.getLong(0)
+        }
+        println(s"    matches: ac=$hits contains=$hits2")
+      }
+      d.unpersist()
+    }
+
     // ---- round-8 dev: stage breakdown of semanticDedup at x100 ---------------
     // (profiling aid for the heavy100 super-linear finding; not a claim)
     if (want("semprof")) {

@@ -238,18 +238,31 @@ object Clustering {
     * trade (graded against recall@5 in ClusteringSpec).
     *
     * `refine` (0 = off) inserts a PQ/SDC candidate PRE-RANK between
-    * candidate generation and the exact verify — the ×100 lever: the
-    * exact stage's cost is re-attaching two 8·dim-byte vectors per
-    * candidate and walking dim multiplies, and candidates are
-    * n·nProbe·cellSize (the round-8 probe's 312M rows / 114 s at 200k
-    * vectors). With refine on, candidates instead re-attach two m-int PQ
-    * code rows (~60× less join payload at dim=64), score with m lookups
-    * in the SDC table ([[graft.functions.SdcScore]]), and only the
-    * k·refine best per query reach the exact verify — which then touches
-    * n·k·refine rows regardless of cellSize. Quantization error in the
-    * pre-rank is the recall trade; `refine` is the margin (a true
-    * neighbor is lost only when ≥ k·refine candidates OUT-SCORE it on
-    * quantized dots), graded against recall@5 in ClusteringSpec.
+    * candidate generation and the exact verify — the ×100 lever, and the
+    * measurement says WHY precisely: the exact path's ×100 cost is not
+    * the cosine arithmetic but its two full-candidate-stream SHUFFLES
+    * (re-attach by query_id, then by neighbor_id — n·nProbe·cellSize
+    * rows × ~540 B widened; the round-8 spill surface). With refine on,
+    * m-int PQ codes attach to both sides BEFORE the cell join, the SDC
+    * score ([[graft.functions.SdcScore]]) and the TopK partial pass run
+    * map-side on the fan-out with ZERO further full-stream exchanges,
+    * and only the k·refine best per query re-attach real vectors.
+    * Measured solo at the ×100 probe (200k×64f, nCells=1600, nProbe=4):
+    * exact-all 199 s → refine=3 144 s (−28%), returned-edge mean cosine
+    * 0.9930 → 0.9917. A draft that re-attached codes to the candidate
+    * stream as a separate join pass was SLOWER than exact-all at every
+    * scale — it kept both full-stream shuffles and only narrowed the
+    * payload; the shuffle count, not the byte width, is the cost.
+    *
+    * Quantization error in the pre-rank is the recall trade; `refine` is
+    * the margin (a true neighbor is lost only when ≥ k·refine candidates
+    * OUT-SCORE it on quantized dots). On a near-tie corpus (dense dup
+    * clusters) the loss is negligible (−0.13% mean cosine above); on an
+    * ISOTROPIC corpus whose top-k gaps sit near the quantization
+    * resolution, raise the margin and the codebook (refine ≥ 10,
+    * pqKsub = 256) or keep refine = 0 — fixture-scale defaults stay
+    * exact-all for that reason. Graded in ClusteringSpec (refined ==
+    * brute force under exact quantization).
     */
   def knnGraph(corpus: DataFrame, k: Int, nCells: Int = 16,
       nProbe: Int = 4, maxCell: Int = 0, refine: Int = 0,
@@ -281,15 +294,23 @@ object Clustering {
             .getField("dot").as("__cc")),
         Seq("cell"), Seq(col("__cc").desc, col("neighbor_id").asc), maxCell)
         .drop("__cc")
-    val rawCandidates = probed
-      .join(cellMembers, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-    // PQ/SDC pre-rank (refine > 0): re-attach m-int code rows instead of
-    // full vectors, score each pair with m SDC lookups, and keep only the
-    // k·refine best per query for the exact verify below
+    // PQ/SDC pre-rank (refine > 0): the codes attach to BOTH SIDES of the
+    // cell join (corpus-sized joins, cheap), so the candidate fan-out
+    // carries two m-int code arrays (~80 B/row at m=8) and the SDC score +
+    // TopK partial pass evaluate MAP-SIDE on the join output — the
+    // candidate stream is never shuffled again. The separate-re-attach
+    // draft (join candidates back to a code table) was measured SLOWER
+    // than exact-all at every scale: the exact path's cost is its two
+    // full-candidate-stream shuffles, and that draft kept both (it only
+    // narrowed the payload); this form eliminates them. The early-draft
+    // caveat about shipping payloads through the bucket join applied to
+    // 8·dim-byte vectors whose fan-out then re-shuffled — m-int codes with
+    // zero post-fan-out shuffles are the opposite regime.
     val candidates =
-      if (refine <= 0) rawCandidates
+      if (refine <= 0)
+        probed.join(cellMembers, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id")
       else {
         // subspace count must divide dim; fall back to the largest divisor
         // (dim read from one row — a 1-row driver scalar, not a scan)
@@ -298,11 +319,14 @@ object Clustering {
         val model = Pq.train(corpus, m = mUse, ksub = pqKsub)
         val codes = Pq.encode(corpus, model)
         val sdc = Pq.sdcTables(model)
-        val preranked = rawCandidates
-          .join(codes.select(col("vec_id").as("query_id"),
-            col("codes").as("__qc")).hint("shuffle_hash"), Seq("query_id"))
-          .join(codes.select(col("vec_id").as("neighbor_id"),
-            col("codes").as("__nc")).hint("shuffle_hash"), Seq("neighbor_id"))
+        val probedC = probed.join(codes.select(
+          col("vec_id").as("query_id"), col("codes").as("__qc"))
+          .hint("shuffle_hash"), Seq("query_id"))
+        val membersC = cellMembers.join(codes.select(
+          col("vec_id").as("neighbor_id"), col("codes").as("__nc"))
+          .hint("shuffle_hash"), Seq("neighbor_id"))
+        val preranked = probedC.join(membersC, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
             graft.functions.GraftFunctions.sdcScore(
               col("__qc"), col("__nc"), sdc, model.ksub).as("__sdc"))
