@@ -115,6 +115,34 @@ class IndexCompactionSpec extends AnyFunSuite with SparkFixture {
     rm(dirInc, dirFull, dirAll)
   }
 
+  test("bm25: a reader PLANNED before a later compact+GC still " +
+    "materializes against the grace generation") {
+    val docs = docsDf
+    val queries = docs.select($"doc_id".as("query_id"),
+      array_distinct(split($"text", " ")).as("terms"))
+    val dir = tmp("bm25grace")
+    Retrieval.buildBm25Index(docs.filter($"doc_id" < 5), dir, nBuckets = 8)
+    Retrieval.bm25IndexAppend(spark, dir, 1L,
+      docs.filter($"doc_id" >= 5 && $"doc_id" < 7), nBuckets = 8)
+    Retrieval.compactBm25Index(spark, dir) // g0
+    // plan (and pin the file listing of) a reader against g0's state...
+    val inFlight = Retrieval.bm25Stored(spark, dir, queries, k = 5,
+      nBuckets = 8).orderBy("query_id", "rank")
+    val want = inFlight.as[(Long, Long, Double, Long)].collect().toSeq
+    // ...then advance the index a full cycle: a new batch + a second
+    // compact, whose GC retires everything g0 had folded — but NOT g0
+    // itself (the one-cycle grace copy)
+    Retrieval.bm25IndexAppend(spark, dir, 2L,
+      docs.filter($"doc_id" === 7), nBuckets = 8)
+    Retrieval.compactBm25Index(spark, dir) // g1, GCs flat base + batch 1
+    assert(IndexGenerations.current(spark, dir).gen === 1)
+    // the in-flight reader's plan still resolves: its files live in g0
+    val again = inFlight.as[(Long, Long, Double, Long)].collect().toSeq
+    assert(again === want,
+      "in-flight reader torn by a concurrent compact+GC")
+    rm(dir)
+  }
+
   test("ivf: appends + compact == same query results; rebuild over a " +
     "generational dir is a generation swap that retires old appends") {
     val emb = graft.query.Tables(spark, sf("sf0.001"), "embeddings")
