@@ -276,11 +276,20 @@ object Clustering {
     // cosinePairsNative discipline; an early probe draft shipped the
     // 8*dim-byte query vector through the bucket join and the candidate
     // stream dominated the probe's shuffle at 10x corpus)
+    // PARALLELISM FLOOR before the fan-out: in the broadcast re-attach
+    // regime (small corpora under Reattach.adaptive) the pipeline has no
+    // exchange at all, so candidate generation + scoring + the TopK
+    // partial pass inherit the SCAN's split count — one or two tasks at
+    // fixture scale (measured: q_knn_graph 1.9 → 3.3 s when the broadcast
+    // first landed without this). The repartition moves only 16-byte
+    // (query_id, cell) rows — n·nProbe·16 B at any scale — and pins the
+    // fan-out's parallelism to the cluster, not the file layout.
     val probed = corpus
       .select(col("vec_id").as("query_id"),
         explode(graft.functions.GraftFunctions.topCentroids(
           v, cells.flatMap(_._2), cells.head._2.length, nProbe,
           euclidean = false)).as("cell"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     // hot-cell cap: rank each cell's members by centrality (dot with the
     // own-cell centroid, read off the same BestCentroid kernel that
     // assigns cells) and keep the top maxCell — a bounded heap exchange,
@@ -319,12 +328,12 @@ object Clustering {
         val model = Pq.train(corpus, m = mUse, ksub = pqKsub)
         val codes = Pq.encode(corpus, model)
         val sdc = Pq.sdcTables(model)
-        val probedC = probed.join(codes.select(
-          col("vec_id").as("query_id"), col("codes").as("__qc"))
-          .hint("shuffle_hash"), Seq("query_id"))
-        val membersC = cellMembers.join(codes.select(
-          col("vec_id").as("neighbor_id"), col("codes").as("__nc"))
-          .hint("shuffle_hash"), Seq("neighbor_id"))
+        val probedC = probed.join(graft.plans.Reattach.adaptive(
+          codes.select(col("vec_id").as("query_id"),
+            col("codes").as("__qc"))), Seq("query_id"))
+        val membersC = cellMembers.join(graft.plans.Reattach.adaptive(
+          codes.select(col("vec_id").as("neighbor_id"),
+            col("codes").as("__nc"))), Seq("neighbor_id"))
         val preranked = probedC.join(membersC, Seq("cell"))
           .filter(col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
@@ -334,21 +343,24 @@ object Clustering {
           Seq(col("__sdc").desc, col("neighbor_id").asc), k * refine)
           .select("query_id", "neighbor_id")
       }
-    // Re-attach joins are hinted SHUFFLE_HASH with the (small) vector
-    // table as the build side: the candidate stream is n x nProbe x
-    // cellSize rows — the largest frame in the build by far — and a
-    // sort-merge join must SORT it. The round-8 x100 probe (200k vectors,
-    // 312M candidates) filled the disk with exactly that sort's spill
-    // (~170 GB once qv widened the rows); hash re-attach streams the
-    // candidates through per-partition hash maps of the vector table and
-    // never sorts them. At any scale the build side is corpus/partitions
-    // rows — bounded — while the probe side only shuffles 16-byte id
-    // pairs.
+    // Re-attach joins take the size-adaptive build side (Reattach.adaptive,
+    // the r9 protocol): BROADCAST while the vector table provably fits the
+    // session threshold — the candidate stream then never exchanges at all
+    // (fixture scale: q_knn_graph carried 99 MB of suite shuffle under the
+    // unconditional hint) — and the SHUFFLE_HASH floor above it. Sort-merge
+    // stays unreachable in both regimes (FanoutSortLint): the candidate
+    // stream is n x nProbe x cellSize rows and a sort-merge join must SORT
+    // it — the round-8 x100 probe (200k vectors, 312M candidates) filled
+    // the disk with exactly that sort's spill (~170 GB once qv widened the
+    // rows). The build side is corpus-sized (bounded per partition) in the
+    // hash regime, while the probe side only shuffles 16-byte id pairs.
     val scored = candidates
-      .join(corpus.select(col("vec_id").as("query_id"), v.as("qv"))
-        .hint("shuffle_hash"), Seq("query_id"))
-      .join(idx.assignments.select(col("neighbor_id"), col("tv"))
-        .hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(graft.plans.Reattach.adaptive(
+        corpus.select(col("vec_id").as("query_id"), v.as("qv"))),
+        Seq("query_id"))
+      .join(graft.plans.Reattach.adaptive(
+        idx.assignments.select(col("neighbor_id"), col("tv"))),
+        Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(VectorOps.cosine(col("qv"), col("tv")), 4).as("cos"))
     graft.plans.TopK.perKey(scored, Seq("query_id"),

@@ -54,7 +54,12 @@ object SubstringDedup {
         Tables.cnt.as("occs"))
       .filter(col("occs") > 1)
       .select("gh", "first")
-    val cuts = grams.join(first.hint("shuffle_hash"), Seq("gh"))
+    // size-adaptive build side (Reattach.adaptive): the duplicated-gram
+    // table broadcasts at fixture scale (the gram stream then never
+    // exchanges); above the threshold — or whenever the agg estimate is a
+    // heuristic, which rounds UP — the shuffle-hash floor holds and
+    // sort-merge stays unreachable over the gram fan-out
+    val cuts = grams.join(graft.plans.Reattach.adaptive(first), Seq("gh"))
       .filter(!(col("doc_id") === col("first").getField("doc_id") &&
         col("pos") === col("first").getField("pos")))
     // covered token positions, deduped (overlapping non-canonical spans
@@ -78,7 +83,7 @@ object SubstringDedup {
     val ws = split(col("text"), " ")
     val keptArr = when(col("cutpos").isNull, ws)
       .otherwise(graft.functions.DropIndices.dropIndices(ws, col("cutpos")))
-    docs.join(cutDocs.hint("shuffle_hash"), Seq("doc_id"), "left")
+    docs.join(graft.plans.Reattach.adaptive(cutDocs), Seq("doc_id"), "left")
       .select(col("doc_id"), size(keptArr).cast("long").as("kept_tokens"),
         concat_ws(" ", keptArr).as("clean_text"))
   }

@@ -52,6 +52,16 @@ class FanoutSortLintSpec extends AnyFunSuite with SparkFixture {
   private def shuffledHashJoins(plan: SparkPlan): Int =
     PlanAsserts.deepCollect(plan) { case j: ShuffledHashJoinExec => j }.size
 
+  /** Hash-family joins — what a re-attach is allowed to plan as under the
+    * Reattach.adaptive protocol: broadcast while the build side provably
+    * fits the threshold, shuffled-hash above it. Never sort-merge.
+    */
+  private def hashJoins(plan: SparkPlan): Int =
+    PlanAsserts.deepCollect(plan) {
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.size
+
   test("no candidate-fanout pipeline sorts a join output") {
     val docs = graft.query.Tables(spark, sfDir, "documents")
     val emb = graft.query.Tables(spark, sfDir, "embeddings")
@@ -102,12 +112,47 @@ class FanoutSortLintSpec extends AnyFunSuite with SparkFixture {
         bad += s"$name: SortExec over a join output (the x100 cliff):\n" +
           s.treeString.linesIterator.take(8).mkString("\n")
       }
-      val shj = shuffledHashJoins(plan)
-      if (shj < 2)
-        bad += s"$name: expected >=2 shuffle-hash re-attach joins, saw $shj" +
+      // adaptive-re-attach pipelines (knnGraph, substringDedup) broadcast
+      // at fixture scale, so the anti-rot floor counts the HASH-JOIN
+      // family; the fixed shuffleHash pipelines still satisfy it trivially
+      val hj = hashJoins(plan)
+      if (hj < 2)
+        bad += s"$name: expected >=2 hash-family re-attach joins, saw $hj" +
           " — hints dropped or pipeline reshaped; re-audit the lint"
     }
     assert(bad.isEmpty, s"\n${bad.mkString("\n\n")}")
+  }
+
+  test("adaptive-re-attach pipelines under a disabled broadcast threshold " +
+    "(the 100 TB regime) hold the shuffle-hash floor with no fanout sort") {
+    val docs = graft.query.Tables(spark, sfDir, "documents")
+    val emb = graft.query.Tables(spark, sfDir, "embeddings")
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thrKey)
+    spark.conf.set(thrKey, "-1")
+    try {
+      val pipelines: Seq[(String, () => DataFrame)] = Seq(
+        "knnGraph" -> (() =>
+          graft.llm.Clustering.knnGraph(emb, k = 5, nCells = 16, nProbe = 4)),
+        "knnGraph(refine)" -> (() =>
+          graft.llm.Clustering.knnGraph(emb, k = 5, nCells = 16, nProbe = 4,
+            refine = 3)),
+        "substringDedup" -> (() =>
+          graft.llm.SubstringDedup.clean(docs, 8)))
+      val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+      pipelines.foreach { case (name, build) =>
+        val plan = build().queryExecution.sparkPlan
+        fanoutSorts(plan).foreach { s =>
+          bad += s"$name: SortExec over a join output at threshold=-1:\n" +
+            s.treeString.linesIterator.take(8).mkString("\n")
+        }
+        val shj = shuffledHashJoins(plan)
+        if (shj < 2)
+          bad += s"$name: expected the >=2 shuffle-hash floor at " +
+            s"threshold=-1, saw $shj"
+      }
+      assert(bad.isEmpty, s"\n${bad.mkString("\n\n")}")
+    } finally spark.conf.set(thrKey, old)
   }
 
   test("Reattach.adaptive: broadcast under the threshold on a MATERIALIZED " +
