@@ -427,6 +427,34 @@ object EventStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Continuous blocklist monitoring — the streaming face of the
+    * Aho–Corasick blocklist filter ([[graft.llm.Selection.blocklistScan]]):
+    * each micro-batch of documents is scanned ONCE per doc for the whole
+    * phrase list, matches explode to (source, phrase) hits, and the hits
+    * fold into the per-source frequent-items view with the
+    * batchId-in-generation exactly-once protocol (a replayed batch would
+    * otherwise inflate hit counts). The live view answers "which banned
+    * phrases are arriving, from which sources, at what rate" —
+    * [[graft.ingest.IncrementalViews.freqView]] — without ever re-scanning
+    * history. Scale shape: the scan is map-only O(bytes + matches)
+    * regardless of phrase count; the fold's state is sources × sketch
+    * (KB-sized), corpus-independent.
+    */
+  def blocklistMonitorStream(docs: DataFrame, phrases: Seq[String],
+      mvDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val hits = graft.llm.Selection.blocklistScan(batch, phrases)
+          .select(col("source"),
+            explode(col("matched")).as("phrase"))
+        graft.ingest.IncrementalViews.maintainFreqSketches(
+          batch.sparkSession, hits, mvDir, "source", "phrase", id)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Continuous drift monitoring: each micro-batch folds its value
     * histogram into the stored view
     * ([[graft.ingest.IncrementalViews.maintainHistogram]] — additive, so

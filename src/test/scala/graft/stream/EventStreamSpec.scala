@@ -541,6 +541,51 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
   }
 
+  test("blocklistMonitorStream: streamed docs feed a live per-source " +
+    "phrase-hit view; a replayed batch never double-counts (T∅ + L40 e2e)") {
+    import graft.ingest.IncrementalViews
+    implicit val sqlCtx = spark.sqlContext
+    val phrases = Seq("slow join", "table scan")
+    val mvDir = Files.createTempDirectory("blmon").toString + "/mv"
+    val ckpt = Files.createTempDirectory("blmon_ck").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val q = EventStream.blocklistMonitorStream(docs, phrases, mvDir, ckpt)
+    mem.addData(Seq(
+      (0L, "a slow join happened here", "srcA"),
+      (1L, "entirely clean text", "srcA")))
+    q.processAllAvailable()
+    mem.addData(Seq(
+      (2L, "slow join again near a table scan", "srcB"),
+      (3L, "another table scan in srcB", "srcB")))
+    q.processAllAvailable()
+    q.stop()
+    def counts(): Map[(String, String), (Long, Long)] =
+      IncrementalViews.freqView(spark, mvDir)
+        .selectExpr("key", "explode(top) AS t")
+        .selectExpr("key", "t.item", "t.lb", "t.ub")
+        .as[(String, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val c = counts()
+    // tiny vocab: sketch bounds are tight — lb == ub == exact count
+    assert(c(("srcA", "slow join")) === ((1L, 1L)), s"got $c")
+    assert(c(("srcB", "slow join")) === ((1L, 1L)), s"got $c")
+    assert(c(("srcB", "table scan")) === ((2L, 2L)), s"got $c")
+    assert(!c.contains(("srcA", "table scan")))
+    // at-least-once replay of an already-folded batch: the batchId
+    // watermark refuses the fold — counts unchanged
+    val replayHits = graft.llm.Selection.blocklistScan(
+      Seq((0L, "a slow join happened here", "srcA"))
+        .toDF("doc_id", "text", "source"), phrases)
+      .select(col("source"), explode(col("matched")).as("phrase"))
+    val folded = IncrementalViews.maintainFreqSketches(
+      spark, replayHits, mvDir, "source", "phrase", 0L)
+    assert(!folded, "replayed batchId must be refused")
+    assert(counts() === c, "replayed batch double-counted")
+    Seq(mvDir, ckpt).foreach(d => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d).getParentFile))
+  }
+
   test("mergeStream: streamed upserts land as MERGE state; replay is a no-op (T∅ + S13 e2e)") {
     import graft.store.TableStore
     implicit val sqlCtx = spark.sqlContext
