@@ -722,6 +722,22 @@ object ScaleProbe {
         println(s"    selected=$sel")
         d.unpersist()
       }
+      println("\n== substring-dedup fixpoint: rounds to quiescence, corpus x10 ==")
+      // replicated corpora are the worst case for ROUND 1 (nearly every
+      // gram repeats); the probe pins that quiescence arrives in few
+      // rounds and the per-round cost SHRINKS (later rounds only re-gram
+      // the rewritten residue)
+      for (copies <- Seq(1, 10)) {
+        val d = replicateDocs(docsS, copies).select("doc_id", "text")
+          .repartition(32).localCheckpoint()
+        val n = d.count()
+        val (out, rounds) = time(f"cleanFixpoint k=8     n=$n%-7d") {
+          graft.llm.SubstringDedup.cleanFixpoint(d, k = 8, maxRounds = 6)
+        }
+        println(s"    rounds=${rounds.mkString(",")} kept_docs=${out.count()}")
+        out.unpersist(); d.unpersist()
+      }
+
       println("\n== blocklist: fixed corpus (x10), phrases x10/x100 ==")
       val d = replicateDocs(docsS, 10).repartition(32).localCheckpoint()
       val n = d.count()

@@ -82,6 +82,37 @@ object Selection {
       .select("doc_id", "source", "toks", "score", "cum")
   }
 
+  /** Per-SOURCE token-budget selection — the grouped form of
+    * [[budgetSelect]], and the interface a real training mix is actually
+    * specified in ("this many tokens of web, this many of code, ...").
+    * Within each source, docs rank by (score desc, doc_id asc) and are
+    * kept while the source's running token total stays ≤ its budget.
+    *
+    * Scale shape: the prefix sum here is PER SOURCE, so one window
+    * partitioned by source does it exactly — a plain partitioned shuffle
+    * (PlanLint-conformant), no global order needed; a skewed giant source
+    * is bounded by its own budget downstream, and the window's sort is
+    * per-source (the stratifiedTake/epochMix precedent for per-stratum
+    * total ranks). Budgets arrive as a small map, broadcast as a literal.
+    */
+  def budgetSelectPerSource(docs: DataFrame,
+      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgetSelectPerSource: empty budget map")
+    val w = TextOps.words(col("text"))
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(w).cast("long").as("toks"),
+      (size(filter(w, x => x.isin(TextOps.STOPWORDS: _*))).cast("double")
+        / size(w)).as("score"))
+    val win = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("budget", element_at(typedLit(budgets), col("source")))
+      .filter(col("budget").isNotNull) // unbudgeted sources contribute 0
+      .withColumn("cum", sum(col("toks")).over(win))
+      .filter(col("cum") <= col("budget"))
+      .select("doc_id", "source", "toks", "score", "cum")
+  }
+
   /** Per-document blocklist matches: (doc_id, source, matched
     * array<string> sorted) — one automaton pass per doc.
     */
@@ -125,6 +156,36 @@ object Selection {
         |FROM cum WHERE cum <= 10000
         |GROUP BY source ORDER BY source""".stripMargin),
       (s, d) => budgetSelect(Tables(s, d, "documents"), budget = 10000L)
+        .groupBy("source")
+        .agg(cnt.as("n_sel"), sum("toks").as("tok_sum"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("source")),
+
+    // ---- L39+: per-source token budgets (the training-mix interface) ------
+    // Budgets name a subset of sources; unbudgeted sources contribute
+    // nothing. The oracle restates the per-source window cumsum with the
+    // same CASE-mapped budgets.
+    Q("q_budget_per_source", Some(
+      s"""WITH sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w IN (${TextOps.StopwordsSql}))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score,
+        |    CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
+        |      WHEN 'src2' THEN 300 WHEN 'src5' THEN 1000 END AS budget
+        |  FROM documents),
+        |cum AS (
+        |  SELECT *, sum(toks) OVER (PARTITION BY source
+        |    ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sc WHERE budget IS NOT NULL)
+        |SELECT source, count(*) AS n_sel,
+        |  CAST(sum(toks) AS BIGINT) AS tok_sum,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM cum WHERE cum <= budget
+        |GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => budgetSelectPerSource(Tables(s, d, "documents"),
+        Map("src0" -> 800L, "src1" -> 500L, "src2" -> 300L, "src5" -> 1000L))
         .groupBy("source")
         .agg(cnt.as("n_sel"), sum("toks").as("tok_sum"),
           sum("doc_id").as("id_sum"))

@@ -60,6 +60,23 @@ class SelectionSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("budgetSelectPerSource == independent budgetSelect per source; " +
+    "unbudgeted sources contribute nothing") {
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select("doc_id", "text", "source")
+    val budgets = Map("src0" -> 800L, "src3" -> 450L, "src7" -> 1200L)
+    val grouped = Selection.budgetSelectPerSource(docs, budgets)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val independent = budgets.keys.toSeq.sorted.flatMap { src =>
+      Selection.budgetSelect(docs.filter(col("source") === src),
+        budgets(src)).select("doc_id").as[Long].collect()
+    }.sorted
+    assert(grouped == independent)
+    val srcs = Selection.budgetSelectPerSource(docs, budgets)
+      .select("source").distinct().as[String].collect().toSet
+    assert(srcs.subsetOf(budgets.keySet))
+  }
+
   test("AhoCorasick: overlapping phrases, repeats deduped, sorted emit, " +
     "empty on clean text") {
     val ac = new graft.functions.AhoCorasick(Seq("ab", "abc", "bc", "zz"))
