@@ -23,8 +23,17 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
-  "-Dspark.ui.enabled=false",
-  "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+javaOptions ++= jdk17AddOpens ++ {
+  // repo-local tmpdir: the build box runs a /tmp cleaner that deletes
+  // Spark's blockmgr shuffle dirs and test temp dirs MID-RUN (observed:
+  // FileNotFoundException on temp_shuffle_* failing 241 green tests at
+  // once); everything transient lives under target/ instead
+  val tmp = new java.io.File("target/tmp")
+  tmp.mkdirs()
+  Seq(
+    "-Dspark.ui.enabled=false",
+    "-Dspark.sql.session.timeZone=UTC",
+    s"-Djava.io.tmpdir=${tmp.getAbsolutePath}",
+    s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  )
+}

@@ -582,8 +582,12 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       spark, replayHits, mvDir, "source", "phrase", 0L)
     assert(!folded, "replayed batchId must be refused")
     assert(counts() === c, "replayed batch double-counted")
-    Seq(mvDir, ckpt).foreach(d => org.apache.commons.io.FileUtils
-      .deleteQuietly(new java.io.File(d).getParentFile))
+    // mvDir has a "/mv" suffix under its temp dir — delete the parent;
+    // ckpt IS the temp dir — deleting ITS parent would wipe the shared
+    // java.io.tmpdir out from under every concurrently-running suite
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(mvDir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
   }
 
   test("mergeStream: streamed upserts land as MERGE state; replay is a no-op (T∅ + S13 e2e)") {
