@@ -36,6 +36,7 @@ object SparkEntry {
     graft.llm.Sampling.all ++
     graft.llm.Clustering.all ++
     graft.llm.Selection.all ++
+    graft.llm.QualityModel.all ++
     graft.llm.PhraseIndex.all ++
     graft.llm.Retrieval.all ++
     graft.llm.SubstringDedup.all ++
