@@ -247,12 +247,15 @@ object Clustering {
     * score ([[graft.functions.SdcScore]]) and the TopK partial pass run
     * map-side on the fan-out with ZERO further full-stream exchanges,
     * and only the k·refine best per query re-attach real vectors.
-    * Measured solo at the ×100 probe (200k×64f, nCells=1600, nProbe=4):
-    * exact-all 199 s → refine=3 144 s (−28%), returned-edge mean cosine
-    * 0.9930 → 0.9917. A draft that re-attached codes to the candidate
-    * stream as a separate join pass was SLOWER than exact-all at every
-    * scale — it kept both full-stream shuffles and only narrowed the
-    * payload; the shuffle count, not the byte width, is the cost.
+    * Measured solo at the ×100 probe (200k×64f, nCells=1600, nProbe=4,
+    * with the parallelism floor below): exact-all 232.9 s → refine=3
+    * **30.3 s (7.7×)**, and the refine curve is ×10→×100 = 9.3→30.3 s —
+    * 3.3× time for 10× vectors, retiring the round-8 15×-superlinear
+    * finding (113.8 s). Returned-edge mean cosine 0.9930 → 0.9917.
+    * A draft that re-attached codes to the candidate stream as a
+    * separate join pass was SLOWER than exact-all at every scale — it
+    * kept both full-stream shuffles and only narrowed the payload; the
+    * shuffle count, not the byte width, is the cost.
     *
     * Quantization error in the pre-rank is the recall trade; `refine` is
     * the margin (a true neighbor is lost only when ≥ k·refine candidates
