@@ -388,9 +388,9 @@ object Clustering {
     */
   def semanticClusters(corpus: DataFrame, kNeighbors: Int = 8,
       nCells: Int = 16, nProbe: Int = 8, minCos: Double = 0.5,
-      maxCell: Int = 0): DataFrame =
+      maxCell: Int = 0, refine: Int = 0): DataFrame =
     TextOps.dedupClusters(
-      knnGraph(corpus, kNeighbors, nCells, nProbe, maxCell)
+      knnGraph(corpus, kNeighbors, nCells, nProbe, maxCell, refine)
         .filter(col("cos") >= minCos)
         .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b")))
 
