@@ -722,6 +722,24 @@ object ScaleProbe {
         println(s"    selected=$sel")
         d.unpersist()
       }
+      println("\n== quality-model GD: 3 iterations, corpus x10/x100 ==")
+      // the trainer claims iters x one-scan cost (kmeansFit's model):
+      // time must track the corpus linearly, never the iteration count
+      // superlinearly
+      for (copies <- Seq(1, 10, 100)) {
+        val d = replicateDocs(graft.query.Tables(spark, sfDir, "documents")
+          .select("doc_id", "text", "lang"), copies)
+          .repartition(32).localCheckpoint()
+        val n = d.count()
+        val w = time(f"logisticFitHard i=3   n=$n%-7d") {
+          val feats = graft.llm.QualityModel.featureFrame(d)
+          graft.llm.QualityModel.logisticFitHard(
+            feats, Seq("x1", "x2", "x3"), "y", iters = 3, lr = 0.5)
+        }
+        println(s"    w=${w.map(x => f"$x%.6f").mkString(",")}")
+        d.unpersist()
+      }
+
       println("\n== substring-dedup fixpoint: rounds to quiescence, corpus x10 ==")
       // replicated corpora are the worst case for ROUND 1 (nearly every
       // gram repeats); the probe pins that quiescence arrives in few

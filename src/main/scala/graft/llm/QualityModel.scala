@@ -77,7 +77,7 @@ object QualityModel {
     * counts (divisions of equal integers are bit-identical cross-engine),
     * label = (lang == 'en').
     */
-  private[llm] def featureFrame(docs: DataFrame): DataFrame = {
+  def featureFrame(docs: DataFrame): DataFrame = {
     val ws = TextOps.words(col("text"))
     val nw = size(ws)
     docs.select(
