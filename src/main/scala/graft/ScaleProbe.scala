@@ -722,6 +722,28 @@ object ScaleProbe {
         println(s"    selected=$sel")
         d.unpersist()
       }
+      println("\n== budgetSelectPerSource: 90%-skew source, corpus x10/x100 ==")
+      // the r9-weak regression probe: one source holds ~90% of the corpus
+      // (the web-source shape) under a FIXED small budget. The per-source
+      // two-phase form must track the scan (flat-ish), never the one-task
+      // whole-source sort the bare-source window would run.
+      for (copies <- Seq(1, 10, 100)) {
+        // first copy keeps real sources; the rest all collapse into "web"
+        val d = (0 until copies).map { c =>
+          val shifted = docsS
+            .withColumn("doc_id", col("doc_id") + lit(c * 1000000L))
+            .withColumn("text", concat(lit(s"copy$c "), col("text")))
+          if (c == 0) shifted else shifted.withColumn("source", lit("web"))
+        }.reduce(_ union _).repartition(32).localCheckpoint()
+        val n = d.count()
+        val sel = time(f"perSource 90%%-skew     n=$n%-7d") {
+          graft.llm.Selection.budgetSelectPerSource(d,
+            Map("web" -> 5000L, "src0" -> 800L, "src1" -> 500L)).count()
+        }
+        println(s"    selected=$sel")
+        d.unpersist()
+      }
+
       println("\n== quality-model GD: 3 iterations, corpus x10/x100 ==")
       // the trainer claims iters x one-scan cost (kmeansFit's model):
       // time must track the corpus linearly, never the iteration count

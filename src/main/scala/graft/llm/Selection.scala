@@ -33,54 +33,104 @@ import graft.query.Tables.cnt
   */
 object Selection {
 
-  /** Greedy token-budget selection: rank docs by (score desc, doc_id asc)
-    * and keep them while the running token total stays ≤ `budget` — the
-    * deterministic "best docs first until the budget is spent" selection
-    * (score here: stopword ratio, the naturalness signal the quality
-    * stack already exposes; any per-doc score column works the same way).
-    *
-    * Returns one row per doc: (doc_id, source, toks, score, cum) for the
-    * SELECTED set. The cumulative sum is exact and global; see the object
-    * scaladoc for why this is a two-phase scan and not one window.
+  /** Shared scoring projection: (doc_id, source, toks, score) with score =
+    * stopword ratio (the naturalness signal the quality stack already
+    * exposes; any per-doc score column works the same way). Full text is
+    * dropped HERE — everything downstream moves ~32-byte rows.
     */
-  def budgetSelect(docs: DataFrame, budget: Long,
-      parts: Int = 32): DataFrame = {
+  private def scoredOf(docs: DataFrame): DataFrame = {
     val w = TextOps.words(col("text"))
-    val scored = docs.select(col("doc_id"), col("source"),
+    docs.select(col("doc_id"), col("source"),
       size(w).cast("long").as("toks"),
       (size(filter(w, x => x.isin(TextOps.STOPWORDS: _*))).cast("double")
         / size(w)).as("score"))
-    // phase 1: range-partition on the selection order, so partition i
-    // holds strictly better rows than partition i+1; stage partition ids
-    // while the layout is live
+  }
+
+  /** The two-phase range-partitioned prefix sum shared by [[budgetSelect]]
+    * (one global stratum) and [[budgetSelectPerSource]] (stratum = source).
+    * `scored` must carry (doc_id, source, toks, score, budget); rows rank
+    * by (stratum, score desc, doc_id asc) and are kept while the stratum's
+    * running token total stays ≤ its `budget` column.
+    *
+    * Phases:
+    *  1. range-partition on (stratum, score desc, doc_id asc), so within a
+    *     stratum partition i holds strictly better rows than i+1 and the
+    *     range partitioner splits a GIANT stratum across many partitions
+    *     in proportion to its size — a 90 %-of-corpus source gets ~90 % of
+    *     the partitions, never one task;
+    *  2. per-(pid, stratum) token totals → driver prefix offsets. The
+    *     collect is bounded by parts + strata − 1 (each partition holds a
+    *     contiguous (stratum, score) range), never corpus-sized;
+    *  3. drop whole (pid, stratum) groups already past their budget — a
+    *     map-side group-constant predicate, so with budget ≪ corpus nearly
+    *     everything is eliminated BEFORE the window shuffle — then one
+    *     window partitioned by (pid, stratum) finishes the prefix sum on
+    *     the ≤ budget-plus-one-partition-per-stratum survivors.
+    *
+    * Lifecycle: the range layout is persisted only for pid consistency
+    * between phases 2 and 3; when `release` (the default) the budget-
+    * bounded result is localCheckpoint'ed (RDD-level, ContextCleaner-
+    * reclaimed on GC) and the corpus-sized cache unpersisted before
+    * returning — repeated calls in a long-lived session leak nothing.
+    * `release = false` returns the lazy frame for plan inspection (specs);
+    * the caller then owns the cached layout's lifetime.
+    */
+  private def budgetedPrefix(scored: DataFrame, parts: Int,
+      release: Boolean): DataFrame = {
+    // stratum keys never contain \u0000 (sources are plain names; the
+    // global form uses ""), so the composite offset key is unambiguous
+    val Sep = "\u0000"
     val ranged = scored
-      .repartitionByRange(parts, col("score").desc, col("doc_id").asc)
-      .sortWithinPartitions(col("score").desc, col("doc_id").asc)
+      .repartitionByRange(parts, col("strat").asc, col("score").desc,
+        col("doc_id").asc)
+      .sortWithinPartitions(col("strat").asc, col("score").desc,
+        col("doc_id").asc)
       .withColumn("pid", spark_partition_id())
       .persist()
-    // phase 2: per-partition token totals -> driver prefix offsets
-    // (partitions-sized, never corpus-sized)
-    val totals = ranged.groupBy("pid").agg(sum("toks").as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
-    val offsets: Map[Int, Long] = (0 to maxPid).map { p =>
-      p -> (0 until p).map(q => totals.getOrElse(q, 0L)).sum
+    val totals = ranged.groupBy("pid", "strat").agg(sum("toks").as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+    if (totals.isEmpty) {
+      ranged.unpersist(blocking = false)
+      return scored.select(col("doc_id"), col("source"), col("toks"),
+        col("score"), lit(0L).as("cum")).limit(0)
+    }
+    val offsets: Map[String, Long] = totals.map { case ((p, s), _) =>
+      s"$p$Sep$s" -> totals.iterator.collect {
+        case ((q, s2), t) if s2 == s && q < p => t
+      }.sum
     }.toMap
-    if (offsets.isEmpty) return ranged.select(
-      col("doc_id"), col("source"), col("toks"), col("score"),
-      lit(0L).as("cum")).limit(0)
-    val off = element_at(typedLit(offsets), col("pid"))
-    // phase 3: drop whole partitions already past the budget (a
-    // partition-constant predicate — at at-scale budgets this eliminates
-    // nearly everything before the window), then one PARTITIONED window
-    // finishes the prefix sum locally
-    ranged.filter(off < budget)
+    val off = element_at(typedLit(offsets),
+      concat_ws(Sep, col("pid"), col("strat")))
+    val out = ranged.filter(off < col("budget"))
       .withColumn("cum", sum(col("toks")).over(
-        Window.partitionBy("pid")
+        Window.partitionBy("pid", "strat")
           .orderBy(col("score").desc, col("doc_id").asc)) + off)
-      .filter(col("cum") <= budget)
+      .filter(col("cum") <= col("budget"))
       .select("doc_id", "source", "toks", "score", "cum")
+    if (!release) out
+    else {
+      // the selected set is budget-bounded (≪ corpus); materialize it so
+      // the corpus-sized range layout can be released immediately
+      val res = out.localCheckpoint(eager = true)
+      ranged.unpersist(blocking = false)
+      res
+    }
   }
+
+  /** Greedy token-budget selection: rank docs by (score desc, doc_id asc)
+    * and keep them while the running token total stays ≤ `budget` — the
+    * deterministic "best docs first until the budget is spent" selection.
+    *
+    * Returns one row per doc: (doc_id, source, toks, score, cum) for the
+    * SELECTED set. The cumulative sum is exact and global; see the object
+    * scaladoc and [[budgetedPrefix]] for why this is a two-phase scan and
+    * not one window.
+    */
+  def budgetSelect(docs: DataFrame, budget: Long, parts: Int = 32,
+      release: Boolean = true): DataFrame =
+    budgetedPrefix(scoredOf(docs)
+      .withColumn("strat", lit(""))
+      .withColumn("budget", lit(budget)), parts, release)
 
   /** Per-SOURCE token-budget selection — the grouped form of
     * [[budgetSelect]], and the interface a real training mix is actually
@@ -88,29 +138,26 @@ object Selection {
     * Within each source, docs rank by (score desc, doc_id asc) and are
     * kept while the source's running token total stays ≤ its budget.
     *
-    * Scale shape: the prefix sum here is PER SOURCE, so one window
-    * partitioned by source does it exactly — a plain partitioned shuffle
-    * (PlanLint-conformant), no global order needed; a skewed giant source
-    * is bounded by its own budget downstream, and the window's sort is
-    * per-source (the stratifiedTake/epochMix precedent for per-stratum
-    * total ranks). Budgets arrive as a small map, broadcast as a literal.
+    * Scale shape: the SAME two-phase range-partitioned prefix sum as the
+    * global form, run per source ([[budgetedPrefix]] with stratum =
+    * source). A window partitioned on bare `source` would be the classic
+    * skew trap — source is low-cardinality, and a web source that is 90 %
+    * of a 100 TB corpus would sort in ONE task, with the budget filter
+    * only running AFTER that sort. Range-partitioning on (source, score
+    * desc, doc_id) instead splits the giant source across partitions in
+    * proportion to its size, and the per-(pid, source) budget drop
+    * eliminates the corpus before anything sorts. SelectionSpec plan-
+    * asserts no window here partitions on bare source. Budgets arrive as
+    * a small map, broadcast as a literal; unbudgeted sources contribute
+    * nothing.
     */
-  def budgetSelectPerSource(docs: DataFrame,
-      budgets: Map[String, Long]): DataFrame = {
+  def budgetSelectPerSource(docs: DataFrame, budgets: Map[String, Long],
+      parts: Int = 32, release: Boolean = true): DataFrame = {
     require(budgets.nonEmpty, "budgetSelectPerSource: empty budget map")
-    val w = TextOps.words(col("text"))
-    val scored = docs.select(col("doc_id"), col("source"),
-      size(w).cast("long").as("toks"),
-      (size(filter(w, x => x.isin(TextOps.STOPWORDS: _*))).cast("double")
-        / size(w)).as("score"))
-    val win = Window.partitionBy("source")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    scored
+    budgetedPrefix(scoredOf(docs)
       .withColumn("budget", element_at(typedLit(budgets), col("source")))
       .filter(col("budget").isNotNull) // unbudgeted sources contribute 0
-      .withColumn("cum", sum(col("toks")).over(win))
-      .filter(col("cum") <= col("budget"))
-      .select("doc_id", "source", "toks", "score", "cum")
+      .withColumn("strat", col("source")), parts, release)
   }
 
   /** Per-document blocklist matches: (doc_id, source, matched

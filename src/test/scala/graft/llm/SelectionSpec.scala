@@ -77,6 +77,73 @@ class SelectionSpec extends AnyFunSuite with SparkFixture {
     assert(srcs.subsetOf(budgets.keySet))
   }
 
+  test("budget selection: no window partitioned on bare source (the " +
+    "skewed-giant-source trap), and the range layout is released on return") {
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select("doc_id", "text", "source")
+    // plan shape: build un-materialized (release=false) so the window is
+    // visible, run it, then inspect the executed plan
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (df <- Seq(
+        Selection.budgetSelectPerSource(docs,
+          Map("src0" -> 800L, "src3" -> 450L), release = false),
+        Selection.budgetSelect(docs, 10000L, release = false))) {
+      df.collect()
+      val wins = graft.PlanAsserts.deepCollect(
+        df.queryExecution.executedPlan) { case w: WindowExec => w }
+      assert(wins.nonEmpty)
+      wins.foreach { w =>
+        val keys = w.partitionSpec.map(_.toString)
+        assert(w.partitionSpec.size >= 2,
+          s"window must partition on (pid, stratum), got $keys")
+        assert(keys.exists(_.contains("pid")),
+          s"window partitioned on bare source (no pid key): $keys")
+      }
+    }
+    spark.sharedState.cacheManager.clearCache() // release=false layouts
+    // lifecycle law: with release=true (the default) nothing stays in the
+    // cache manager after the call returns — the long-lived-session leak
+    // class (Serve daemon precedent) is closed
+    assert(spark.sharedState.cacheManager.isEmpty)
+    val sel = Selection.budgetSelect(docs, 10000L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "budgetSelect leaked a cached layout")
+    assert(sel.count() > 0)
+    Selection.budgetSelectPerSource(docs, Map("src0" -> 800L)).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "budgetSelectPerSource leaked a cached layout")
+  }
+
+  test("budgetSelectPerSource: one 90%-skewed source still splits across " +
+    "range partitions (no one-task sort)") {
+    // 9 copies of the corpus under ONE source + the original spread over
+    // its sources: the giant source must occupy many range partitions
+    val base = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select("doc_id", "text", "source")
+    val giant = (0 until 9).map { c =>
+      base.withColumn("doc_id", col("doc_id") + lit((c + 1) * 1000000L))
+        .withColumn("source", lit("web"))
+    }.reduce(_ union _).union(base)
+    val budgets = Map("web" -> 2000L, "src0" -> 800L)
+    val got = Selection.budgetSelectPerSource(giant, budgets)
+      .groupBy("source").agg(max("cum").as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // correctness under skew: each source filled to its budget
+    assert(got("web")._1 <= 2000L && got("web")._2 > 0)
+    assert(got("src0")._1 <= 800L && got("src0")._2 > 0)
+    // layout law: the giant source spans >1 range partition (the window
+    // never sees the whole source in one task)
+    val ranged = giant.select(col("doc_id"), col("source"),
+      lit(1L).as("toks"), rand(7).as("score"))
+      .repartitionByRange(32, col("source").asc, col("score").desc,
+        col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .filter(col("source") === "web")
+      .select("pid").distinct().count()
+    assert(ranged > 8, s"giant source occupies only $ranged partitions")
+  }
+
   test("AhoCorasick: overlapping phrases, repeats deduped, sorted emit, " +
     "empty on clean text") {
     val ac = new graft.functions.AhoCorasick(Seq("ab", "abc", "bc", "zz"))
