@@ -46,6 +46,87 @@ object PhraseIndex {
       .withColumn("bucket", pmod(col("gh"), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/grams")
 
+  /** One batch's postings rows: (doc_id, gh, bucket) — the shared
+    * projection of [[buildPhraseIndex]] and [[phraseIndexAppend]].
+    */
+  private def postingsOf(docs: DataFrame, n: Int, nBuckets: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.ngramHashes(col("text"), n)))
+          .as("gh"))
+      .withColumn("bucket", pmod(col("gh"), lit(nBuckets)))
+
+  /** IDEMPOTENT batch-keyed append of a new doc batch to a stored phrase
+    * index — the [[Retrieval.bm25IndexAppend]] discipline: batch
+    * `batchId`'s postings land under `appends/batch=<id>/bucket=...` with
+    * OVERWRITE of that batch directory, so an at-least-once replay
+    * rewrites the same files instead of duplicating them.
+    * [[phraseSearch]] unions base + live appends (bucket stays a
+    * partition-filter level on both layouts), and because a candidate is
+    * "holds ALL phrase grams" via countDistinct over the union, a search
+    * after an append equals a from-scratch build of the union exactly.
+    * The phrase index has NO stats sidecar to maintain — gram postings
+    * are self-contained. The motivating cadence is the reference's
+    * hourly serve loop (preprocess.py:277–280): its flagship substring
+    * analytic (preprocess.py:221–237) stays queryable as hours land,
+    * without ever rebuilding the index.
+    */
+  def phraseIndexAppend(spark: SparkSession, dir: String, batchId: Long,
+      docs: DataFrame, n: Int = 3, nBuckets: Int = 64): Unit = {
+    if (docs.isEmpty) return // a file-less batch dir poisons later reads
+    postingsOf(docs, n, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/appends/batch=$batchId")
+  }
+
+  /** Fold the live append batches into a new committed generation
+    * ([[graft.store.IndexGenerations]] — the same generation-swap +
+    * one-cycle-GC-grace layout as BM25/IVF/IVF-PQ), keeping the search's
+    * read a 2-leg union forever instead of base + one dir per streamed
+    * batch. Search results are identical before and after because
+    * postings rows are disjoint across base and batches (a doc arrives
+    * whole in one batch) and the candidate test is a countDistinct over
+    * the union. Single-compactor contract; concurrent appends stay above
+    * the new watermark and remain live.
+    */
+  def compactPhraseIndex(spark: SparkSession, dir: String): Unit = {
+    val G = graft.store.IndexGenerations
+    val prev = G.current(spark, dir)
+    val toFold = G.batches(spark, dir, "appends").filter(_._1 > prev.maxFolded)
+    if (toFold.isEmpty && prev.gen >= 0) return // nothing new to fold
+    val newMax = (prev.maxFolded +: toFold.map(_._1)).max
+    val cols = Seq("doc_id", "gh", "bucket")
+    val grams = {
+      val b = spark.read.parquet(prev.sub(dir, "grams")).selectExpr(cols: _*)
+      if (toFold.isEmpty) b
+      else b.unionByName(spark.read.option("basePath", s"$dir/appends")
+        .parquet(toFold.map(_._2): _*).selectExpr(cols: _*))
+    }
+    // one shuffle keyed by bucket: every bucket lands whole in one task,
+    // so each bucket dir collapses to a single file (the point of the fold)
+    grams.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(s"$dir/g${prev.gen + 1}/grams")
+    G.commit(spark, dir, prev.gen + 1, newMax)
+    G.gc(spark, dir, prev.gen + 1, prev, Seq("appends"), Seq("grams"))
+  }
+
+  /** The postings layer a search reads: the current generation's base ∪
+    * the live append batches (batches at or below the fold watermark are
+    * already IN the base and are excluded — the replay/GC-grace
+    * semantics of [[graft.store.IndexGenerations]]).
+    */
+  private def readGrams(spark: SparkSession, dir: String): DataFrame = {
+    val G = graft.store.IndexGenerations
+    val base = G.current(spark, dir)
+    val b = spark.read.parquet(base.sub(dir, "grams"))
+      .selectExpr("doc_id", "gh", "bucket")
+    val live = G.liveBatches(spark, dir, "appends", base)
+    if (live.isEmpty) b
+    else b.unionByName(spark.read.option("basePath", s"$dir/appends")
+      .parquet(live: _*).selectExpr("doc_id", "gh", "bucket"))
+  }
+
   /** The phrase's rolling n-gram hashes, derived with the SAME native
     * kernel the build used (driver-side, one tiny local projection — hash
     * parity between build and probe is the index's correctness backbone).
@@ -71,8 +152,8 @@ object PhraseIndex {
     if (grams.isEmpty) return docs.filter(verify).select("doc_id")
     val buckets = grams.map(g => ((g % nBuckets) + nBuckets) % nBuckets)
       .distinct
-    val candidates = spark.read.parquet(s"$dir/grams")
-      .filter(col("bucket").isin(buckets: _*)) // partition pruning
+    val candidates = readGrams(spark, dir)
+      .filter(col("bucket").isin(buckets: _*)) // partition pruning, both legs
       .filter(col("gh").isin(grams: _*))
       .groupBy("doc_id").agg(countDistinct("gh").as("__nh"))
       .filter(col("__nh") === grams.size)

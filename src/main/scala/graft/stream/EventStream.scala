@@ -366,6 +366,37 @@ object EventStream {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Continuous phrase-index maintenance — the last stored index to join
+    * the append/compact/stream family: every micro-batch of arriving
+    * documents (doc_id, text) lands in the stored n-gram posting index at
+    * `indexDir` through the idempotent batch-keyed append
+    * ([[graft.llm.PhraseIndex.phraseIndexAppend]] — a crash-replayed
+    * batch OVERWRITES its own `appends/batch=<id>` dir, so index contents
+    * are exactly-once from an at-least-once sink), keeping exact
+    * substring search live at the reference's hourly cadence
+    * (preprocess.py:277–280 re-serves hourly; its flagship " dask" grep
+    * at preprocess.py:221–237 is the query this index answers without a
+    * corpus scan). `compactEvery > 0` folds the append batches into a new
+    * base generation every that-many batches
+    * ([[graft.llm.PhraseIndex.compactPhraseIndex]]), bounding the
+    * read-time union width; the maintainer thread is the single
+    * compactor. Caller contract: a doc arrives whole in ONE batch.
+    */
+  def maintainPhraseIndex(docs: DataFrame, indexDir: String,
+      checkpointDir: String, n: Int = 3, nBuckets: Int = 64,
+      compactEvery: Int = 0): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.PhraseIndex.phraseIndexAppend(
+          batch.sparkSession, indexDir, batchId, batch, n, nBuckets)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.llm.PhraseIndex.compactPhraseIndex(
+            batch.sparkSession, indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .start()
+
   /** Streaming CDC apply (the Delta streaming-MERGE shape): each
     * micro-batch of keyed upserts MERGEs into the partitioned store
     * ([[graft.store.TableStore.merge]] — partition-local keys, touched

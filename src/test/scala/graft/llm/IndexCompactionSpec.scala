@@ -143,6 +143,88 @@ class IndexCompactionSpec extends AnyFunSuite with SparkFixture {
     rm(dir)
   }
 
+  test("phrase: appends + compact == fresh build; post-compact appends " +
+    "stay live; resurrected folded batch invisible; in-flight reader " +
+    "grace; GC retires folded dirs (L25 maintenance)") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown cat sleeps on the warm mat"),
+      (2L, "a slow green turtle walks under the old bridge"),
+      (3L, "quick quick quick repetition inflates nothing here"),
+      (4L, "entirely disjoint vocabulary zone alpha beta gamma"),
+      (5L, "the lazy dog naps beside the quick brown fox"),
+      (6L, "gamma rays cross the warm bridge at dawn"),
+      (7L, "late arrival mentions the quick brown otter")
+    ).toDF("doc_id", "text")
+    val dirInc = tmp("phrasecmp")
+    val dirFull = tmp("phrasecmpfull")
+    def run(dir: String) =
+      PhraseIndex.phraseSearch(spark, dir, docs, "the quick brown",
+        n = 3, nBuckets = 8).orderBy("doc_id").as[Long].collect().toSeq
+
+    PhraseIndex.buildPhraseIndex(docs.filter($"doc_id" < 3), dirInc,
+      n = 3, nBuckets = 8)
+    PhraseIndex.phraseIndexAppend(spark, dirInc, 1L,
+      docs.filter($"doc_id" >= 3 && $"doc_id" < 5), n = 3, nBuckets = 8)
+    PhraseIndex.phraseIndexAppend(spark, dirInc, 2L,
+      docs.filter($"doc_id" >= 5 && $"doc_id" < 7), n = 3, nBuckets = 8)
+    PhraseIndex.buildPhraseIndex(docs.filter($"doc_id" < 7), dirFull,
+      n = 3, nBuckets = 8)
+    val before = run(dirInc)
+    // non-degenerate: hits in the flat base (0,1) AND an append batch (5)
+    assert(before === Seq(0L, 1L, 5L))
+    assert(before === run(dirFull), "append path must equal fresh build")
+
+    PhraseIndex.compactPhraseIndex(spark, dirInc)
+    val b0 = IndexGenerations.current(spark, dirInc)
+    assert(b0.gen === 0 && b0.maxFolded === 2L)
+    assert(run(dirInc) === before, "fold must not change search results")
+    // one-cycle grace: flat base and folded batch dirs still on disk
+    assert(new java.io.File(s"$dirInc/grams").exists())
+    assert(new java.io.File(s"$dirInc/appends/batch=1").exists())
+
+    // crash-replay resurrects folded batch 2: the watermark (not
+    // deletion) keeps it invisible
+    PhraseIndex.phraseIndexAppend(spark, dirInc, 2L,
+      docs.filter($"doc_id" >= 5 && $"doc_id" < 7), n = 3, nBuckets = 8)
+    assert(run(dirInc) === before, "resurrected folded batch changed results")
+
+    // a batch ABOVE the watermark is live immediately (doc 7 matches)
+    PhraseIndex.phraseIndexAppend(spark, dirInc, 3L,
+      docs.filter($"doc_id" === 7), n = 3, nBuckets = 8)
+    val withLate = run(dirInc)
+    assert(withLate === Seq(0L, 1L, 5L, 7L), "post-compact append not live")
+
+    // in-flight reader planned against g0's file listing...
+    val inFlight = PhraseIndex.phraseSearch(spark, dirInc, docs,
+      "the quick brown", n = 3, nBuckets = 8).orderBy("doc_id")
+
+    // second compact folds batch 3, GCs what g0 had folded + the flat base
+    PhraseIndex.compactPhraseIndex(spark, dirInc)
+    val b1 = IndexGenerations.current(spark, dirInc)
+    assert(b1.gen === 1 && b1.maxFolded === 3L)
+    assert(run(dirInc) === withLate)
+    assert(!new java.io.File(s"$dirInc/grams").exists(),
+      "flat base must be GC'd once two generations stand past it")
+    assert(!new java.io.File(s"$dirInc/appends/batch=1").exists())
+    assert(!new java.io.File(s"$dirInc/appends/batch=2").exists())
+    assert(new java.io.File(s"$dirInc/g0").exists(),
+      "previous generation is the in-flight readers' grace copy")
+    // ...and still materializes against the grace generation
+    assert(inFlight.as[Long].collect().toSeq === withLate,
+      "in-flight reader torn by a concurrent compact+GC")
+
+    // fresh build over all 8 docs closes the loop; fold collapsed files
+    val dirAll = tmp("phrasecmpall")
+    PhraseIndex.buildPhraseIndex(docs, dirAll, n = 3, nBuckets = 8)
+    assert(run(dirInc) === run(dirAll))
+    val genFiles = parquetFiles(s"$dirInc/g1/grams")
+    val buckets = genFiles.flatMap(p =>
+      "bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1))).distinct
+    assert(genFiles.size === buckets.size, "expected one file per bucket")
+    rm(dirInc, dirFull, dirAll)
+  }
+
   test("ivf: appends + compact == same query results; rebuild over a " +
     "generational dir is a generation swap that retires old appends") {
     val emb = graft.query.Tables(spark, sf("sf0.001"), "embeddings")

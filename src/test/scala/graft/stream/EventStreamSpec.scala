@@ -541,6 +541,52 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
   }
 
+  test("maintainPhraseIndex: streamed doc batches become searchable; " +
+    "mid-stream compaction preserves results; forced replay of a folded " +
+    "batch never double-counts (T∅ + L25 e2e)") {
+    import graft.llm.PhraseIndex
+    implicit val sqlCtx = spark.sqlContext
+    val allDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "a slow green turtle walks under the old bridge"),
+      (2L, "the quick brown cat sleeps on the warm mat"),
+      (3L, "entirely disjoint vocabulary zone alpha beta gamma"),
+      (4L, "the lazy dog naps beside the quick brown fox"),
+      (5L, "gamma rays cross the warm bridge at dawn"))
+    val dir = Files.createTempDirectory("phrasestream").toString + "/idx"
+    // index built on the first 2 docs; the rest stream in
+    PhraseIndex.buildPhraseIndex(allDocs.take(2).toDF("doc_id", "text"),
+      dir, n = 3, nBuckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val ckpt = Files.createTempDirectory("phrasestream_ck").toString
+    // compactEvery = 2: the second micro-batch triggers a fold mid-stream
+    val q = EventStream.maintainPhraseIndex(docs, dir, ckpt, n = 3,
+      nBuckets = 8, compactEvery = 2)
+    mem.addData(allDocs.slice(2, 4))
+    q.processAllAvailable()
+    mem.addData(allDocs.slice(4, 6))
+    q.processAllAvailable()
+    q.stop()
+    // the stream's second batch compacted: a committed generation stands
+    assert(graft.store.IndexGenerations.current(spark, dir).gen === 0)
+    val corpus = allDocs.toDF("doc_id", "text")
+    def run() = PhraseIndex.phraseSearch(spark, dir, corpus,
+      "the quick brown", n = 3, nBuckets = 8)
+      .orderBy("doc_id").as[Long].collect().toSeq
+    // hits span the pre-built base (0) and both streamed batches (2, 4)
+    assert(run() === Seq(0L, 2L, 4L))
+    // crash-replay discipline across the fold: batch 0 (docs 2,3) was
+    // FOLDED by the batch-1 compaction; a replayed re-append resurrects
+    // the dir but the generation watermark keeps it invisible
+    PhraseIndex.phraseIndexAppend(spark, dir, 0L,
+      allDocs.slice(2, 4).toDF("doc_id", "text"), n = 3, nBuckets = 8)
+    assert(run() === Seq(0L, 2L, 4L), "replayed folded batch leaked")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+  }
+
   test("blocklistMonitorStream: streamed docs feed a live per-source " +
     "phrase-hit view; a replayed batch never double-counts (T∅ + L40 e2e)") {
     import graft.ingest.IncrementalViews
