@@ -681,10 +681,24 @@ object ScaleProbe {
           graft.llm.Clustering.knnGraph(e, k = 5, nCells = k, nProbe = 4,
             maxCell = 4096).localCheckpoint()
         }
+        // guardMinRecall = 0: this probe measures the PRE-RANK's cost
+        // curve; on the replicated (near-tie) fixture the default guard
+        // correctly refuses the pre-rank — its firing + fallback cost is
+        // what the `guarded` row below measures
         val fast = time(f"knnGraph refine=3   nCells=$k%-5d n=$n%-7d") {
+          graft.llm.Clustering.knnGraph(e, k = 5, nCells = k, nProbe = 4,
+            maxCell = 4096, refine = 3, guardMinRecall = 0.0)
+            .localCheckpoint()
+        }
+        // default-guard call on the same corpus: the audit (50 queries,
+        // bounded) runs, fires on this near-tie fixture, and the call
+        // falls back to the exact path — the row's delta vs refine=0 is
+        // the guard's total overhead (audit + PQ train/encode)
+        val guarded = time(f"knnGraph refine=3 GUARDED (fires) n=$n%-7d") {
           graft.llm.Clustering.knnGraph(e, k = 5, nCells = k, nProbe = 4,
             maxCell = 4096, refine = 3).localCheckpoint()
         }
+        guarded.unpersist()
         val tot = base.count()
         val hit = base.join(fast, Seq("query_id", "neighbor_id"), "left_semi")
           .count()

@@ -24,9 +24,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   * walking interpreted lambda closures per element.
   *
   * Contract: `idx` must be sorted ascending (duplicates tolerated;
-  * out-of-range entries ignored). Null array on either side → null
-  * (nullIntolerant); null ELEMENTS of the value array are preserved when
-  * kept.
+  * out-of-range entries ignored). A non-monotonic index array THROWS
+  * rather than silently dropping the wrong elements — the merge skips
+  * past out-of-order entries, and this expression is also the public SQL
+  * function `graft_drop_indices`, so an unsorted argument from the SQL
+  * surface must fail loudly (wrap in `sort_array` when order is unknown).
+  * Null array on either side → null (nullIntolerant); null ELEMENTS of
+  * the value array are preserved when kept.
   */
 case class DropIndices(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -61,6 +65,17 @@ object DropIndices {
     val n = arr.numElements()
     val m = idx.numElements()
     if (m == 0) return arr
+    // enforce the sortedness contract: the merge below silently skips
+    // out-of-order entries, which would drop the WRONG elements
+    var t = 1
+    while (t < m) {
+      if (idx.getInt(t) < idx.getInt(t - 1))
+        throw new IllegalArgumentException(
+          "graft_drop_indices: index array must be sorted ascending, got " +
+            s"${idx.getInt(t - 1)} before ${idx.getInt(t)} (wrap the " +
+            "argument in sort_array when its order is unknown)")
+      t += 1
+    }
     val out = new Array[AnyRef](n)
     var i = 0
     var j = 0

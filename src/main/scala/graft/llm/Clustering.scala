@@ -264,12 +264,20 @@ object Clustering {
     * ISOTROPIC corpus whose top-k gaps sit near the quantization
     * resolution, raise the margin and the codebook (refine ≥ 10,
     * pqKsub = 256) or keep refine = 0 — fixture-scale defaults stay
-    * exact-all for that reason. Graded in ClusteringSpec (refined ==
-    * brute force under exact quantization).
+    * exact-all for that reason. The dial is SELF-GUARDING
+    * (`guardMinRecall`, default 0.9): before committing to the pre-rank
+    * the call measures pre-rank recall on a bounded 50-query audit sample
+    * and falls back to the exact path WITH a stderr warning when the
+    * corpus is in that regime — a caller can no longer silently get
+    * different neighbors by flipping refine on near-tie data. Graded in
+    * ClusteringSpec (refined == brute force under exact quantization;
+    * guard fires on the isotropic fixture and the output equals
+    * refine=0's; guard stays quiet on the separated fixture).
     */
   def knnGraph(corpus: DataFrame, k: Int, nCells: Int = 16,
       nProbe: Int = 4, maxCell: Int = 0, refine: Int = 0,
-      pqM: Int = 8, pqKsub: Int = 64): DataFrame = {
+      pqM: Int = 8, pqKsub: Int = 64,
+      guardMinRecall: Double = 0.9): DataFrame = {
     val idx = VectorOps.buildIvfIndex(corpus, nCells)
     val cells = idx.centroids.sortBy(_._1)
     val v = VectorOps.toDouble(col("embedding"))
@@ -318,11 +326,11 @@ object Clustering {
     // caveat about shipping payloads through the bucket join applied to
     // 8·dim-byte vectors whose fan-out then re-shuffled — m-int codes with
     // zero post-fan-out shuffles are the opposite regime.
+    def exactCandidates = probed.join(cellMembers, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
     val candidates =
-      if (refine <= 0)
-        probed.join(cellMembers, Seq("cell"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .select("query_id", "neighbor_id")
+      if (refine <= 0) exactCandidates
       else {
         // subspace count must divide dim; fall back to the largest divisor
         // (dim read from one row — a 1-row driver scalar, not a scan)
@@ -331,20 +339,89 @@ object Clustering {
         val model = Pq.train(corpus, m = mUse, ksub = pqKsub)
         val codes = Pq.encode(corpus, model)
         val sdc = Pq.sdcTables(model)
-        val probedC = probed.join(graft.plans.Reattach.adaptive(
-          codes.select(col("vec_id").as("query_id"),
-            col("codes").as("__qc"))), Seq("query_id"))
-        val membersC = cellMembers.join(graft.plans.Reattach.adaptive(
-          codes.select(col("vec_id").as("neighbor_id"),
-            col("codes").as("__nc"))), Seq("neighbor_id"))
-        val preranked = probedC.join(membersC, Seq("cell"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            graft.functions.GraftFunctions.sdcScore(
-              col("__qc"), col("__nc"), sdc, model.ksub).as("__sdc"))
-        graft.plans.TopK.perKey(preranked, Seq("query_id"),
-          Seq(col("__sdc").desc, col("neighbor_id").asc), k * refine)
-          .select("query_id", "neighbor_id")
+        // SELF-GUARD (refine's isotropic-recall caveat, made operational):
+        // quantized pre-rank scores can't separate neighbors whose true
+        // top-k gaps sit below the codebook's resolution — on such a
+        // corpus a caller enabling refine would silently get different
+        // neighbors. Rather than trusting the caller to know this from
+        // scaladoc, MEASURE it on a bounded hash-spread audit sample
+        // before committing to the pre-rank: exact top-k vs SDC
+        // top-(k·refine) over each audit query's probed candidates — a
+        // true neighbor survives the pre-rank iff it ranks inside the
+        // k·refine margin on quantized dots, so the audit recall IS the
+        // refined path's expected recall. Cost: 50·nProbe·cellSize pairs
+        // (corpus-independent), two heap passes, one 1-row aggregate.
+        // Below `guardMinRecall` (<= 0 disables the guard) the call warns
+        // and falls back to the exact path — correctness degrades loudly,
+        // never silently.
+        val guardOk = guardMinRecall <= 0 || {
+          val auditIds = corpus.select(col("vec_id"))
+            .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(50)
+          val auditQ = corpus.join(broadcast(auditIds), Seq("vec_id"))
+            .join(broadcast(codes.join(broadcast(auditIds), Seq("vec_id"))
+              .select(col("vec_id"), col("codes").as("__qc"))), Seq("vec_id"))
+            .select(col("vec_id").as("query_id"), v.as("__qv"), col("__qc"))
+          val auditProbe = auditQ.select(col("query_id"), col("__qv"),
+            col("__qc"),
+            explode(graft.functions.GraftFunctions.topCentroids(
+              col("__qv"), cells.flatMap(_._2), cells.head._2.length,
+              nProbe, euclidean = false)).as("cell"))
+          val auditPairs = broadcast(auditProbe)
+            .join(cellMembers, Seq("cell"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .join(graft.plans.Reattach.adaptive(codes.select(
+              col("vec_id").as("neighbor_id"), col("codes").as("__nc"))),
+              Seq("neighbor_id"))
+            .join(graft.plans.Reattach.adaptive(
+              idx.assignments.select(col("neighbor_id"), col("tv"))),
+              Seq("neighbor_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              VectorOps.cosine(col("__qv"), col("tv")).as("__cos"),
+              graft.functions.GraftFunctions.sdcScore(
+                col("__qc"), col("__nc"), sdc, model.ksub).as("__sdc"))
+            .localCheckpoint() // bounded; consumed by the two heap passes
+          val exactTop = graft.plans.TopK.perKey(auditPairs,
+            Seq("query_id"), Seq(col("__cos").desc, col("neighbor_id").asc),
+            k).select("query_id", "neighbor_id")
+          val sdcTop = graft.plans.TopK.perKey(auditPairs,
+            Seq("query_id"), Seq(col("__sdc").desc, col("neighbor_id").asc),
+            k * refine).select("query_id", "neighbor_id")
+            .withColumn("__hit", lit(1L))
+          val r = exactTop
+            .join(sdcTop, Seq("query_id", "neighbor_id"), "left")
+            .agg(cnt.as("n"),
+              sum(coalesce(col("__hit"), lit(0L))).as("h")).head()
+          auditPairs.unpersist()
+          val recall =
+            if (r.getLong(0) == 0L) 1.0
+            else r.getLong(1).toDouble / r.getLong(0)
+          val ok = recall >= guardMinRecall
+          if (!ok) System.err.println(
+            f"[graft] knnGraph refine=$refine GUARD: audit recall@$k = " +
+              f"$recall%.3f < $guardMinRecall%.2f — top-k gaps sit below " +
+              "the PQ quantization resolution on this corpus (the " +
+              "isotropic/near-tie regime); falling back to the exact " +
+              "path. Raise refine/pqKsub or pass guardMinRecall=0 to " +
+              "force the pre-rank.")
+          ok
+        }
+        if (!guardOk) exactCandidates
+        else {
+          val probedC = probed.join(graft.plans.Reattach.adaptive(
+            codes.select(col("vec_id").as("query_id"),
+              col("codes").as("__qc"))), Seq("query_id"))
+          val membersC = cellMembers.join(graft.plans.Reattach.adaptive(
+            codes.select(col("vec_id").as("neighbor_id"),
+              col("codes").as("__nc"))), Seq("neighbor_id"))
+          val preranked = probedC.join(membersC, Seq("cell"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              graft.functions.GraftFunctions.sdcScore(
+                col("__qc"), col("__nc"), sdc, model.ksub).as("__sdc"))
+          graft.plans.TopK.perKey(preranked, Seq("query_id"),
+            Seq(col("__sdc").desc, col("neighbor_id").asc), k * refine)
+            .select("query_id", "neighbor_id")
+        }
       }
     // Re-attach joins take the size-adaptive build side (Reattach.adaptive,
     // the r9 protocol): BROADCAST while the vector table provably fits the
@@ -388,9 +465,11 @@ object Clustering {
     */
   def semanticClusters(corpus: DataFrame, kNeighbors: Int = 8,
       nCells: Int = 16, nProbe: Int = 8, minCos: Double = 0.5,
-      maxCell: Int = 0, refine: Int = 0): DataFrame =
+      maxCell: Int = 0, refine: Int = 0,
+      guardMinRecall: Double = 0.9): DataFrame =
     TextOps.dedupClusters(
-      knnGraph(corpus, kNeighbors, nCells, nProbe, maxCell, refine)
+      knnGraph(corpus, kNeighbors, nCells, nProbe, maxCell, refine,
+        guardMinRecall = guardMinRecall)
         .filter(col("cos") >= minCos)
         .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b")))
 

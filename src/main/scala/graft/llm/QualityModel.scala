@@ -25,8 +25,9 @@ import graft.query.Tables.cnt
   *    arithmetic step is then an exact IEEE operation identical across
   *    engines (libm `exp` differs by ulps between implementations, which
   *    compounds across GD iterations and breaks cross-engine hash
-  *    equality). Weights round to 8 dp after each update (HALF_UP — both
-  *    engines' ROUND), resetting the only remaining drift source
+  *    equality). Weights round to 8 dp after each update via the
+  *    integer-scaled floor form both engines state literally (see
+  *    [[round8]]), resetting the only remaining drift source
   *    (summation order) so it cannot compound across iterations.
   *  - Deterministic end to end: zero init (iteration 1's predictions are
   *    exactly 0.5), fixed lr, fixed iterations, no RNG.
@@ -40,8 +41,18 @@ object QualityModel {
   def hardSigmoid(z: Column): Column =
     least(greatest(lit(0.5) + z / lit(4.0), lit(0.0)), lit(1.0))
 
+  /** 8-dp weight rounding via an integer-scaled form BOTH engines compute
+    * with the same IEEE ops: floor(v·1e8 + 0.5)/1e8 — the DuckDB twin
+    * states it literally. The earlier BigDecimal HALF_UP form rounded the
+    * double's shortest DECIMAL representation while DuckDB's round()
+    * works in binary, so a weight landing within an ulp of an 8th-decimal
+    * .5 boundary could round differently and the divergence would
+    * compound across GD iterations into a hard oracle mismatch. (For
+    * negatives this is half-toward-+inf rather than half-away-from-zero —
+    * immaterial, since both engines now state the identical expression.)
+    */
   private def round8(v: Double): Double =
-    BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    math.floor(v * 1e8 + 0.5) / 1e8
 
   /** Fit (bias +: weights) over `xCols` against the 0/1 `yCol`. One
     * aggregate job per iteration plus one count.
@@ -90,7 +101,131 @@ object QualityModel {
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
   }
 
+  /** The PRODUCTION composition (L41 wired to the real quality stack):
+    * features are the signals the engine already computes — Gopher rule
+    * fractions ([[TextOps.qualityRules]]: dup-word fraction, mean word
+    * length, symbol fraction, each 6-dp-rounded in BOTH engines) and the
+    * corpus-trained bigram LM score ([[TextOps.lmScore]], 6-dp-rounded) —
+    * so "train the filter on labeled docs, score the crawl" runs over the
+    * same columns a production gate reads. The LM-score inner join drops
+    * docs with < 2 words in both engines identically. The compression
+    * ratio is deliberately NOT a twin feature: DuckDB cannot deflate
+    * (q_compress_ratio is law-oracled for the same reason); composing it
+    * is engine-side only, law-tested in QualityModelSpec.
+    *
+    * Scale shape: rules are map-only, the LM score is the L26 hash-keyed
+    * pipeline, and the join keys are doc_id — one corpus-keyed shuffle to
+    * assemble the frame, then GD's iters × one-scan loop.
+    */
+  def productionFeatures(docs: DataFrame): DataFrame = {
+    val rules = TextOps.qualityRules(docs)
+      .select(col("doc_id"), col("dup_word_frac").as("x1"),
+        (col("mean_word_len") / lit(10.0)).as("x2"),
+        col("symbol_frac").as("x3"))
+    val lm = TextOps.lmScore(docs)
+      .select(col("doc_id"), (col("lm_score") / lit(10.0)).as("x4"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(rules, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ---- L41+: the classifier over the PRODUCTION signals ------------------
+    // Composes q_quality_rules' fractions + q_lm_score's bigram LM score
+    // into one trained-filter flow; the oracle restates the features from
+    // their own twins' SQL and unrolls the same 3 GD iterations (floor-
+    // form 8-dp weight rounding, identical expression both engines).
+    Q("q_quality_model_full", Some(
+      s"""WITH w AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+        |      AS x1,
+        |    round(CAST(length(text) - (len(ws) - 1) AS DOUBLE) / len(ws), 6)
+        |      / 10.0 AS x2,
+        |    round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+        |      AS DOUBLE) / length(text), 6) AS x3,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM w),
+        |uni AS (SELECT unnest(ws) AS u FROM w),
+        |uc AS (SELECT u, count(*) AS cu FROM uni GROUP BY u),
+        |v AS (SELECT count(*) AS vs FROM uc),
+        |occ AS (
+        |  SELECT doc_id, p.u AS u, p.b AS b FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(ws) - 1),
+        |      i -> struct_pack(u := ws[i],
+        |                       b := array_to_string(ws[i:i+1], ' ')))) AS p
+        |    FROM w)),
+        |bc AS (SELECT b, count(*) AS cb FROM occ GROUP BY b),
+        |lm AS (
+        |  SELECT o.doc_id,
+        |    round(avg(ln((bc.cb + 1.0) / (uc.cu + v.vs))), 6) / 10.0 AS x4
+        |  FROM occ o JOIN uc ON o.u = uc.u JOIN bc ON o.b = bc.b
+        |  CROSS JOIN v GROUP BY o.doc_id),
+        |f AS (SELECT g.lang, g.x1, g.x2, g.x3, lm.x4, g.y
+        |      FROM g JOIN lm ON g.doc_id = lm.doc_id),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+        |gr1 AS (
+        |  SELECT sum(0.5 - y) AS gb, sum((0.5 - y) * x1) AS g1,
+        |    sum((0.5 - y) * x2) AS g2, sum((0.5 - y) * x3) AS g3,
+        |    sum((0.5 - y) * x4) AS g4 FROM f),
+        |w1 AS (
+        |  SELECT floor((0 - 0.5 * gb / n) * 1e8 + 0.5) / 1e8 AS cb,
+        |    floor((0 - 0.5 * g1 / n) * 1e8 + 0.5) / 1e8 AS c1,
+        |    floor((0 - 0.5 * g2 / n) * 1e8 + 0.5) / 1e8 AS c2,
+        |    floor((0 - 0.5 * g3 / n) * 1e8 + 0.5) / 1e8 AS c3,
+        |    floor((0 - 0.5 * g4 / n) * 1e8 + 0.5) / 1e8 AS c4 FROM gr1, s),
+        |p2 AS (
+        |  SELECT f.*, least(greatest(
+        |    0.5 + (cb + c1*x1 + c2*x2 + c3*x3 + c4*x4) / 4.0, 0.0), 1.0) AS p
+        |  FROM f, w1),
+        |gr2 AS (
+        |  SELECT sum(p - y) AS gb, sum((p - y) * x1) AS g1,
+        |    sum((p - y) * x2) AS g2, sum((p - y) * x3) AS g3,
+        |    sum((p - y) * x4) AS g4 FROM p2),
+        |w2 AS (
+        |  SELECT floor((cb - 0.5 * gb / n) * 1e8 + 0.5) / 1e8 AS cb,
+        |    floor((c1 - 0.5 * g1 / n) * 1e8 + 0.5) / 1e8 AS c1,
+        |    floor((c2 - 0.5 * g2 / n) * 1e8 + 0.5) / 1e8 AS c2,
+        |    floor((c3 - 0.5 * g3 / n) * 1e8 + 0.5) / 1e8 AS c3,
+        |    floor((c4 - 0.5 * g4 / n) * 1e8 + 0.5) / 1e8 AS c4
+        |  FROM w1, gr2, s),
+        |p3 AS (
+        |  SELECT f.*, least(greatest(
+        |    0.5 + (cb + c1*x1 + c2*x2 + c3*x3 + c4*x4) / 4.0, 0.0), 1.0) AS p
+        |  FROM f, w2),
+        |gr3 AS (
+        |  SELECT sum(p - y) AS gb, sum((p - y) * x1) AS g1,
+        |    sum((p - y) * x2) AS g2, sum((p - y) * x3) AS g3,
+        |    sum((p - y) * x4) AS g4 FROM p3),
+        |w3 AS (
+        |  SELECT floor((cb - 0.5 * gb / n) * 1e8 + 0.5) / 1e8 AS cb,
+        |    floor((c1 - 0.5 * g1 / n) * 1e8 + 0.5) / 1e8 AS c1,
+        |    floor((c2 - 0.5 * g2 / n) * 1e8 + 0.5) / 1e8 AS c2,
+        |    floor((c3 - 0.5 * g3 / n) * 1e8 + 0.5) / 1e8 AS c3,
+        |    floor((c4 - 0.5 * g4 / n) * 1e8 + 0.5) / 1e8 AS c4
+        |  FROM w2, gr3, s),
+        |scored AS (
+        |  SELECT f.lang, least(greatest(
+        |    0.5 + (cb + c1*x1 + c2*x2 + c3*x3 + c4*x4) / 4.0, 0.0), 1.0) AS p
+        |  FROM f, w3)
+        |SELECT lang, count(*) AS n_docs, round(avg(p), 6) AS mean_p
+        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, d) => {
+        val feats = productionFeatures(Tables(s, d, "documents"))
+        val w = logisticFitHard(feats, Seq("x1", "x2", "x3", "x4"), "y",
+          iters = 3, lr = 0.5)
+        feats.select(col("lang"),
+            scoreHard(w, Seq("x1", "x2", "x3", "x4")).as("p"))
+          .groupBy("lang")
+          .agg(cnt.as("n_docs"), round(avg("p"), 6).as("mean_p"))
+          .orderBy("lang")
+      }),
 
     // ---- L41: trained quality classifier, full DuckDB twin -----------------
     // The oracle UNROLLS the three GD iterations as CTEs: iteration 1's
@@ -113,10 +248,10 @@ object QualityModel {
         |  SELECT sum(0.5 - y) AS gb, sum((0.5 - y) * x1) AS g1,
         |    sum((0.5 - y) * x2) AS g2, sum((0.5 - y) * x3) AS g3 FROM f),
         |w1 AS (
-        |  SELECT round(0 - 0.5 * gb / n, 8) AS cb,
-        |    round(0 - 0.5 * g1 / n, 8) AS c1,
-        |    round(0 - 0.5 * g2 / n, 8) AS c2,
-        |    round(0 - 0.5 * g3 / n, 8) AS c3 FROM gr1, s),
+        |  SELECT floor((0 - 0.5 * gb / n) * 1e8 + 0.5) / 1e8 AS cb,
+        |    floor((0 - 0.5 * g1 / n) * 1e8 + 0.5) / 1e8 AS c1,
+        |    floor((0 - 0.5 * g2 / n) * 1e8 + 0.5) / 1e8 AS c2,
+        |    floor((0 - 0.5 * g3 / n) * 1e8 + 0.5) / 1e8 AS c3 FROM gr1, s),
         |p2 AS (
         |  SELECT f.*, least(greatest(
         |    0.5 + (cb + c1*x1 + c2*x2 + c3*x3) / 4.0, 0.0), 1.0) AS p
@@ -125,10 +260,10 @@ object QualityModel {
         |  SELECT sum(p - y) AS gb, sum((p - y) * x1) AS g1,
         |    sum((p - y) * x2) AS g2, sum((p - y) * x3) AS g3 FROM p2),
         |w2 AS (
-        |  SELECT round(cb - 0.5 * gb / n, 8) AS cb,
-        |    round(c1 - 0.5 * g1 / n, 8) AS c1,
-        |    round(c2 - 0.5 * g2 / n, 8) AS c2,
-        |    round(c3 - 0.5 * g3 / n, 8) AS c3 FROM w1, gr2, s),
+        |  SELECT floor((cb - 0.5 * gb / n) * 1e8 + 0.5) / 1e8 AS cb,
+        |    floor((c1 - 0.5 * g1 / n) * 1e8 + 0.5) / 1e8 AS c1,
+        |    floor((c2 - 0.5 * g2 / n) * 1e8 + 0.5) / 1e8 AS c2,
+        |    floor((c3 - 0.5 * g3 / n) * 1e8 + 0.5) / 1e8 AS c3 FROM w1, gr2, s),
         |p3 AS (
         |  SELECT f.*, least(greatest(
         |    0.5 + (cb + c1*x1 + c2*x2 + c3*x3) / 4.0, 0.0), 1.0) AS p
@@ -137,10 +272,10 @@ object QualityModel {
         |  SELECT sum(p - y) AS gb, sum((p - y) * x1) AS g1,
         |    sum((p - y) * x2) AS g2, sum((p - y) * x3) AS g3 FROM p3),
         |w3 AS (
-        |  SELECT round(cb - 0.5 * gb / n, 8) AS cb,
-        |    round(c1 - 0.5 * g1 / n, 8) AS c1,
-        |    round(c2 - 0.5 * g2 / n, 8) AS c2,
-        |    round(c3 - 0.5 * g3 / n, 8) AS c3 FROM w2, gr3, s),
+        |  SELECT floor((cb - 0.5 * gb / n) * 1e8 + 0.5) / 1e8 AS cb,
+        |    floor((c1 - 0.5 * g1 / n) * 1e8 + 0.5) / 1e8 AS c1,
+        |    floor((c2 - 0.5 * g2 / n) * 1e8 + 0.5) / 1e8 AS c2,
+        |    floor((c3 - 0.5 * g3 / n) * 1e8 + 0.5) / 1e8 AS c3 FROM w2, gr3, s),
         |scored AS (
         |  SELECT f.lang, least(greatest(
         |    0.5 + (cb + c1*x1 + c2*x2 + c3*x3) / 4.0, 0.0), 1.0) AS p

@@ -238,6 +238,82 @@ object Selection {
           sum("doc_id").as("id_sum"))
         .orderBy("source")),
 
+    // ---- L∅+: training prep EXTENDED through the selection layer ----------
+    // q_pipeline_training ends at shard accounting; this sibling proves the
+    // r9 selection layer COMPOSES with that stack: quality gate → exact
+    // dedup → decontamination → weighted mixing → BLOCKLIST (one
+    // Aho–Corasick pass, map-only) → PER-SOURCE TOKEN BUDGETS (the
+    // two-phase prefix sum) → per-source accounting. Scale shape: the
+    // corpus crosses the wire once in the dedup shuffle; every stage after
+    // it is map-only until the selection's 32-byte-row range shuffle.
+    Q("q_pipeline_selection", Some(
+      s"""WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w IN (${TextOps.StopwordsSql}))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM scored WHERE n_words >= 30 AND stop_ratio > 0.01),
+        |dd AS (SELECT text, min(doc_id) AS keep_id FROM kept GROUP BY text),
+        |ded AS (SELECT k.* FROM kept k JOIN dd ON k.doc_id = dd.keep_id),
+        |dec AS (SELECT * FROM ded WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents e
+        |  WHERE e.doc_id % 10 = 0 AND e.text = ded.text)),
+        |mix AS (SELECT * FROM dec WHERE (doc_id % 1000003) * 31 % 100 <
+        |  CASE WHEN source = 'src0' THEN 100
+        |       WHEN source IN ('src1', 'src2', 'src3') THEN 50
+        |       ELSE 20 END),
+        |blk AS (
+        |  SELECT * FROM mix WHERE len(list_filter(
+        |    [${sqlList(Blocklist)}], p -> contains(text, p))) = 0),
+        |sc AS (
+        |  SELECT doc_id, source, CAST(n_words AS BIGINT) AS toks,
+        |    stop_ratio AS score,
+        |    CASE source WHEN 'src0' THEN 600 WHEN 'src2' THEN 300
+        |      WHEN 'src5' THEN 400 END AS budget
+        |  FROM blk),
+        |cum AS (
+        |  SELECT *, sum(toks) OVER (PARTITION BY source
+        |    ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sc WHERE budget IS NOT NULL)
+        |SELECT source, count(*) AS n_sel,
+        |  CAST(sum(toks) AS BIGINT) AS tok_sum,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM cum WHERE cum <= budget
+        |GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val w = TextOps.words(col("text"))
+        val docs = Tables(s, d, "documents")
+        val kept = docs
+          .withColumn("n_words", size(w).cast("long"))
+          .withColumn("stop_ratio",
+            size(filter(w, x => x.isin(TextOps.STOPWORDS: _*)))
+              .cast("double") / size(w))
+          .filter(col("n_words") >= 30 && col("stop_ratio") > 0.01)
+        val keeps = TextOps.exactDedup(kept, col("text"), col("doc_id"))
+          .select(col("keep_id").as("doc_id"))
+        val deduped = kept.join(keeps, "doc_id")
+        val decon = TextOps.decontaminate(deduped,
+          docs.filter(col("doc_id") % 10 === 0), "text")
+        val mixed = decon
+          .withColumn("rate",
+            when(col("source") === "src0", 100)
+              .when(col("source").isin("src1", "src2", "src3"), 50)
+              .otherwise(20))
+          .filter((col("doc_id") % 1000003L) * 31L % 100L < col("rate"))
+        val blocked = mixed.filter(size(
+          graft.functions.MatchPhrases.matchPhrases(col("text"),
+            Blocklist)) === 0)
+        budgetSelectPerSource(blocked.select("doc_id", "source", "text"),
+          Map("src0" -> 600L, "src2" -> 300L, "src5" -> 400L))
+          .groupBy("source")
+          .agg(cnt.as("n_sel"), sum("toks").as("tok_sum"),
+            sum("doc_id").as("id_sum"))
+          .orderBy("source")
+      }),
+
     // ---- L40: blocklist filter (Aho–Corasick multi-phrase scan) -----------
     // Per-phrase hit counts + an id checksum of the flagged docs; the
     // oracle's list_filter-over-literal-list is the contains-per-phrase

@@ -140,12 +140,53 @@ object TableStore {
   private def claimGeneration(f: FileSystem, dir: String, n: Int,
       staleMs: Long): Boolean = {
     val p = new Path(dir, s"g$n.claim")
-    try {
-      val st = f.getFileStatus(p)
-      if (System.currentTimeMillis - st.getModificationTime > staleMs)
-        f.delete(p, false)
-    } catch { case _: java.io.FileNotFoundException => () }
+    expireStaleClaim(f, p, staleMs)
     atomicCreate(f, p)
+  }
+
+  /** Expire a stale claim with ONE-DELETER arbitration, closing the
+    * check-then-delete TOCTOU of the naive form: two contenders that both
+    * observed the same expired claim could interleave so the second's
+    * delete removed the first's freshly created claim — BOTH would then
+    * hold it, reopening exactly the lost-update window claims exist to
+    * close. Protocol, built only on the create-exclusive + delete
+    * primitives the store already assumes:
+    *
+    *  1. contenders that saw the stale incarnation (modtime M) race a
+    *     create-exclusive marker keyed by M (`<claim>.exp<M>`) — exactly
+    *     one wins the right to delete this incarnation;
+    *  2. the winner re-checks the claim still carries modtime M before
+    *     deleting (a fresh claim re-created meanwhile is never touched),
+    *     then releases the marker; losers skip straight to their
+    *     `atomicCreate`, which correctly fails against whoever claimed
+    *     first.
+    *
+    * A crashed winner leaves its marker; the marker itself expires by age
+    * (step 0), and duplicate winners after THAT are still modtime-gated in
+    * step 2, so the residual window needs a crashed winner + marker expiry
+    * + two new contenders landing inside one stat-to-delete microsecond —
+    * against the naive form's any-two-contenders. Perfect closure needs a
+    * conditional primitive (the S3 `If-None-Match` adjudication in the
+    * object-store note above).
+    */
+  private def expireStaleClaim(f: FileSystem, p: Path, staleMs: Long): Unit = {
+    val m = try {
+      val st = f.getFileStatus(p)
+      if (System.currentTimeMillis - st.getModificationTime <= staleMs) return
+      st.getModificationTime
+    } catch { case _: java.io.FileNotFoundException => return }
+    val marker = new Path(p.getParent, s"${p.getName}.exp$m")
+    try {
+      val mst = f.getFileStatus(marker)
+      if (System.currentTimeMillis - mst.getModificationTime > staleMs)
+        f.delete(marker, false) // crashed winner's debris
+    } catch { case _: java.io.FileNotFoundException => () }
+    if (!atomicCreate(f, marker)) return // another contender owns the delete
+    try {
+      val cur = try Some(f.getFileStatus(p).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      if (cur.contains(m)) f.delete(p, false)
+    } finally f.delete(marker, false)
   }
 
   private def releaseClaim(f: FileSystem, dir: String, n: Int): Unit =
@@ -260,11 +301,7 @@ object TableStore {
       dates.distinct.sorted.foreach { d =>
         val p = new Path(claimsDir,
           s"date=${java.net.URLEncoder.encode(d, "UTF-8")}.claim")
-        try {
-          val st = f.getFileStatus(p)
-          if (System.currentTimeMillis - st.getModificationTime > staleMs)
-            f.delete(p, false)
-        } catch { case _: java.io.FileNotFoundException => () }
+        expireStaleClaim(f, p, staleMs) // one-deleter arbitration, no TOCTOU
         if (atomicCreate(f, p)) acquired += p
         else throw new ConcurrentWriteException(
           s"another writer holds the rewrite claim for date=$d on $dir — " +

@@ -134,9 +134,12 @@ class FanoutSortLintSpec extends AnyFunSuite with SparkFixture {
       val pipelines: Seq[(String, () => DataFrame)] = Seq(
         "knnGraph" -> (() =>
           graft.llm.Clustering.knnGraph(emb, k = 5, nCells = 16, nProbe = 4)),
+        // guardMinRecall=0: the lint must see the PRE-RANK plan — the
+        // default self-guard fires on this isotropic fixture and would
+        // fall back to the (already-linted) exact pipeline
         "knnGraph(refine)" -> (() =>
           graft.llm.Clustering.knnGraph(emb, k = 5, nCells = 16, nProbe = 4,
-            refine = 3)),
+            refine = 3, guardMinRecall = 0.0)),
         "substringDedup" -> (() =>
           graft.llm.SubstringDedup.clean(docs, 8)))
       val bad = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -297,6 +297,38 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(graph == exact)
   }
 
+  test("knnGraph refine self-guard: fires on an isotropic near-tie corpus " +
+    "(output falls back to the exact path); forcing the pre-rank past the " +
+    "guard provably changes neighbors") {
+    // deterministic pseudo-random unit-ish vectors: top-k cosine gaps sit
+    // at the same scale as coarse PQ quantization error (ksub=4, dsub=1),
+    // the regime where the SDC pre-rank cannot separate true neighbors
+    val rows = (0 until 256).map { i =>
+      val vec = (0 until 8).map { j =>
+        val h = scala.util.hashing.MurmurHash3.productHash((i, j))
+        ((h % 1000) / 1000.0f)
+      }
+      (i.toLong, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def edges(g: org.apache.spark.sql.DataFrame) =
+      g.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = edges(Clustering.knnGraph(df, k = 5, nCells = 4, nProbe = 4))
+    // guarded refine: the audit recall is sub-threshold here, so the call
+    // must WARN and fall back — the graph equals the exact path's
+    val guarded = edges(Clustering.knnGraph(df, k = 5, nCells = 4,
+      nProbe = 4, refine = 2, pqKsub = 4))
+    assert(guarded === exact,
+      "guard did not fall back to the exact path on the near-tie corpus")
+    // the guard is not vacuous: forcing the pre-rank (guardMinRecall=0)
+    // on the same corpus yields a DIFFERENT neighbor set — exactly the
+    // silent divergence the guard exists to catch
+    val forced = edges(Clustering.knnGraph(df, k = 5, nCells = 4,
+      nProbe = 4, refine = 2, pqKsub = 4, guardMinRecall = 0.0))
+    assert(forced !== exact,
+      "fixture does not exercise the quantization-loss regime")
+  }
+
   test("SdcScore reads the (j,a,b) table exactly; the table is symmetric") {
     // m=2, dsub=2, ksub=2: subspace 0 centroids (1,0),(0,1); subspace 1
     // centroids (2,0),(0,3)

@@ -60,6 +60,31 @@ class QualityModelSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("compression ratio composes as a trained-filter feature: planted " +
+    "repetitive spam separates from high-entropy text (the engine-only " +
+    "member of the production stack — DuckDB cannot deflate)") {
+    val docs = (0 until 200).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, Seq.fill(150)("spam").mkString(" "), 0.0)
+      else {
+        val words = (0 until 150).map(j =>
+          ((i * 131L + j * 31L) * 2654435761L % 99999983L).toString)
+        (i.toLong, words.mkString(" "), 1.0)
+      }
+    }.toDF("doc_id", "text", "y")
+    val feats = Compress.compressionRatio(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .select(col("ratio").as("x1"), col("y"))
+    val w = QualityModel.logisticFitHard(feats, Seq("x1"), "y",
+      iters = 30, lr = 2.0)
+    val m = feats.select(col("y"),
+        QualityModel.scoreHard(w, Seq("x1")).as("p"))
+      .groupBy("y").agg(avg("p").as("mp"))
+      .as[(Double, Double)].collect().toMap
+    assert(m(1.0) - m(0.0) > 0.2,
+      s"compression feature failed to separate planted classes: $m")
+  }
+
   test("hard sigmoid clamps exactly at the rails") {
     val got = Seq(-10.0, -2.0, 0.0, 2.0, 10.0).toDF("z")
       .select(QualityModel.hardSigmoid(col("z")))

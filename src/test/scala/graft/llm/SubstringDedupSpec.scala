@@ -107,4 +107,25 @@ class SubstringDedupSpec extends AnyFunSuite with SparkFixture {
       .filter(not(col("a") === col("b")))
     assert(bad.isEmpty, bad.collect().mkString(", "))
   }
+
+  test("DropIndices throws on an unsorted index array instead of silently " +
+    "dropping the wrong elements (it is the public graft_drop_indices)") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq((0L, "a b c d", Seq(3, 1))).toDF("doc_id", "text", "cutpos")
+    val e = intercept[Exception] {
+      rows.select(graft.functions.DropIndices.dropIndices(
+        split(col("text"), " "), col("cutpos"))).collect()
+    }
+    // the root cause surfaces through Spark's task-failure wrapping
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      String.valueOf(c.getMessage).contains("sorted ascending")),
+      s"unexpected failure: $e")
+    // sort_array at the call site restores the documented contract
+    val ok = rows.select(graft.functions.DropIndices.dropIndices(
+        split(col("text"), " "), sort_array(col("cutpos"))).as("r"))
+      .head().getSeq[String](0)
+    assert(ok == Seq("a", "c"))
+  }
 }

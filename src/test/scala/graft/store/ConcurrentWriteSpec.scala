@@ -277,6 +277,46 @@ class ConcurrentWriteSpec extends AnyFunSuite with SparkFixture {
     assert(!f.exists(claim), "the winning merge must release the claim")
   }
 
+  test("claim expiry is one-deleter arbitrated: a contender that lost the " +
+    "expiry marker race never deletes the claim (the check-then-delete " +
+    "TOCTOU is closed)") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-08-02", 0 until 5), dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(dir,
+      "_claims/date=2024-08-02.claim")
+    f.mkdirs(claim.getParent)
+    f.create(claim, false).close()
+    f.setTimes(claim, System.currentTimeMillis - 31L * 60 * 1000, -1)
+    val m = f.getFileStatus(claim).getModificationTime
+    // another contender already won the delete arbitration for this stale
+    // incarnation (fresh marker): this writer must NOT delete — in the
+    // naive check-then-delete protocol it would remove the winner's
+    // freshly re-created claim and BOTH would hold the date
+    val marker = new org.apache.hadoop.fs.Path(dir,
+      s"_claims/date=2024-08-02.claim.exp$m")
+    f.create(marker, false).close()
+    intercept[TableStore.ConcurrentWriteException] {
+      TableStore.merge(spark,
+        mkBatch("2024-08-02", 0 until 2).withColumn("user", lit("late")),
+        dir, Seq("id"))
+    }
+    assert(f.exists(claim),
+      "the losing contender deleted a claim it did not arbitrate")
+    f.delete(marker, false)
+    // with the marker gone the expiry proceeds normally and the merge wins
+    TableStore.merge(spark,
+      mkBatch("2024-08-02", 0 until 2).withColumn("user", lit("late")),
+      dir, Seq("id"))
+    assert(TableStore.read(spark, dir)
+      .filter($"user" === "late").count() === 2)
+    // the winner released both the claim and its arbitration marker
+    val leftover = f.listStatus(claim.getParent)
+      .map(_.getPath.getName).filter(_.contains(".exp"))
+    assert(leftover.isEmpty, s"arbitration debris left: ${leftover.toSeq}")
+  }
+
   test("a stale expectedGen fails the CAS before any data is written") {
     val dir = tmpDir() + "/t"
     val df = Seq((1, "a")).toDF("k", "v")
