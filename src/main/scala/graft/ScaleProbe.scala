@@ -776,6 +776,28 @@ object ScaleProbe {
         d.unpersist()
       }
 
+      println("\n== quality-model FULL (rules + LM-score features), corpus x10/x100 ==")
+      // the production composition: featureFrame = map-only rules + the
+      // L26 hash-keyed bigram LM pipeline, assembled by one doc_id join;
+      // cost must track the corpus (the LM count tables are vocab-sized,
+      // not corpus-sized — replication keeps vocab ~fixed)
+      for (copies <- Seq(1, 10, 100)) {
+        val d = replicateDocs(graft.query.Tables(spark, sfDir, "documents")
+          .select("doc_id", "text", "lang"), copies)
+          .repartition(32).localCheckpoint()
+        val n = d.count()
+        val w = time(f"qualityModelFull i=3  n=$n%-7d") {
+          val feats = graft.llm.QualityModel.productionFeatures(d)
+            .localCheckpoint() // one assembly pass feeds 3 GD scans + score
+          val ws = graft.llm.QualityModel.logisticFitHard(
+            feats, Seq("x1", "x2", "x3", "x4"), "y", iters = 3, lr = 0.5)
+          feats.unpersist()
+          ws
+        }
+        println(s"    w=${w.map(x => f"$x%.6f").mkString(",")}")
+        d.unpersist()
+      }
+
       println("\n== substring-dedup fixpoint: rounds to quiescence, corpus x10 ==")
       // replicated corpora are the worst case for ROUND 1 (nearly every
       // gram repeats); the probe pins that quiescence arrives in few

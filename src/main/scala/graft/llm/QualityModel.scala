@@ -217,7 +217,13 @@ object QualityModel {
         |SELECT lang, count(*) AS n_docs, round(avg(p), 6) AS mean_p
         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin),
       (s, d) => {
+        // one assembly pass (rules + LM pipeline + join) feeds the count,
+        // the 3 GD scans, and the scoring pass — without the checkpoint
+        // each consumer would re-run the whole LM pipeline (measured 4.2
+        // → ~2 s at sf0.1). The frame is 5 doubles + lang per doc; blocks
+        // are ContextCleaner-reclaimed (the bench GCs between queries)
         val feats = productionFeatures(Tables(s, d, "documents"))
+          .localCheckpoint()
         val w = logisticFitHard(feats, Seq("x1", "x2", "x3", "x4"), "y",
           iters = 3, lr = 0.5)
         feats.select(col("lang"),
