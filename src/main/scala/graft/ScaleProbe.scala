@@ -321,7 +321,34 @@ object ScaleProbe {
         graft.llm.PhraseIndex.phraseSearch(spark, dir, d, "key agg row")
           .count()
       }
-      println(s"    hits=$hits")
+      // r10 maintenance triple: a FIXED-size append tick must cost
+      // O(batch) regardless of index size (hourly-cadence claim); the
+      // search reads base ∪ live appends; the generation fold restores
+      // the 2-leg read with identical results
+      val batch = d.limit(500)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          // every appended doc matches, so +append/folded counts PROVE the
+          // appends are actually read (hits grow by exactly the batch)
+          concat(lit("key agg row "), col("text")).as("text"))
+        .localCheckpoint()
+      time(s"phrase append tick=500 idx=$n") {
+        graft.llm.PhraseIndex.phraseIndexAppend(spark, dir, 1L, batch)
+      }
+      val corpus2 = d.unionByName(batch)
+      val hits2 = time(s"phrase search +append n=$n") {
+        graft.llm.PhraseIndex.phraseSearch(spark, dir, corpus2,
+          "key agg row").count()
+      }
+      time(s"phrase compact        idx=$n") {
+        graft.llm.PhraseIndex.compactPhraseIndex(spark, dir)
+      }
+      val hits3 = time(s"phrase search folded  n=$n") {
+        graft.llm.PhraseIndex.phraseSearch(spark, dir, corpus2,
+          "key agg row").count()
+      }
+      println(s"    hits=$hits +append=$hits2 folded=$hits3" +
+        (if (hits2 == hits3) "" else "  MISMATCH"))
+      batch.unpersist()
       d.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }

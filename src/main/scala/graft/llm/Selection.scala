@@ -154,7 +154,22 @@ object Selection {
   def budgetSelectPerSource(docs: DataFrame, budgets: Map[String, Long],
       parts: Int = 32, release: Boolean = true): DataFrame = {
     require(budgets.nonEmpty, "budgetSelectPerSource: empty budget map")
-    budgetedPrefix(scoredOf(docs)
+    budgetSelectPerSourceScored(scoredOf(docs), budgets, parts, release)
+  }
+
+  /** [[budgetSelectPerSource]] over an ALREADY-SCORED frame
+    * (doc_id, source, toks, score) — the composition entry point: a
+    * pipeline that computed token counts and quality scores upstream
+    * (gate/mix stages carry them anyway) must not pay a second tokenize
+    * scan of the corpus just to select; at 100 TB the re-tokenize IS a
+    * second full read of the text.
+    */
+  def budgetSelectPerSourceScored(scored: DataFrame,
+      budgets: Map[String, Long], parts: Int = 32,
+      release: Boolean = true): DataFrame = {
+    require(budgets.nonEmpty, "budgetSelectPerSource: empty budget map")
+    budgetedPrefix(scored
+      .select("doc_id", "source", "toks", "score")
       .withColumn("budget", element_at(typedLit(budgets), col("source")))
       .filter(col("budget").isNotNull) // unbudgeted sources contribute 0
       .withColumn("strat", col("source")), parts, release)
@@ -306,7 +321,11 @@ object Selection {
         val blocked = mixed.filter(size(
           graft.functions.MatchPhrases.matchPhrases(col("text"),
             Blocklist)) === 0)
-        budgetSelectPerSource(blocked.select("doc_id", "source", "text"),
+        // the gate already computed n_words/stop_ratio — select over the
+        // scored frame so the corpus text is tokenized exactly once
+        budgetSelectPerSourceScored(
+          blocked.select(col("doc_id"), col("source"),
+            col("n_words").as("toks"), col("stop_ratio").as("score")),
           Map("src0" -> 600L, "src2" -> 300L, "src5" -> 400L))
           .groupBy("source")
           .agg(cnt.as("n_sel"), sum("toks").as("tok_sum"),
