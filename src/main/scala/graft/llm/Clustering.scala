@@ -337,7 +337,13 @@ object Clustering {
         val dim = corpus.select(size(v)).limit(1).head.getInt(0)
         val mUse = (math.min(pqM, dim) to 1 by -1).find(dim % _ == 0).get
         val model = Pq.train(corpus, m = mUse, ksub = pqKsub)
-        val codes = Pq.encode(corpus, model)
+        // one encode pass feeds the guard's audit joins AND both pre-rank
+        // re-attach legs (uncached, the corpus-wide encode would re-run
+        // up to 5x per call); the checkpoint also gives Reattach.adaptive
+        // the REAL cached size instead of a projection heuristic. Blocks
+        // are ContextCleaner-reclaimed once the returned graph is GC'd
+        // (the kmeansAssign precedent).
+        val codes = Pq.encode(corpus, model).localCheckpoint()
         val sdc = Pq.sdcTables(model)
         // SELF-GUARD (refine's isotropic-recall caveat, made operational):
         // quantized pre-rank scores can't separate neighbors whose true

@@ -39,12 +39,53 @@ object PhraseIndex {
     * of the postings.
     */
   def buildPhraseIndex(docs: DataFrame, dir: String, n: Int = 3,
-      nBuckets: Int = 64): Unit =
+      nBuckets: Int = 64): Unit = {
     docs.select(col("doc_id"),
         explode(array_distinct(TextOps.ngramHashes(col("text"), n)))
           .as("gh"))
       .withColumn("bucket", pmod(col("gh"), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/grams")
+    writeMeta(docs.sparkSession, dir, n, nBuckets)
+  }
+
+  /** The index's (n, nBuckets) sidecar. Appenders, searchers and the
+    * stream maintainer each take their own n/nBuckets arguments, and a
+    * silent mismatch with the built index is a recall hole, not an error
+    * (postings land in mod-nBuckets′ buckets the searcher's mod-nBuckets
+    * partition filter prunes away) — so the build records its parameters
+    * and every later entry point validates against them. Absent sidecar
+    * (pre-existing index) skips the check.
+    */
+  private def writeMeta(spark: SparkSession, dir: String, n: Int,
+      nBuckets: Int): Unit = {
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(dir, "_meta"), true)
+    try out.write(s"$n $nBuckets".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def checkMeta(spark: SparkSession, dir: String, n: Int,
+      nBuckets: Int): Unit = {
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir, "_meta")
+    if (!f.exists(p)) return
+    val in = f.open(p)
+    val txt = try {
+      val b = new Array[Byte](64)
+      val k = in.read(b)
+      new String(b, 0, math.max(k, 0), "UTF-8").trim
+    } finally in.close()
+    txt.split(" ") match {
+      case Array(nS, bS) if nS.toInt != n || bS.toInt != nBuckets =>
+        throw new IllegalArgumentException(
+          s"phrase index at $dir was built with (n=$nS, nBuckets=$bS); " +
+            s"caller passed (n=$n, nBuckets=$nBuckets) — a mismatch " +
+            "silently drops matches (postings bucketed mod one modulus, " +
+            "pruned mod another)")
+      case _ => ()
+    }
+  }
 
   /** One batch's postings rows: (doc_id, gh, bucket) — the shared
     * projection of [[buildPhraseIndex]] and [[phraseIndexAppend]].
@@ -69,9 +110,16 @@ object PhraseIndex {
     * hourly serve loop (preprocess.py:277–280): its flagship substring
     * analytic (preprocess.py:221–237) stays queryable as hours land,
     * without ever rebuilding the index.
+    *
+    * Precondition (the whole stored-index family's): [[buildPhraseIndex]]
+    * ran first — the readers and the compactor resolve the flat base, so
+    * an appends-only dir is not a valid index. n/nBuckets must match the
+    * build's; the `_meta` sidecar enforces this (a mismatch is a silent
+    * recall hole otherwise).
     */
   def phraseIndexAppend(spark: SparkSession, dir: String, batchId: Long,
       docs: DataFrame, n: Int = 3, nBuckets: Int = 64): Unit = {
+    checkMeta(spark, dir, n, nBuckets)
     if (docs.isEmpty) return // a file-less batch dir poisons later reads
     postingsOf(docs, n, nBuckets)
       .write.mode("overwrite").partitionBy("bucket")
@@ -146,6 +194,7 @@ object PhraseIndex {
     */
   def phraseSearch(spark: SparkSession, dir: String, docs: DataFrame,
       phrase: String, n: Int = 3, nBuckets: Int = 64): DataFrame = {
+    checkMeta(spark, dir, n, nBuckets)
     val verify = concat(lit(" "), col("text"), lit(" "))
       .contains(s" $phrase ")
     val grams = phraseGramHashes(spark, phrase, n)

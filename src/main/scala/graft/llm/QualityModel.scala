@@ -164,7 +164,8 @@ object QualityModel {
         |bc AS (SELECT b, count(*) AS cb FROM occ GROUP BY b),
         |lm AS (
         |  SELECT o.doc_id,
-        |    round(avg(ln((bc.cb + 1.0) / (uc.cu + v.vs))), 6) / 10.0 AS x4
+        |    floor(avg(ln((bc.cb + 1.0) / (uc.cu + v.vs))) * 1e6 + 0.5)
+        |      / 1e6 / 10.0 AS x4
         |  FROM occ o JOIN uc ON o.u = uc.u JOIN bc ON o.b = bc.b
         |  CROSS JOIN v GROUP BY o.doc_id),
         |f AS (SELECT g.lang, g.x1, g.x2, g.x3, lm.x4, g.y

@@ -690,7 +690,14 @@ object TextOps {
         log((col("__cb") + lit(1.0)) / (col("__cu") + lit(vocab.toDouble)))
           .as("__lp"))
       .groupBy("doc_id")
-      .agg(cnt.as("n_bigrams"), round(avg("__lp"), 6).as("lm_score"))
+      // 6-dp rounding via the integer-scaled floor form both engines state
+      // literally (the QualityModel.round8 adjudication): Spark's round()
+      // is decimal HALF_UP while DuckDB's rounds the binary double, so a
+      // mean landing within an ulp of a 6th-decimal .5 boundary could
+      // round differently — and q_quality_model_full feeds this value into
+      // GD, where one flipped feature diverges every weight
+      .agg(cnt.as("n_bigrams"),
+        (floor(avg("__lp") * lit(1e6) + lit(0.5)) / lit(1e6)).as("lm_score"))
   }
 
   /** L8+: deterministic concat-and-split sequence packing — the step that
@@ -1502,7 +1509,8 @@ object TextOps {
         |  SELECT o.doc_id, ln((bc.cb + 1.0) / (uc.cu + v.vs)) AS lp
         |  FROM occ o JOIN uc ON o.u = uc.u JOIN bc ON o.b = bc.b
         |  CROSS JOIN v)
-        |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS lm_score
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(avg(lp) * 1e6 + 0.5) / 1e6 AS lm_score
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, d) => lmScore(Tables(s, d, "documents")).orderBy("doc_id")),
 

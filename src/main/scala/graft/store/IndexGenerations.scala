@@ -76,8 +76,17 @@ object IndexGenerations {
     }
   }
 
-  /** Append batch ids + paths under `dir/<sub>` (e.g. "appends"),
-    * ascending by id. Missing dir = no batches.
+  /** COMMITTED append batch ids + paths under `dir/<sub>` (e.g.
+    * "appends"), ascending by id. Missing dir = no batches. A batch dir
+    * without the writer's job-level `_SUCCESS` marker is invisible: it is
+    * either mid-write (a reader unioning it would fail schema inference on
+    * an empty dir, or silently see a PARTIAL batch between task commits)
+    * or a crashed writer's debris that the at-least-once replay will
+    * overwrite — in both cases correctness says skip it. The appenders
+    * write through the default committer, which emits `_SUCCESS` at job
+    * commit, so visibility is atomic at that marker (the same commit-point
+    * discipline as the generation dirs). The compactor reads batches
+    * through this listing too, so a mid-write batch is never folded.
     */
   def batches(spark: SparkSession, dir: String,
       sub: String): Seq[(Long, String)] = {
@@ -86,7 +95,8 @@ object IndexGenerations {
     if (!f.exists(p)) Nil
     else f.listStatus(p).toSeq.collect {
       case s if s.isDirectory => s.getPath.getName match {
-        case BatchDir(id) => Some(id.toLong -> s.getPath.toString)
+        case BatchDir(id) if f.exists(new Path(s.getPath, "_SUCCESS")) =>
+          Some(id.toLong -> s.getPath.toString)
         case _ => None
       }
     }.flatten.sortBy(_._1)

@@ -174,7 +174,19 @@ object TableStore {
       val st = f.getFileStatus(p)
       if (System.currentTimeMillis - st.getModificationTime <= staleMs) return
       st.getModificationTime
-    } catch { case _: java.io.FileNotFoundException => return }
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        // no claim to expire — sweep any orphaned arbitration markers a
+        // winner that crashed between its delete and its finally left
+        // behind (keyed by a modtime that will never recur, so nothing
+        // else ever deletes them)
+        try f.listStatus(p.getParent).foreach { s =>
+          if (s.getPath.getName.startsWith(s"${p.getName}.exp") &&
+              System.currentTimeMillis - s.getModificationTime > staleMs)
+            f.delete(s.getPath, false)
+        } catch { case _: java.io.FileNotFoundException => () }
+        return
+    }
     val marker = new Path(p.getParent, s"${p.getName}.exp$m")
     try {
       val mst = f.getFileStatus(marker)
@@ -223,11 +235,12 @@ object TableStore {
     val deadline = System.currentTimeMillis + math.min(staleMs, 120000L)
     var held = false
     while (!held) {
-      try {
-        val st = f.getFileStatus(p)
-        if (System.currentTimeMillis - st.getModificationTime > staleMs)
-          f.delete(p, false)
-      } catch { case _: java.io.FileNotFoundException => () }
+      // one-deleter arbitrated expiry (see expireStaleClaim) — the naive
+      // check-then-delete here had the same TOCTOU as the claims: two
+      // waiters observing the same stale lock could interleave so the
+      // second's delete removed the first's FRESH lock and both entered
+      // the commit critical section
+      expireStaleClaim(f, p, staleMs)
       if (atomicCreate(f, p)) held = true
       else {
         if (System.currentTimeMillis > deadline)

@@ -380,7 +380,10 @@ object EventStream {
     * base generation every that-many batches
     * ([[graft.llm.PhraseIndex.compactPhraseIndex]]), bounding the
     * read-time union width; the maintainer thread is the single
-    * compactor. Caller contract: a doc arrives whole in ONE batch.
+    * compactor. Caller contract: a doc arrives whole in ONE batch, and
+    * [[graft.llm.PhraseIndex.buildPhraseIndex]] ran first with the SAME
+    * n/nBuckets (the `_meta` sidecar rejects a mismatch — appends-only
+    * dirs are not a valid index, per the stored-index family contract).
     */
   def maintainPhraseIndex(docs: DataFrame, indexDir: String,
       checkpointDir: String, n: Int = 3, nBuckets: Int = 64,

@@ -225,6 +225,64 @@ class IndexCompactionSpec extends AnyFunSuite with SparkFixture {
     rm(dirInc, dirFull, dirAll)
   }
 
+  test("an append batch without _SUCCESS (mid-write or crashed writer) is " +
+    "invisible to readers AND never folded; committing it makes it live") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "a slow green turtle walks under the old bridge"),
+      (5L, "the lazy dog naps beside the quick brown fox"),
+      (7L, "late arrival mentions the quick brown otter")
+    ).toDF("doc_id", "text")
+    val dir = tmp("phraseinflight")
+    def run() = PhraseIndex.phraseSearch(spark, dir, docs,
+      "the quick brown", n = 3, nBuckets = 8)
+      .orderBy("doc_id").as[Long].collect().toSeq
+    PhraseIndex.buildPhraseIndex(docs.filter($"doc_id" < 2), dir,
+      n = 3, nBuckets = 8)
+    PhraseIndex.phraseIndexAppend(spark, dir, 1L,
+      docs.filter($"doc_id" === 5L), n = 3, nBuckets = 8)
+    // simulate an in-flight batch 2: the writer's job-level _SUCCESS has
+    // not landed yet (a reader racing the foreachBatch append sees this)
+    PhraseIndex.phraseIndexAppend(spark, dir, 2L,
+      docs.filter($"doc_id" === 7L), n = 3, nBuckets = 8)
+    val succ = new java.io.File(s"$dir/appends/batch=2/_SUCCESS")
+    assert(succ.exists(), "appender must write the job-level marker")
+    assert(succ.delete())
+    assert(run() === Seq(0L, 5L), "uncommitted batch leaked into a read")
+    // the compactor must not fold the in-flight batch either
+    PhraseIndex.compactPhraseIndex(spark, dir)
+    val b = IndexGenerations.current(spark, dir)
+    assert(b.gen === 0 && b.maxFolded === 1L,
+      "compactor folded a batch whose write had not committed")
+    assert(run() === Seq(0L, 5L))
+    // the writer finishes (marker lands): the batch is live immediately,
+    // above the fold watermark
+    assert(succ.createNewFile())
+    assert(run() === Seq(0L, 5L, 7L))
+    rm(dir)
+  }
+
+  test("phrase index _meta rejects an n/nBuckets mismatch instead of " +
+    "silently losing matches") {
+    val docs = Seq((0L, "the quick brown fox")).toDF("doc_id", "text")
+    val dir = tmp("phrasemeta")
+    PhraseIndex.buildPhraseIndex(docs, dir, n = 3, nBuckets = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      PhraseIndex.phraseSearch(spark, dir, docs, "the quick brown",
+        n = 3, nBuckets = 16)
+    }
+    assert(e1.getMessage.contains("nBuckets"))
+    val e2 = intercept[IllegalArgumentException] {
+      PhraseIndex.phraseIndexAppend(spark, dir, 1L, docs, n = 2,
+        nBuckets = 8)
+    }
+    assert(e2.getMessage.contains("built with"))
+    // matching parameters pass
+    assert(PhraseIndex.phraseSearch(spark, dir, docs, "the quick brown",
+      n = 3, nBuckets = 8).count() === 1)
+    rm(dir)
+  }
+
   test("ivf: appends + compact == same query results; rebuild over a " +
     "generational dir is a generation swap that retires old appends") {
     val emb = graft.query.Tables(spark, sf("sf0.001"), "embeddings")
