@@ -41,9 +41,19 @@ object BloomSkip {
   /** Probes per value. */
   val K = 5
 
+  /** Sidecar location. Generation dirs keep the sibling convention
+    * (`dir/bloom_g<N>` next to `dir/g<N>` — superseded with its
+    * generation). A legacy FLAT table's dataDir IS the table root: the
+    * sibling form would land the sidecar OUTSIDE the table, next to other
+    * tables, as a permanent orphan no vacuum ever visits — so flat tables
+    * keep it inside as `_bloom` (underscore = hidden to data listings;
+    * explicit-path reads of the sidecar itself still work).
+    */
   private def bloomPath(dataDir: String): Path = {
     val p = new Path(dataDir)
-    new Path(p.getParent, s"bloom_${p.getName}")
+    if (p.getName.matches("g\\d+"))
+      new Path(p.getParent, s"bloom_${p.getName}")
+    else new Path(p, "_bloom")
   }
 
   /** Probe position `i` for value `v` — MUST match between build (executor

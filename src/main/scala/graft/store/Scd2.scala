@@ -69,8 +69,10 @@ object Scd2 {
       // would corrupt intervals — fail loud. (A DIFFERENT batch at the same
       // date closes same-day versions into empty [d, d) intervals — visible
       // in history, invisible to asOf, consistent either way.)
+      // null on an EMPTY dimension (a legitimate init state): every batch
+      // row is then an insert and there is no interval to protect
       val maxFrom = dim.agg(max(col(From))).head().getDate(0)
-      require(!maxFrom.after(effective),
+      require(maxFrom == null || !maxFrom.after(effective),
         s"effective $effective must not precede the newest valid_from $maxFrom")
       val upd = updates.select(
         keyCols.map(col) :+ struct(attrs.map(col): _*).as("_new"): _*)

@@ -305,20 +305,33 @@ object TableStore {
     * there. Appends never claim (append ∥ anything commutes at the file
     * level); compaction conflicts are caught by the rewritten-file check.
     */
+  private[store] def dateClaimPath(dir: String, dateValue: String): Path =
+    new Path(new Path(dir, "_claims"),
+      s"date=${java.net.URLEncoder.encode(dateValue, "UTF-8")}.claim")
+
   private def withDateClaims[T](f: FileSystem, dir: String,
       dates: Seq[String], staleMs: Long)(body: => T): T = {
-    val claimsDir = new Path(dir, "_claims")
-    f.mkdirs(claimsDir)
+    f.mkdirs(new Path(dir, "_claims"))
     val acquired = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
-      dates.distinct.sorted.foreach { d =>
-        val p = new Path(claimsDir,
-          s"date=${java.net.URLEncoder.encode(d, "UTF-8")}.claim")
-        expireStaleClaim(f, p, staleMs) // one-deleter arbitration, no TOCTOU
-        if (atomicCreate(f, p)) acquired += p
-        else throw new ConcurrentWriteException(
-          s"another writer holds the rewrite claim for date=$d on $dir — " +
-            "re-run after it commits (disjoint-date rewrites run in parallel)")
+      // acquisition runs UNDER the commit lock so it serializes against
+      // append commits: an append's staged files either land before the
+      // claim set exists (the rewrite's read then sees them — the claim
+      // holder reads only after this block) or the append observes the
+      // claim at ITS commit point and backs off. Without this ordering an
+      // append could publish into a date mid-way through the rewriter's
+      // read and have its files silently deleted by the dynamic overwrite.
+      // Only the acquisitions hold the lock — the read→rewrite body runs
+      // outside it.
+      withCommitLock(f, dir, staleMs) {
+        dates.distinct.sorted.foreach { d =>
+          val p = dateClaimPath(dir, d)
+          expireStaleClaim(f, p, staleMs) // one-deleter arbitration, no TOCTOU
+          if (atomicCreate(f, p)) acquired += p
+          else throw new ConcurrentWriteException(
+            s"another writer holds the rewrite claim for date=$d on $dir — " +
+              "re-run after it commits (disjoint-date rewrites run in parallel)")
+        }
       }
       body
     } finally acquired.foreach(f.delete(_, false))
@@ -393,6 +406,24 @@ object TableStore {
     withCommitLock(f, dir, 30L * 60 * 1000) {
       val tgt = new Path(writeDir(spark, dir))
       f.mkdirs(tgt)
+      // a LIVE rewrite claim on a staged date means a merge/delete/replace/
+      // compactDates is mid-way through its read→rewrite window: files this
+      // append publishes now would be invisible to that rewrite's snapshot
+      // and silently deleted by its partition overwrite. Claims acquire
+      // under THIS lock (withDateClaims), so the check is race-free: either
+      // the claim exists here (back off, re-run after the rewrite) or the
+      // rewriter's read starts after this whole commit. Appends still never
+      // claim — append ∥ append and append ∥ compact stay fully parallel.
+      f.listStatus(new Path(staging)).foreach { pd =>
+        if (pd.isDirectory && pd.getPath.getName.startsWith("date=")) {
+          val d = unescapePath(pd.getPath.getName.stripPrefix("date="))
+          val cp = dateClaimPath(dir, d)
+          expireStaleClaim(f, cp, 30L * 60 * 1000)
+          if (f.exists(cp)) throw new ConcurrentWriteException(
+            s"date=$d on $dir is being rewritten (live rewrite claim) — " +
+              "re-run the append after the rewrite commits")
+        }
+      }
       f.listStatus(new Path(staging)).foreach { pd =>
         if (pd.isDirectory && pd.getPath.getName.startsWith("date=")) {
           val dst = new Path(tgt, pd.getPath.getName)
@@ -532,6 +563,17 @@ object TableStore {
     require(keyCols.nonEmpty && keyCols.forall(updates.columns.contains),
       s"merge: key columns ${keyCols.mkString(",")} must exist in the batch")
     import org.apache.spark.sql.functions.col
+    // schema enforcement (replaceWhere's, same hazard): a batch NARROWER
+    // than the table would project the rewritten partitions down to its
+    // own columns — every pre-existing row in a touched partition would
+    // silently lose the missing columns
+    tableColumns(spark, dir).foreach { tableCols =>
+      val batchCols = updates.columns.toSet
+      require(batchCols == tableCols,
+        s"merge: batch schema must match the table: " +
+          s"missing=${(tableCols -- batchCols).mkString(",")} " +
+          s"extra=${(batchCols -- tableCols).mkString(",")}")
+    }
     val batch = updates.localCheckpoint() // read once: touched-date scan + anti-join probe + union
     try {
       val touched = batch.select("date").distinct().collect().map(_.get(0))
@@ -542,7 +584,10 @@ object TableStore {
       withDateClaims(fs(spark, dir), dir,
         touched.toIndexedSeq.map(String.valueOf), 30L * 60 * 1000) {
         val cols = batch.columns.toSeq
-        val current = read(spark, dir)
+        // readEvolved, not read(): on a schema-evolved table the footer-
+        // inferred read can miss declared columns (the deleteWhere/
+        // replaceWhere precedent)
+        val current = readEvolved(spark, dir)
           .filter(col("date").isin(touched: _*))
           .select(cols.map(col): _*)
         val joinKeys = "date" +: keyCols
@@ -653,10 +698,7 @@ object TableStore {
     // silently NULL that column across the whole rewritten slice; an extra
     // column would land physically without widening the declared schema.
     // Fail loudly on both — evolution goes through appendEvolving.
-    if (dataFiles(spark, dir).nonEmpty) {
-      val tableCols = declaredSchema(spark, dir)
-        .map(_.fieldNames.toSet)
-        .getOrElse(readEvolved(spark, dir).columns.toSet)
+    tableColumns(spark, dir).foreach { tableCols =>
       val batchCols = batchDf.columns.toSet
       require(batchCols == tableCols,
         s"replaceWhere: batch schema must match the table: " +
@@ -935,9 +977,19 @@ object TableStore {
     */
   def appendEvolving(df: DataFrame, dir: String): Unit = {
     val spark = df.sparkSession
+    // the base must come from ANY existing data — generational OR legacy
+    // flat. A flat table (data, no generation, no sidecar) with base =
+    // empty would write _schema.json as just the batch's schema, silently
+    // erasing the table's pre-existing columns from every evolved read.
+    val hasFlatData = currentGeneration(spark, dir).isEmpty && {
+      val f = fs(spark, dir)
+      val root = new Path(dir)
+      f.exists(root) && f.listStatus(root).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("date="))
+    }
     val base = declaredSchema(spark, dir)
-      .orElse(currentGeneration(spark, dir).map(_ =>
-        read(spark, dir).schema))
+      .orElse(if (currentGeneration(spark, dir).isDefined || hasFlatData)
+        Some(read(spark, dir).schema) else None)
       .getOrElse(StructType(Nil))
     val widened = widen(base, df.schema)
     if (declaredSchema(spark, dir).forall(_ != widened)) {
@@ -962,6 +1014,24 @@ object TableStore {
   /** Parquet data files of the CURRENT generation (recursive). */
   def dataFiles(spark: SparkSession, dir: String): Seq[String] =
     listParquet(spark, resolveDataDir(spark, dir))
+
+  /** The table's column set for rewrite-batch schema enforcement, or None
+    * for a table with no schema source yet (fresh dir). O(metadata): the
+    * declared-schema sidecar, else — when a committed generation or a
+    * legacy flat layout exists — one evolved read's resolved schema. Never
+    * the O(files) `dataFiles` walk the old replaceWhere gate paid just to
+    * decide whether to check.
+    */
+  private def tableColumns(spark: SparkSession,
+      dir: String): Option[Set[String]] =
+    declaredSchema(spark, dir).map(_.fieldNames.toSet).orElse {
+      val f = fs(spark, dir)
+      val root = new Path(dir)
+      val hasData = currentGeneration(spark, dir).isDefined ||
+        (f.exists(root) && f.listStatus(root).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("date=")))
+      if (hasData) Some(readEvolved(spark, dir).columns.toSet) else None
+    }
 
   /** Inclusive numeric range predicate for file-level data skipping. */
   final case class ColRange(name: String, lo: Double, hi: Double)
@@ -1387,11 +1457,19 @@ object TableStore {
       new Path(p).toUri.getPath.stripPrefix(srcRoot).dropWhile(_ == '/')
     // For a legacy FLAT root the recursive listing must ignore generation
     // dirs (our own in-progress g<N> would otherwise read as source data
-    // at re-list time).
-    def listSrc(): Seq[(String, Long)] =
+    // at re-list time) AND the metadata sidecars that live at the table
+    // root without an underscore prefix (stats_g<N> / bloom_g<N>): our own
+    // writeStatsSidecar lands dir/stats_g0 BEFORE the locked re-list, and
+    // without this filter its parquet read as a "concurrent append" and
+    // was rebase-copied INTO the new generation as foreign-schema data.
+    def listSrc(): Seq[(String, Long)] = {
+      def sidecar(first: String) =
+        first.startsWith("stats_") || first.startsWith("bloom_")
       listParquetStatus(spark, srcDir).filter { case (p, _) =>
-        cur.isDefined || !GenName.matches(relOf(p).takeWhile(_ != '/'))
+        val first = relOf(p).takeWhile(_ != '/')
+        (cur.isDefined || !GenName.matches(first)) && !sidecar(first)
       }
+    }
     // ONE recursive listing drives everything: the before-count, the
     // per-date byte totals (keyed by the unescaped partition value, so an
     // escaped char in a dir name still matches the column's string form),
@@ -1568,6 +1646,19 @@ object TableStore {
     // can't collide with generation dirs (GenName) or date= partitions,
     // and readers only ever resolve through currentGeneration.
     val stage = new Path(dir, "compact_stage.tmp")
+    // claim every date this call touches — OUR dates plus any a leftover
+    // crashed stage holds (recovery renames into those partitions) — for
+    // the whole read→stage→publish window: same-date merges/deletes/
+    // appends serialize against the rewrite instead of silently losing
+    // files to publishStage's delete+rename swap
+    val stagedDates: Seq[String] =
+      if (!f.exists(stage)) Nil
+      else f.listStatus(stage).toSeq.collect {
+        case s if s.isDirectory && s.getPath.getName.startsWith("date=") =>
+          unescapePath(s.getPath.getName.stripPrefix("date="))
+      }
+    withDateClaims(f, dir, (dates.map(String.valueOf) ++ stagedDates).distinct,
+      30L * 60 * 1000) {
     recoverStage(spark, f, stage, dataDir)
     val partDirs = dates.distinct
       .map(d => new Path(dataDir, s"date=$d"))
@@ -1597,6 +1688,7 @@ object TableStore {
     publishStage(spark, f, stage, dataDir)
     val after = partDirs.map(p => listParquetStatus(spark, p).size.toLong).sum
     (before, after)
+    }
   }
 
   /** Swap every staged `date=` dir into the generation via rename, keep
@@ -1625,17 +1717,40 @@ object TableStore {
     f.delete(stage, true)
   }
 
-  /** Crash recovery for [[compactDates]]: a leftover COMMITTED stage
-    * (`_SUCCESS` present) still holds every partition whose rename did not
-    * land — re-publish it; an uncommitted stage is a dead half-write —
-    * drop it (the source partitions were never touched).
+  /** Crash recovery for [[compactDates]]. An uncommitted stage (no
+    * `_SUCCESS`) is a dead half-write — drop it (the source partitions
+    * were never touched). A COMMITTED stage publishes ONLY the dates whose
+    * generation copy is MISSING: those crashed inside publishStage's
+    * delete→rename window and their sole surviving copy is the staged one.
+    * Dates still present in the generation keep the LIVE copy and their
+    * staged twin is DROPPED — the partition may have been rewritten
+    * (merge / deleteWhere / replaceWhere) since the stage was computed,
+    * and re-publishing the stale stage would resurrect replaced rows;
+    * since compaction preserves content, dropping its output costs
+    * nothing. Residual caveat (documented, not closed): a deleteWhere
+    * that DROPPED a staged date entirely between the crash and this
+    * recovery is indistinguishable from the crash window and the staged
+    * copy is restored — closing it needs a generation-bound stage marker.
     */
   private def recoverStage(spark: SparkSession, f: FileSystem, stage: Path,
       dataDir: String): Unit =
     if (f.exists(stage)) {
-      if (f.exists(new Path(stage, "_SUCCESS")))
-        publishStage(spark, f, stage, dataDir)
-      else f.delete(stage, true)
+      if (f.exists(new Path(stage, "_SUCCESS"))) {
+        val staged = f.listStatus(stage).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("date="))
+        val missing = staged.filter(sd =>
+          !f.exists(new Path(dataDir, sd.getPath.getName)))
+        missing.foreach { sd =>
+          val dst = new Path(dataDir, sd.getPath.getName)
+          require(f.rename(sd.getPath, dst),
+            s"stage recovery rename failed: ${sd.getPath} -> $dst")
+        }
+        val marker = new Path(dataDir, "_SUCCESS")
+        if (!f.exists(marker)) f.create(marker).close()
+        updateStatsSidecar(spark, dataDir, missing.toSeq.map(s =>
+          unescapePath(s.getPath.getName.stripPrefix("date="))))
+        f.delete(stage, true)
+      } else f.delete(stage, true)
     }
 
   /** Types `xxhash64` can hash (maps are rejected by Spark's HashExpression). */

@@ -43,6 +43,27 @@ class BloomSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_.getString(1)).toSeq === probes.sorted.map(i => s"p$i"))
   }
 
+  test("flat-table bloom sidecar lives INSIDE the table dir (no orphan " +
+    "next to sibling tables) and prunes") {
+    val dir = tmpDir() + "/flatbloom"
+    (0L until 400L).map { i =>
+      (i, s"p$i", java.sql.Date.valueOf(s"2024-01-0${i % 4 + 1}"))
+    }.toDF("id", "payload", "date")
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false)
+    BloomSkip.write(spark, dir, Seq("id"))
+    assert(f.exists(new org.apache.hadoop.fs.Path(dir, "_bloom")),
+      "flat table's sidecar must live inside the table dir")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir).getParent, "bloom_flatbloom")),
+      "sidecar orphaned OUTSIDE the table dir")
+    val pr = BloomSkip.readPrunedEq(spark, dir, "id", Seq(17L))
+    assert(pr.statsSource === "bloom")
+    assert(pr.df.filter($"id" === 17L).count() === 1)
+  }
+
   test("a probe id absent from the table prunes every file") {
     val dir = scatteredStore()
     val pr = BloomSkip.readPrunedEq(spark, dir, "id", Seq(999999999L))

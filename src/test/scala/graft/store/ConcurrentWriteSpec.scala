@@ -317,6 +317,77 @@ class ConcurrentWriteSpec extends AnyFunSuite with SparkFixture {
     assert(leftover.isEmpty, s"arbitration debris left: ${leftover.toSeq}")
   }
 
+  test("an append racing a live partition rewrite backs off at its commit " +
+    "point instead of having its files silently deleted by the overwrite") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-08-03", 0 until 5), dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a rewriter mid-window: its date claim is live
+    val claim = TableStore.dateClaimPath(dir, "2024-08-03")
+    f.mkdirs(claim.getParent)
+    f.create(claim, false).close()
+    intercept[TableStore.ConcurrentWriteException] {
+      TableStore.append(mkBatch("2024-08-03", 5 until 8), dir)
+    }
+    // an UNclaimed date commits freely in the same window
+    TableStore.append(mkBatch("2024-08-04", 8 until 10), dir)
+    assert(TableStore.read(spark, dir).count() === 7)
+    // rewrite commits, claim released: the append re-run lands
+    f.delete(claim, false)
+    TableStore.append(mkBatch("2024-08-03", 5 until 8), dir)
+    assert(TableStore.read(spark, dir).count() === 10)
+  }
+
+  test("merge rejects a batch narrower than the table instead of " +
+    "silently dropping columns from rewritten partitions") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-08-05", 0 until 5), dir)
+    val narrow = Seq((1, java.sql.Date.valueOf("2024-08-05")))
+      .toDF("id", "date")
+    val e = intercept[IllegalArgumentException] {
+      TableStore.merge(spark, narrow, dir, Seq("id"))
+    }
+    assert(e.getMessage.contains("missing=user"))
+    // table untouched: all 5 rows still carry user
+    val t = TableStore.read(spark, dir)
+    assert(t.count() === 5 && t.filter($"user".isNull).count() === 0)
+  }
+
+  test("stage recovery never resurrects a partition rewritten after the " +
+    "crash; a partition whose only copy is staged IS restored") {
+    val dir = tmpDir() + "/t"
+    TableStore.append(mkBatch("2024-09-01", 0 until 6), dir)
+    TableStore.append(mkBatch("2024-09-02", 6 until 12), dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = new org.apache.hadoop.fs.Path(
+      TableStore.resolveDataDir(spark, dir))
+    // fabricate a COMMITTED crashed stage holding pre-crash copies of
+    // both dates (what compactDates leaves when it dies mid-publish)
+    val stage = new org.apache.hadoop.fs.Path(dir, "compact_stage.tmp")
+    for (d <- Seq("2024-09-01", "2024-09-02")) {
+      val src = new org.apache.hadoop.fs.Path(gen, s"date=$d")
+      org.apache.hadoop.fs.FileUtil.copy(f, src, f,
+        new org.apache.hadoop.fs.Path(stage, s"date=$d"), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    f.create(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"), true).close()
+    // post-crash: a deleteWhere rewrites date=2024-09-01 (GDPR erasure)...
+    TableStore.deleteWhere(spark, dir, $"id" === 0)
+    // ...and date=2024-09-02 crashed INSIDE the delete->rename window:
+    // its generation copy is gone, sole copy in the stage
+    f.delete(new org.apache.hadoop.fs.Path(gen, "date=2024-09-02"), true)
+    // next compactDates triggers recovery
+    TableStore.compactDates(spark, dir, Seq("2024-09-01"))
+    val t = TableStore.read(spark, dir)
+    assert(t.filter($"id" === 0).count() === 0,
+      "stale stage resurrected rows a later rewrite deleted")
+    assert(t.filter($"date" === "2024-09-02").count() === 6,
+      "partition stranded in the crashed stage was not restored")
+    assert(!f.exists(stage), "recovery must consume the stage")
+  }
+
   test("a stale expectedGen fails the CAS before any data is written") {
     val dir = tmpDir() + "/t"
     val df = Seq((1, "a")).toDF("k", "v")

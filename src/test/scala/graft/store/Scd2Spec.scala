@@ -46,6 +46,19 @@ class Scd2Spec extends AnyFunSuite with SparkFixture {
       Scd2.asOf(spark, dir, d("2030-01-01")).count())
   }
 
+  test("apply on an EMPTY dimension inserts every batch row (no NPE on " +
+    "the missing max valid_from)") {
+    val dir = Files.createTempDirectory("scd2").toString + "/dim"
+    Scd2.init(Seq.empty[(Long, String, Double)]
+      .toDF("id", "tier", "bal"), dir, d("2024-01-01"))
+    Scd2.apply(spark, dir,
+      Seq((1L, "gold", 10.0), (2L, "silver", 20.0)).toDF("id", "tier", "bal"),
+      Seq("id"), d("2024-02-01"))
+    val dim = TableStore.read(spark, dir)
+    assert(dim.count() === 2)
+    assert(dim.filter(col("valid_to").isNull).count() === 2)
+  }
+
   test("re-applying the same batch at the same effective date is a no-op") {
     val dir = newDim()
     val batch = Seq((1L, "platinum", 10.0)).toDF("id", "tier", "bal")

@@ -333,6 +333,44 @@ class TableStoreSpec extends AnyFunSuite with SparkFixture {
     assert(!f.exists(stage)) // stage dropped only after the publish landed
   }
 
+  test("first compaction of a legacy FLAT table does not swallow its own " +
+    "stats sidecar as rebased data") {
+    val dir = tmpDir() + "/flat"
+    // legacy layout: date= partitions at the table root, no generation
+    mkBatch("2024-03-01", 0 until 20)
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false)
+    TableStore.compact(spark, dir)
+    // the sidecar (dir/stats_g0, written before the locked re-list) must
+    // NOT have been rebase-copied into g0 as foreign-schema "data"
+    assert(!f.exists(new org.apache.hadoop.fs.Path(dir, "g0/stats_g0")),
+      "stats sidecar leaked into the generation as data")
+    val t = TableStore.read(spark, dir)
+    assert(t.count() === 20)
+    assert(t.columns.toSet === Set("id", "user", "date"))
+  }
+
+  test("appendEvolving on a legacy FLAT table keeps the pre-existing " +
+    "columns in the declared schema") {
+    val dir = tmpDir() + "/flatevolve"
+    mkBatch("2024-03-02", 0 until 5)
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false)
+    // evolve with a batch missing `user` and adding `score`
+    val evolved = Seq((100, 0.5, java.sql.Date.valueOf("2024-03-03")))
+      .toDF("id", "score", "date")
+    TableStore.appendEvolving(evolved, dir)
+    val t = TableStore.readEvolved(spark, dir)
+    assert(t.columns.toSet === Set("id", "user", "score", "date"),
+      "flat table's pre-existing columns erased from the declared schema")
+    assert(t.filter($"user".isNotNull).count() === 5)
+    assert(t.filter($"score".isNotNull).count() === 1)
+  }
+
   test("an uncommitted stage (no _SUCCESS) is discarded, source untouched") {
     val dir = tmpDir() + "/halfstage"
     def batch(day: String, ids: Range) =
