@@ -37,15 +37,34 @@ object PhraseIndex {
     * a bucket-partitioned write. `nBuckets` bounds per-search read fan-out;
     * at 100 TB make it large (e.g. 4096) so one bucket is a small fraction
     * of the postings.
+    *
+    * On a FRESH dir this is the flat layout. On a dir that already carries
+    * generations or live append batches, a rebuild is a GENERATION SWAP
+    * (the [[VectorOps.writeIvfIndex]] contract): readers resolve the
+    * newest committed generation, so a flat re-write would be silently
+    * ignored forever — instead the new postings land under `g<N+1>/grams`
+    * and commit with a fold watermark covering every append batch present,
+    * because the rebuild indexed the CURRENT corpus and pre-rebuild
+    * appends must not union back in.
     */
   def buildPhraseIndex(docs: DataFrame, dir: String, n: Int = 3,
       nBuckets: Int = 64): Unit = {
-    docs.select(col("doc_id"),
-        explode(array_distinct(TextOps.ngramHashes(col("text"), n)))
-          .as("gh"))
-      .withColumn("bucket", pmod(col("gh"), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/grams")
-    writeMeta(docs.sparkSession, dir, n, nBuckets)
+    val spark = docs.sparkSession
+    val G = graft.store.IndexGenerations
+    val prev = G.current(spark, dir)
+    val appendIds = G.batches(spark, dir, "appends").map(_._1)
+    val fresh = prev.gen < 0 && appendIds.isEmpty
+    val tgt = if (fresh) dir else s"$dir/g${prev.gen + 1}"
+    postingsOf(docs, n, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs",
+        fresh.toString) // generation visibility is G.commit's _SUCCESS
+      .parquet(s"$tgt/grams")
+    writeMeta(spark, dir, n, nBuckets)
+    if (!fresh) {
+      G.commit(spark, dir, prev.gen + 1, (prev.maxFolded +: appendIds).max)
+      G.gc(spark, dir, prev.gen + 1, prev, Seq("appends"), Seq("grams"))
+    }
   }
 
   /** The index's (n, nBuckets) sidecar. Appenders, searchers and the
@@ -136,7 +155,8 @@ object PhraseIndex {
     * the union. Single-compactor contract; concurrent appends stay above
     * the new watermark and remain live.
     */
-  def compactPhraseIndex(spark: SparkSession, dir: String): Unit = {
+  def compactPhraseIndex(spark: SparkSession, dir: String,
+      maxFoldRows: Long = 64L * 1024 * 1024): Unit = {
     val G = graft.store.IndexGenerations
     val prev = G.current(spark, dir)
     val toFold = G.batches(spark, dir, "appends").filter(_._1 > prev.maxFolded)
@@ -150,8 +170,13 @@ object PhraseIndex {
         .parquet(toFold.map(_._2): _*).selectExpr(cols: _*))
     }
     // one shuffle keyed by bucket: every bucket lands whole in one task,
-    // so each bucket dir collapses to a single file (the point of the fold)
-    grams.repartition(col("bucket"))
+    // so each bucket dir collapses to a single file — UNLESS the bucket
+    // exceeds maxFoldRows, where it splits into sub-files instead of
+    // putting 1/nBuckets of a 100 TB posting set in one task
+    // ([[graft.store.IndexGenerations.boundedFold]]; sub-key varies
+    // within a bucket — gh itself is constant mod nBuckets)
+    G.boundedFold(grams, "bucket", xxhash64(col("doc_id"), col("gh")),
+        maxFoldRows)
       .write.mode("overwrite").partitionBy("bucket")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(s"$dir/g${prev.gen + 1}/grams")
@@ -212,6 +237,69 @@ object PhraseIndex {
       .select("doc_id")
   }
 
+  /** Exact phrase search with a PRUNED candidate fetch — the 100 TB read
+    * path. [[phraseSearch]]'s verify leg is correct but probes the FULL
+    * documents table (a broadcast semi-join whose probe side is the whole
+    * corpus text column): per query it re-reads the very bytes the index
+    * exists to avoid. This form collects the candidate id set — bounded by
+    * construction: a doc qualifies only by holding ALL the phrase's grams,
+    * so candidates are the word-aligned matches plus hash collisions — and
+    * fetches text through [[graft.store.BloomSkip.readPrunedEq]] on a doc
+    * store carrying a `doc_id` Bloom sidecar: the verify reads ONLY files
+    * that can hold a candidate (files-read-bounded, asserted in
+    * PhraseIndexSpec), plus the kilobyte sidecar.
+    *
+    * `docsDir` is the document store (flat parquet dir or generation
+    * store; build its sidecar once with `BloomSkip.write(spark, docsDir,
+    * Seq("doc_id"))` — files appended after the sidecar are kept
+    * conservatively, never wrongly skipped). Degenerate regimes fall back
+    * LOUDLY-DOCUMENTED rather than breaking the bound silently: a phrase
+    * shorter than `n` words cannot probe the index (direct verify scan,
+    * the [[phraseSearch]] contract), and a stop-phrase matching more than
+    * `maxFetch` docs verifies via the semi-join scan — at that selectivity
+    * the fetch is corpus-scale whichever way it is expressed, and a
+    * >maxFetch literal probe would blow up both the Bloom verdict
+    * expression and the row filter's IN-set. `onFetch` receives
+    * (filesKept, filesTotal) when the pruned fetch ran — the monitoring
+    * hook a production pipeline alerts on.
+    */
+  def phraseSearchPruned(spark: SparkSession, indexDir: String,
+      docsDir: String, phrase: String, n: Int = 3, nBuckets: Int = 64,
+      maxFetch: Int = 2048,
+      onFetch: (Int, Int) => Unit = (_, _) => ()): DataFrame = {
+    checkMeta(spark, indexDir, n, nBuckets)
+    val verify = concat(lit(" "), col("text"), lit(" "))
+      .contains(s" $phrase ")
+    def fullDocs = spark.read.parquet(
+      graft.store.TableStore.resolveDataDir(spark, docsDir))
+    val grams = phraseGramHashes(spark, phrase, n)
+    if (grams.isEmpty)
+      return fullDocs.filter(verify).select("doc_id")
+    val buckets = grams.map(g => ((g % nBuckets) + nBuckets) % nBuckets)
+      .distinct
+    val candidates = readGrams(spark, indexDir)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("gh").isin(grams: _*))
+      .groupBy("doc_id").agg(countDistinct("gh").as("__nh"))
+      .filter(col("__nh") === grams.size)
+      .select("doc_id")
+    // bounded collect: the index guarantees candidates ≈ true matches;
+    // maxFetch is the guard for stop-phrases (limit+1 detects overflow
+    // without counting the full set)
+    val ids = candidates.limit(maxFetch + 1).collect().map(_.getLong(0))
+    if (ids.length > maxFetch)
+      return fullDocs.join(candidates, Seq("doc_id"), "left_semi")
+        .filter(verify).select("doc_id")
+    if (ids.isEmpty)
+      return fullDocs.select("doc_id").limit(0)
+    val pr = graft.store.BloomSkip.readPrunedEq(spark, docsDir, "doc_id",
+      ids.toSeq)
+    onFetch(pr.filesKept, pr.filesTotal)
+    pr.df.filter(col("doc_id").isin(ids.toSeq: _*))
+      .filter(verify)
+      .select("doc_id")
+  }
+
   /** Session-scoped index demos, keyed by sfDir (the Pipelines pattern):
     * an index is built once and searched many times, so the timed path is
     * the SEARCH.
@@ -223,7 +311,10 @@ object PhraseIndex {
 
     // ---- S12/L25: indexed word-aligned phrase search ---------------------------
     // The oracle is the full-scan definition; hash equality proves the
-    // bucket-pruned postings probe + candidate verify loses nothing.
+    // bucket-pruned postings probe + PRUNED candidate verify loses
+    // nothing. The timed path is the production read shape end-to-end:
+    // postings buckets (partition filters) → bounded candidate ids →
+    // Bloom-pruned text fetch — the corpus text column is never scanned.
     Q("q_phrase_search", Some(
       """SELECT doc_id FROM documents
         |WHERE contains(' ' || text || ' ', ' key agg row ')
@@ -232,10 +323,16 @@ object PhraseIndex {
         val docs = Tables(s, d, "documents")
         val dir = demos.computeIfAbsent(d, _ => {
           val t = graft.query.Pipelines.demoRoot("graft_phrase").toString
-          buildPhraseIndex(docs, t)
+          buildPhraseIndex(docs, s"$t/index")
+          // the doc store the pruned verify fetches from: multi-file so
+          // file skipping has grain, + the doc_id Bloom sidecar
+          docs.repartitionByRange(16, col("doc_id"))
+            .write.parquet(s"$t/docs")
+          graft.store.BloomSkip.write(s, s"$t/docs", Seq("doc_id"))
           t
         })
-        phraseSearch(s, dir, docs, "key agg row").orderBy("doc_id")
+        phraseSearchPruned(s, s"$dir/index", s"$dir/docs", "key agg row")
+          .orderBy("doc_id")
       })
   )
 }

@@ -256,9 +256,10 @@ object Pq {
     * scan — the FAISS `IndexIVFPQ` architecture. `assignments` holds
     * (neighbor_id, codes, cell) ONLY: the stored index is ~8 bytes of
     * code + an id per vector, never the floats; the rerank fetches float
-    * vectors from the CORPUS table by id (a broadcast semi-join on the
-    * shortlist — at scale, a bloom-pushable id probe into the source
-    * table, reading the embedding column for survivors only).
+    * vectors from the CORPUS table by id — at scale through
+    * [[ivfPqQueryPruned]]'s Bloom-sidecar file-skipping fetch, which
+    * reads the embedding column only from files that can hold a
+    * shortlisted id.
     */
   final case class IvfPqIndex(centroids: Seq[(Int, Seq[Double])],
       model: PqModel, assignments: DataFrame)
@@ -365,7 +366,7 @@ object Pq {
     * contract as [[graft.store.IndexGenerations]].
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String, maxFoldRows: Long = 64L * 1024 * 1024): Unit = {
     val G = graft.store.IndexGenerations
     val prev = G.current(spark, dir)
     val toFold = G.batches(spark, dir, "appends").filter(_._1 > prev.maxFolded)
@@ -381,7 +382,10 @@ object Pq {
           col("cell").cast("int").as("cell")))
     }
     val tgt = s"$dir/g${prev.gen + 1}"
-    assigned.repartition(col("cell"))
+    // fat cells split into bounded sub-files instead of one 1/nCells-of-
+    // the-corpus fold task ([[graft.store.IndexGenerations.boundedFold]])
+    graft.store.IndexGenerations.boundedFold(assigned, "cell",
+        xxhash64(col("neighbor_id")), maxFoldRows)
       .write.mode("overwrite").partitionBy("cell")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(s"$tgt/assignments")
@@ -407,6 +411,28 @@ object Pq {
     */
   def ivfPqQuery(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int = 2, shortlist: Int = 64): DataFrame = {
+    val (_, short) = adcShortlist(index, queries, nProbe, shortlist)
+    val tv = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorOps.toDouble(col("embedding")).as("tv"))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      VectorOps.toDouble(col("embedding")).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    tv.join(broadcast(short.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** The shared probe + ADC + shortlist stage of [[ivfPqQuery]] and
+    * [[ivfPqQueryPruned]]: returns the collected raw query rows and the
+    * per-query ADC shortlist frame (query_id, neighbor_id).
+    */
+  private def adcShortlist(index: IvfPqIndex, queries: DataFrame,
+      nProbe: Int, shortlist: Int)
+      : (Array[(Long, Array[Double])], DataFrame) = {
     val qRows = queries.orderBy("vec_id")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")))
       .collect()
@@ -432,7 +458,7 @@ object Pq {
     }
     val probedCells = probes.map(_._2).distinct.sorted
     val tables = adcTables(qRows.map(_._2.clone()).map(unitInPlace), index.model)
-    import corpus.sparkSession.implicits._
+    import queries.sparkSession.implicits._
     val probeDf = probes.toDF("query_id", "cell")
     val scored = index.assignments
       // ONE IN-list partition filter — the probed union; per-(query,cell)
@@ -446,15 +472,56 @@ object Pq {
       .join(broadcast(probeDf), Seq("query_id", "cell"), "left_semi")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "adc")
-    val short = graft.plans.TopK.perKey(scored, Seq("query_id"),
-      Seq(col("adc").desc, col("neighbor_id").asc), shortlist)
-    val tv = corpus.select(col("vec_id").as("neighbor_id"),
-      VectorOps.toDouble(col("embedding")).as("tv"))
-    val qv = queries.select(col("vec_id").as("query_id"),
-      VectorOps.toDouble(col("embedding")).as("qv"))
+    (qRows, graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("adc").desc, col("neighbor_id").asc), shortlist))
+  }
+
+  /** [[ivfPqQuery]] with a PRUNED exact-rerank fetch — the 100 TB read
+    * path for a STORE-BACKED corpus. The exact form's rerank re-attaches
+    * float vectors by an id probe whose scan side is the FULL corpus
+    * vector column: correct, but per query batch it re-reads the very
+    * bytes the 8-byte code table exists to avoid (stored-IVF dodges this
+    * by keeping floats IN the index, which PQ deliberately does not — the
+    * 32× scan cut IS the index). Here the ADC shortlist ids (bounded by
+    * construction: ≤ shortlist × queries) collect to the driver and the
+    * floats fetch through [[graft.store.BloomSkip.readPrunedEq]] on a
+    * corpus store carrying a `vec_id` Bloom sidecar — the rerank reads
+    * only files that can hold a shortlisted vector (files-read-bounded,
+    * asserted in PqSpec). Query vectors re-use the already-collected
+    * batch (zero extra corpus reads). Results are bit-identical to
+    * [[ivfPqQuery]] on the same index (law-tested).
+    *
+    * Build the sidecar once with `BloomSkip.write(spark, corpusDir,
+    * Seq("vec_id"))`; vectors appended after the sidecar are kept
+    * conservatively, never wrongly skipped. `onFetch` receives
+    * (filesKept, filesTotal) — the production monitoring hook.
+    */
+  def ivfPqQueryPruned(index: IvfPqIndex,
+      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      queries: DataFrame, k: Int, nProbe: Int = 2, shortlist: Int = 64,
+      onFetch: (Int, Int) => Unit = (_, _) => ()): DataFrame = {
+    import spark.implicits._
+    val (qRows, short) = adcShortlist(index, queries, nProbe, shortlist)
+    // bounded by construction: TopK caps the shortlist at
+    // shortlist·|queries| rows before this collect
+    val pairs = short.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = pairs.map(_._2).distinct.toSeq
+    if (ids.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "cos")
+    val pr = graft.store.BloomSkip.readPrunedEq(spark, corpusDir, "vec_id",
+      ids)
+    onFetch(pr.filesKept, pr.filesTotal)
+    val tv = pr.df.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        VectorOps.toDouble(col("embedding")).as("tv"))
+    val pairsDf = pairs.toSeq.toDF("query_id", "neighbor_id")
+    val qv = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("query_id", "qv")
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
-    tv.join(broadcast(short.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+    tv.join(broadcast(pairsDf), Seq("neighbor_id"))
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("cos", VectorOps.cosine(col("qv"), col("tv")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -593,16 +660,22 @@ object Pq {
         val emb = Tables(s, d, "embeddings")
         val queries = emb.filter(col("vec_id") < 10)
         // built once per (sfDir, JVM): the production path being timed is
-        // the partition-pruned stored-index query, not the build
-        val idxDir = ivfPqDemos.computeIfAbsent(d, _ => {
-          val t = graft.query.Pipelines.demoRoot("graft_ivfpq")
-          writeIvfPqIndex(buildIvfPqIndex(emb), t.toString)
-          t.toString
+        // the partition-pruned stored-index query + Bloom-pruned rerank
+        // fetch, not the build. The corpus store (multi-file + vec_id
+        // Bloom sidecar) is what the rerank reads at scale — the float
+        // column is never scanned whole.
+        val root = ivfPqDemos.computeIfAbsent(d, _ => {
+          val t = graft.query.Pipelines.demoRoot("graft_ivfpq").toString
+          writeIvfPqIndex(buildIvfPqIndex(emb), s"$t/index")
+          emb.repartitionByRange(16, col("vec_id"))
+            .write.parquet(s"$t/corpus")
+          graft.store.BloomSkip.write(s, s"$t/corpus", Seq("vec_id"))
+          t
         })
-        val stored = readIvfPqIndex(s, idxDir)
+        val stored = readIvfPqIndex(s, s"$root/index")
         val exact = VectorOps.bruteForceTopK(emb, queries, 5).localCheckpoint()
-        val approx = ivfPqQuery(stored, emb, queries, 5,
-          nProbe = 12, shortlist = 256)
+        val approx = ivfPqQueryPruned(stored, s, s"$root/corpus", queries,
+          5, nProbe = 12, shortlist = 256)
         val hits = exact.select("query_id", "neighbor_id")
           .join(approx.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")

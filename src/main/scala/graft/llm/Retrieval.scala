@@ -190,13 +190,29 @@ object Retrieval {
     * [[graft.store.IndexGenerations]]; concurrent appends stay above the
     * new watermark and remain live.
     */
-  def compactBm25Index(spark: SparkSession, dir: String): Unit = {
+  def compactBm25Index(spark: SparkSession, dir: String,
+      maxFoldRows: Long = 64L * 1024 * 1024): Unit = {
     val G = graft.store.IndexGenerations
     val prev = G.current(spark, dir)
-    val toFold = G.batches(spark, dir, "appends").filter(_._1 > prev.maxFolded)
-    if (toFold.isEmpty && prev.gen >= 0) return // nothing new to fold
-    val statsFold = G.batches(spark, dir, "stats_appends")
+    val pAll = G.batches(spark, dir, "appends").filter(_._1 > prev.maxFolded)
+    val sAll = G.batches(spark, dir, "stats_appends")
       .filter(_._1 > prev.maxFolded)
+    // BM25 is the one two-write appender (postings THEN stats), so a crash
+    // between the writes leaves a HALF-LANDED batch: one side committed,
+    // the other absent. Folding the visible half and advancing the
+    // watermark past its id would exclude the replayed other half forever
+    // (ids <= watermark mean "already in the base"). A batch is therefore
+    // foldable only when BOTH sides committed AND no half-landed batch
+    // sits at or below it — the watermark never crosses a half-landed id;
+    // the at-least-once replay completes that batch and the NEXT
+    // compaction folds it (IndexCompactionSpec pins both directions).
+    val pIds = pAll.map(_._1).toSet
+    val sIds = sAll.map(_._1).toSet
+    val half = (pIds union sIds) diff (pIds intersect sIds)
+    val cap = if (half.isEmpty) Long.MaxValue else half.min - 1
+    val toFold = pAll.filter(_._1 <= cap)
+    if (toFold.isEmpty && prev.gen >= 0) return // nothing new to fold
+    val statsFold = sAll.filter(_._1 <= cap)
     val newMax = (prev.maxFolded +: toFold.map(_._1)).max
     val tgt = s"$dir/g${prev.gen + 1}"
     val pCols = Seq("th", "doc_id", "tf", "dl", "bucket")
@@ -208,8 +224,12 @@ object Retrieval {
         .parquet(toFold.map(_._2): _*).selectExpr(pCols: _*))
     }
     // one shuffle keyed by bucket: every bucket lands whole in one task,
-    // so each bucket dir collapses to a single file (the point of the fold)
-    postings.repartition(col("bucket"))
+    // so each bucket dir collapses to a single file — fat buckets split
+    // into bounded sub-files instead ([[graft.store.IndexGenerations
+    // .boundedFold]]; th is constant mod nBuckets within a bucket, so the
+    // sub-key hashes (doc_id, th))
+    graft.store.IndexGenerations.boundedFold(postings, "bucket",
+        xxhash64(col("doc_id"), col("th")), maxFoldRows)
       .write.mode("overwrite").partitionBy("bucket")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(s"$tgt/postings")

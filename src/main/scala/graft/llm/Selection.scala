@@ -37,13 +37,22 @@ object Selection {
     * stopword ratio (the naturalness signal the quality stack already
     * exposes; any per-doc score column works the same way). Full text is
     * dropped HERE — everything downstream moves ~32-byte rows.
+    *
+    * Degenerate docs (null text, or a tokenizer variant that yields zero
+    * words) are pinned to score = 0 / toks = 0 instead of NaN/null: NaN
+    * sorts engine-dependently in the range partitioner's sample AND in the
+    * oracle's window order, so one empty crawl doc would make the selected
+    * set nondeterministic. Score 0 ranks it last — an empty doc never
+    * outranks a real one (law-tested in SelectionSpec).
     */
   private def scoredOf(docs: DataFrame): DataFrame = {
     val w = TextOps.words(col("text"))
+    val nw = size(w)
     docs.select(col("doc_id"), col("source"),
-      size(w).cast("long").as("toks"),
-      (size(filter(w, x => x.isin(TextOps.STOPWORDS: _*))).cast("double")
-        / size(w)).as("score"))
+      greatest(nw, lit(0)).cast("long").as("toks"),
+      when(nw <= 0, 0.0).otherwise(
+        size(filter(w, x => x.isin(TextOps.STOPWORDS: _*))).cast("double")
+          / nw).as("score"))
   }
 
   /** The two-phase range-partitioned prefix sum shared by [[budgetSelect]]
@@ -203,10 +212,11 @@ object Selection {
     Q("q_budget_select", Some(
       s"""WITH sc AS (
         |  SELECT doc_id, source,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-        |    CAST(len(list_filter(string_split(text, ' '),
+        |    CAST(greatest(len(string_split(text, ' ')), 0) AS BIGINT) AS toks,
+        |    CASE WHEN len(string_split(text, ' ')) <= 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(string_split(text, ' '),
         |         w -> w IN (${TextOps.StopwordsSql}))) AS DOUBLE)
-        |      / len(string_split(text, ' ')) AS score
+        |      / len(string_split(text, ' ')) END AS score
         |  FROM documents),
         |cum AS (
         |  SELECT *, sum(toks) OVER (
@@ -230,10 +240,11 @@ object Selection {
     Q("q_budget_per_source", Some(
       s"""WITH sc AS (
         |  SELECT doc_id, source,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-        |    CAST(len(list_filter(string_split(text, ' '),
+        |    CAST(greatest(len(string_split(text, ' ')), 0) AS BIGINT) AS toks,
+        |    CASE WHEN len(string_split(text, ' ')) <= 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(string_split(text, ' '),
         |         w -> w IN (${TextOps.StopwordsSql}))) AS DOUBLE)
-        |      / len(string_split(text, ' ')) AS score,
+        |      / len(string_split(text, ' ')) END AS score,
         |    CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
         |      WHEN 'src2' THEN 300 WHEN 'src5' THEN 1000 END AS budget
         |  FROM documents),

@@ -682,7 +682,7 @@ object VectorOps {
     * [[Retrieval.compactBm25Index]].
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String, maxFoldRows: Long = 64L * 1024 * 1024): Unit = {
     val G = graft.store.IndexGenerations
     val prev = G.current(spark, dir)
     val toFold = G.batches(spark, dir, "appends").filter(_._1 > prev.maxFolded)
@@ -698,8 +698,10 @@ object VectorOps {
           col("cell").cast("int").as("cell")))
     }
     val tgt = s"$dir/g${prev.gen + 1}"
-    // keyed by cell: each cell dir collapses to one file
-    assigned.repartition(col("cell"))
+    // keyed by cell: each cell dir collapses to one file; fat cells split
+    // into bounded sub-files ([[graft.store.IndexGenerations.boundedFold]])
+    graft.store.IndexGenerations.boundedFold(assigned, "cell",
+        xxhash64(col("neighbor_id")), maxFoldRows)
       .write.mode("overwrite").partitionBy("cell")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(s"$tgt/assignments")

@@ -48,12 +48,34 @@ object BloomSkip {
     * tables, as a permanent orphan no vacuum ever visits — so flat tables
     * keep it inside as `_bloom` (underscore = hidden to data listings;
     * explicit-path reads of the sidecar itself still work).
+    *
+    * The layout is decided by what [[TableStore.currentGeneration]]
+    * RESOLVED (`isGeneration`), never by the directory's NAME: a flat
+    * table whose root happens to be named `g<digits>` is still a flat
+    * table, and a name-pattern test would orphan its sidecar outside the
+    * table — the exact hazard the flat-vs-generation split exists to
+    * close.
     */
-  private def bloomPath(dataDir: String): Path = {
+  private def bloomPath(dataDir: String, isGeneration: Boolean): Path = {
     val p = new Path(dataDir)
-    if (p.getName.matches("g\\d+"))
-      new Path(p.getParent, s"bloom_${p.getName}")
+    if (isGeneration) new Path(p.getParent, s"bloom_${p.getName}")
     else new Path(p, "_bloom")
+  }
+
+  /** Where a READ should look: the canonical location, falling back — for
+    * flat tables only — to the pre-`_bloom` sibling convention
+    * (`<parent>/bloom_<name>`), so a sidecar built before the layout
+    * change keeps skipping until the next [[write]] rebuilds it in place.
+    */
+  private def readBloomPath(f: org.apache.hadoop.fs.FileSystem,
+      dataDir: String, isGeneration: Boolean): Path = {
+    val canonical = bloomPath(dataDir, isGeneration)
+    if (isGeneration || f.exists(new Path(canonical, "_SUCCESS"))) canonical
+    else {
+      val p = new Path(dataDir)
+      val legacy = new Path(p.getParent, s"bloom_${p.getName}")
+      if (f.exists(new Path(legacy, "_SUCCESS"))) legacy else canonical
+    }
   }
 
   /** Probe position `i` for value `v` — MUST match between build (executor
@@ -104,7 +126,8 @@ object BloomSkip {
     */
   def write(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "bloom sidecar needs >=1 column")
-    val dataDir = TableStore.resolveDataDir(spark, dir)
+    val gen = TableStore.currentGeneration(spark, dir)
+    val dataDir = gen.map(_._2).getOrElse(dir)
     val f = dataDirFs(spark, dataDir)
     val qualBase = f.makeQualified(new Path(dataDir)).toString
     val agg = udaf(new BloomAgg)
@@ -119,7 +142,7 @@ object BloomSkip {
     perCol.reduce(_ unionByName _)
       .select(rel.as("file"), col("col"), col("bits"))
       .coalesce(1).write.mode("overwrite")
-      .parquet(bloomPath(dataDir).toString)
+      .parquet(bloomPath(dataDir, gen.isDefined).toString)
   }
 
   /** Equality-pruned read: keep only files whose Bloom filter admits at
@@ -130,22 +153,31 @@ object BloomSkip {
   def readPrunedEq(spark: SparkSession, dir: String, colName: String,
       values: Seq[Long]): TableStore.PrunedRead = {
     require(values.nonEmpty, "readPrunedEq needs >=1 probe value")
-    val dataDir = TableStore.resolveDataDir(spark, dir)
+    val gen = TableStore.currentGeneration(spark, dir)
+    val dataDir = gen.map(_._2).getOrElse(dir)
     val f = dataDirFs(spark, dataDir)
-    val bp = bloomPath(dataDir)
+    val bp = readBloomPath(f, dataDir, gen.isDefined)
     val files = TableStore.listParquet(spark, dataDir)
     val kept =
       if (f.exists(new Path(bp, "_SUCCESS"))) {
         // one value MAY be present iff all K of its bits are set; a file
-        // survives iff ANY value may be present. Positions are literals —
-        // the whole verdict is a codegen'd boolean over the bits array.
-        def mayContain(v: Long): Column =
+        // survives iff ANY value may be present. The probe (word-index,
+        // mask) pairs are derived driver-side and shipped as ONE literal
+        // array-of-arrays evaluated by exists/forall — the plan stays
+        // CONSTANT-SIZE in the value count (a per-value boolean subtree,
+        // the earlier form, nests the conversion recursion ~5·N deep and
+        // overflows the stack by ~2.5k values), while the verdict still
+        // computes inside the sidecar scan and only the dropped-file list
+        // reaches the driver.
+        val probes: Seq[Seq[(Int, Long)]] = values.map { v =>
           (0 until K).map { i =>
             val p = position(v, i)
-            (element_at(col("bits"), p / 64 + 1)
-              .bitwiseAND(lit(1L << (p & 63)))) =!= 0L
-          }.reduce(_ && _)
-        val admits = values.map(mayContain).reduce(_ || _)
+            (p / 64 + 1, 1L << (p & 63))
+          }
+        }
+        val admits = exists(typedLit(probes), ps =>
+          forall(ps, s => element_at(col("bits"), s.getField("_1"))
+            .bitwiseAND(s.getField("_2")) =!= lit(0L)))
         val dropped = spark.read.parquet(bp.toString)
           .filter(col("col") === colName && !admits)
           .select("file").collect().iterator

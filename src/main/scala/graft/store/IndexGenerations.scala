@@ -1,7 +1,8 @@
 package graft.store
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, pmod, typedLit}
 
 /** Generation layout shared by the STORED-INDEX families (BM25 postings,
   * IVF assignments, IVF-PQ code tables) — the mechanism that keeps their
@@ -135,6 +136,43 @@ object IndexGenerations {
         val n = in.read(bytes)
         new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toLong
       } finally in.close()
+    }
+  }
+
+  /** Bounded-task fold layout shared by the compactors: repartition `df`
+    * so every `partCol` group (bucket / cell) lands whole in one task —
+    * each partition dir collapses to one file, the point of a fold —
+    * UNLESS the group exceeds `maxRows`, in which case it splits across
+    * `ceil(rows / maxRows)` sub-tasks keyed by `subKey`. Without the
+    * bound, `repartition(col(partCol))` puts 1/nBuckets of the WHOLE
+    * postings set in one task: at 100 TB with the default 64 buckets that
+    * is ~1.5 TB of fold input for one executor — an OOM/spill cliff the
+    * build scaladoc's "make nBuckets large" note only avoids if the caller
+    * read it. Rows proxy bytes here because postings rows are fixed-width
+    * (~tens of bytes); the default bound keeps a task's input in the
+    * low-GB range. Cost: one extra counting pass over the fold input
+    * (partial-agg, group-count collect bounded by the partition-value
+    * cardinality), paid only at compaction cadence.
+    */
+  def boundedFold(df: DataFrame, partCol: String, subKey: Column,
+      maxRows: Long = 64L * 1024 * 1024): DataFrame = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    val counts = df.groupBy(partCol).count().collect()
+      .map(r => String.valueOf(r.get(0)) ->
+        math.max(1L, (r.getLong(1) + maxRows - 1) / maxRows)).toMap
+    if (counts.valuesIterator.forall(_ == 1L)) df.repartition(col(partCol))
+    else {
+      val fat = counts.filter(_._2 > 1L)
+      System.err.println(s"[graft] boundedFold: ${fat.size} $partCol " +
+        s"group(s) exceed $maxRows rows (max split ${fat.values.max}); " +
+        "splitting into sub-files — consider a larger bucket modulus at " +
+        s"rebuild: ${fat.keys.toSeq.sorted.take(8).mkString(", ")}")
+      // string-keyed so int buckets and long cells share one literal form;
+      // sub-split keys come from subKey (a hash varying WITHIN a group —
+      // the group value itself is constant mod the bucket modulus)
+      val splits = coalesce(element_at(typedLit(counts),
+        col(partCol).cast("string")), lit(1L))
+      df.repartition(col(partCol), pmod(subKey, splits))
     }
   }
 

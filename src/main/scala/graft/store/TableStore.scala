@@ -403,6 +403,20 @@ object TableStore {
     val f = fs(spark, dir)
     val staging = s"$dir/.staging/append-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").partitionBy("date").parquet(staging)
+    // a live-rewrite-claim back-off re-runs under a FRESH staging uuid, so
+    // the staged copy this attempt produced would leak forever (invisible
+    // to reads, but a full batch of disk debris per back-off under
+    // contention) — reclaim it before propagating, outside the lock
+    try appendCommit(spark, f, dir, staging)
+    catch {
+      case e: ConcurrentWriteException =>
+        f.delete(new Path(staging), true); throw e
+    }
+  }
+
+  private def appendCommit(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, dir: String,
+      staging: String): Unit = {
     withCommitLock(f, dir, 30L * 60 * 1000) {
       val tgt = new Path(writeDir(spark, dir))
       f.mkdirs(tgt)
