@@ -20,6 +20,7 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // optional section filter: comma-separated names from {lsh, cosine,
     // textops, tick, ngram, cluster, boilerplate, bucket, phrase,
+    // probefetch,
     // ivfappend, zorder, merge, bloom, pagerank, bpe, sketch, triangles,
     // replace, ewma, semdecon, skyline, hotcluster, pq, labelprop,
     // containment, scd2, retrieval}; absent/empty = run all
@@ -350,6 +351,50 @@ object ScaleProbe {
         (if (hits2 == hits3) "" else "  MISMATCH"))
       batch.unpersist()
       d.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+
+    // ---- round-11 pruned candidate fetch: search cost flat vs corpus -------
+    // The claim behind phraseSearchPruned / ivfPqQueryPruned: with the
+    // candidate id set bounded by the index, the verify/rerank FETCH reads
+    // a bounded file set (Bloom-pruned) — so search cost tracks the
+    // candidate count while the corpus (and its store's file count) grows
+    // 10x. filesKept must track candidates, filesTotal the corpus.
+    if (want("probefetch")) for (copies <- Seq(1, 5, 10)) {
+      val d = replicateDocs(docs, copies).localCheckpoint()
+      val n = d.count()
+      val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+      java.nio.file.Files.createDirectories(base)
+      val dir = java.nio.file.Files
+        .createTempDirectory(base, "pfprobe").toString
+      time(s"probefetch build+store n=$n") {
+        graft.llm.PhraseIndex.buildPhraseIndex(d, s"$dir/index")
+        d.repartitionByRange(16 * copies, col("doc_id"))
+          .write.parquet(s"$dir/docs")
+        graft.store.BloomSkip.write(spark, s"$dir/docs", Seq("doc_id"))
+      }
+      var pf = (0, 0)
+      val hits = time(s"probefetch phrase      n=$n") {
+        graft.llm.PhraseIndex.phraseSearchPruned(spark, s"$dir/index",
+          s"$dir/docs", "key agg row",
+          onFetch = (k, t) => pf = (k, t)).count()
+      }
+      println(s"    phrase hits=$hits fetch=${pf._1}/${pf._2} files")
+      val e = replicateEmb(emb, copies).localCheckpoint()
+      val en = e.count()
+      val idx = graft.llm.Pq.buildIvfPqIndex(e)
+      e.repartitionByRange(16 * copies, col("vec_id"))
+        .write.parquet(s"$dir/corpus")
+      graft.store.BloomSkip.write(spark, s"$dir/corpus", Seq("vec_id"))
+      val queries = e.filter(col("vec_id") < 10)
+      var vf = (0, 0)
+      val rows = time(s"probefetch ivfpq       n=$en") {
+        graft.llm.Pq.ivfPqQueryPruned(idx, spark, s"$dir/corpus", queries,
+          k = 5, nProbe = 4, shortlist = 32,
+          onFetch = (k, t) => vf = (k, t)).count()
+      }
+      println(s"    ivfpq rows=$rows fetch=${vf._1}/${vf._2} files")
+      d.unpersist(); e.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
 

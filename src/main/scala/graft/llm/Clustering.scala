@@ -274,10 +274,21 @@ object Clustering {
     * guard fires on the isotropic fixture and the output equals
     * refine=0's; guard stays quiet on the separated fixture).
     */
+  /** The refine guard's measured verdict, surfaced to the CALLER (not
+    * just stderr): `auditRecall` is the bounded-sample pre-rank recall@k
+    * (−1 when the guard was disabled and nothing was measured),
+    * `usedPreRank` whether the SDC pre-rank was committed or the call
+    * fell back to the exact path. A production pipeline passes
+    * `onRefineAudit` and ALERTS on fallback / low recall instead of
+    * grepping driver logs for the warning line.
+    */
+  final case class RefineAudit(auditRecall: Double, usedPreRank: Boolean)
+
   def knnGraph(corpus: DataFrame, k: Int, nCells: Int = 16,
       nProbe: Int = 4, maxCell: Int = 0, refine: Int = 0,
       pqM: Int = 8, pqKsub: Int = 64,
-      guardMinRecall: Double = 0.9): DataFrame = {
+      guardMinRecall: Double = 0.9,
+      onRefineAudit: RefineAudit => Unit = _ => ()): DataFrame = {
     val idx = VectorOps.buildIvfIndex(corpus, nCells)
     val cells = idx.centroids.sortBy(_._1)
     val v = VectorOps.toDouble(col("embedding"))
@@ -360,7 +371,8 @@ object Clustering {
         // Below `guardMinRecall` (<= 0 disables the guard) the call warns
         // and falls back to the exact path — correctness degrades loudly,
         // never silently.
-        val guardOk = guardMinRecall <= 0 || {
+        val (auditRecall, guardOk) = if (guardMinRecall <= 0) (-1.0, true)
+        else {
           val auditIds = corpus.select(col("vec_id"))
             .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(50)
           val auditQ = corpus.join(broadcast(auditIds), Seq("vec_id"))
@@ -409,8 +421,9 @@ object Clustering {
               "isotropic/near-tie regime); falling back to the exact " +
               "path. Raise refine/pqKsub or pass guardMinRecall=0 to " +
               "force the pre-rank.")
-          ok
+          (recall, ok)
         }
+        onRefineAudit(RefineAudit(auditRecall, guardOk))
         if (!guardOk) exactCandidates
         else {
           val probedC = probed.join(graft.plans.Reattach.adaptive(
@@ -472,10 +485,11 @@ object Clustering {
   def semanticClusters(corpus: DataFrame, kNeighbors: Int = 8,
       nCells: Int = 16, nProbe: Int = 8, minCos: Double = 0.5,
       maxCell: Int = 0, refine: Int = 0,
-      guardMinRecall: Double = 0.9): DataFrame =
+      guardMinRecall: Double = 0.9,
+      onRefineAudit: RefineAudit => Unit = _ => ()): DataFrame =
     TextOps.dedupClusters(
       knnGraph(corpus, kNeighbors, nCells, nProbe, maxCell, refine,
-        guardMinRecall = guardMinRecall)
+        guardMinRecall = guardMinRecall, onRefineAudit = onRefineAudit)
         .filter(col("cos") >= minCos)
         .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b")))
 

@@ -47,9 +47,11 @@ object Selection {
     */
   private def scoredOf(docs: DataFrame): DataFrame = {
     val w = TextOps.words(col("text"))
-    val nw = size(w)
+    // coalesce: null text -> null words -> null size (or -1 under the
+    // legacy sizeOfNull flag); both regimes pin to toks = 0, score = 0
+    val nw = greatest(coalesce(size(w), lit(0)), lit(0))
     docs.select(col("doc_id"), col("source"),
-      greatest(nw, lit(0)).cast("long").as("toks"),
+      nw.cast("long").as("toks"),
       when(nw <= 0, 0.0).otherwise(
         size(filter(w, x => x.isin(TextOps.STOPWORDS: _*))).cast("double")
           / nw).as("score"))
@@ -202,6 +204,81 @@ object Selection {
   private def sqlList(ps: Seq[String]): String =
     ps.map(p => s"'$p'").mkString(", ")
 
+  /** The 7-stage curation chain q_pipeline_selection proves (gate → exact
+    * dedup → decontaminate → mix → blocklist → per-source budgets),
+    * returning the SELECTED frame (doc_id, source, toks, score, cum) —
+    * shared with q_pipeline_packed, which extends it through
+    * [[TextOps.packSequences]] into fixed-budget training sequences.
+    */
+  private def selectionChain(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val docs = Tables(s, d, "documents")
+    val kept = docs
+      .withColumn("n_words", size(w).cast("long"))
+      .withColumn("stop_ratio",
+        size(filter(w, x => x.isin(TextOps.STOPWORDS: _*)))
+          .cast("double") / size(w))
+      .filter(col("n_words") >= 30 && col("stop_ratio") > 0.01)
+    val keeps = TextOps.exactDedup(kept, col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val deduped = kept.join(keeps, "doc_id")
+    val decon = TextOps.decontaminate(deduped,
+      docs.filter(col("doc_id") % 10 === 0), "text")
+    val mixed = decon
+      .withColumn("rate",
+        when(col("source") === "src0", 100)
+          .when(col("source").isin("src1", "src2", "src3"), 50)
+          .otherwise(20))
+      .filter((col("doc_id") % 1000003L) * 31L % 100L < col("rate"))
+    val blocked = mixed.filter(size(
+      graft.functions.MatchPhrases.matchPhrases(col("text"),
+        Blocklist)) === 0)
+    // the gate already computed n_words/stop_ratio — select over the
+    // scored frame so the corpus text is tokenized exactly once
+    budgetSelectPerSourceScored(
+      blocked.select(col("doc_id"), col("source"),
+        col("n_words").as("toks"), col("stop_ratio").as("score")),
+      Map("src0" -> 600L, "src2" -> 300L, "src5" -> 400L))
+  }
+
+  /** The selection chain's CTEs restated for DuckDB, ending at `cum`
+    * (selected docs with per-source running totals) — the shared oracle
+    * prefix of q_pipeline_selection and q_pipeline_packed.
+    */
+  private def selectionChainSql: String =
+    s"""WITH scored AS (
+      |  SELECT doc_id, source, text,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |         w -> w IN (${TextOps.StopwordsSql}))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stop_ratio
+      |  FROM documents),
+      |kept AS (
+      |  SELECT * FROM scored WHERE n_words >= 30 AND stop_ratio > 0.01),
+      |dd AS (SELECT text, min(doc_id) AS keep_id FROM kept GROUP BY text),
+      |ded AS (SELECT k.* FROM kept k JOIN dd ON k.doc_id = dd.keep_id),
+      |dec AS (SELECT * FROM ded WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents e
+      |  WHERE e.doc_id % 10 = 0 AND e.text = ded.text)),
+      |mix AS (SELECT * FROM dec WHERE (doc_id % 1000003) * 31 % 100 <
+      |  CASE WHEN source = 'src0' THEN 100
+      |       WHEN source IN ('src1', 'src2', 'src3') THEN 50
+      |       ELSE 20 END),
+      |blk AS (
+      |  SELECT * FROM mix WHERE len(list_filter(
+      |    [${sqlList(Blocklist)}], p -> contains(text, p))) = 0),
+      |sc AS (
+      |  SELECT doc_id, source, CAST(n_words AS BIGINT) AS toks,
+      |    stop_ratio AS score,
+      |    CASE source WHEN 'src0' THEN 600 WHEN 'src2' THEN 300
+      |      WHEN 'src5' THEN 400 END AS budget
+      |  FROM blk),
+      |cum AS (
+      |  SELECT *, sum(toks) OVER (PARTITION BY source
+      |    ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM sc WHERE budget IS NOT NULL)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- L39: token-budget greedy selection -------------------------------
@@ -212,8 +289,9 @@ object Selection {
     Q("q_budget_select", Some(
       s"""WITH sc AS (
         |  SELECT doc_id, source,
-        |    CAST(greatest(len(string_split(text, ' ')), 0) AS BIGINT) AS toks,
-        |    CASE WHEN len(string_split(text, ' ')) <= 0 THEN 0.0
+        |    CAST(greatest(coalesce(len(string_split(text, ' ')), 0), 0)
+        |      AS BIGINT) AS toks,
+        |    CASE WHEN coalesce(len(string_split(text, ' ')), 0) <= 0 THEN 0.0
         |      ELSE CAST(len(list_filter(string_split(text, ' '),
         |         w -> w IN (${TextOps.StopwordsSql}))) AS DOUBLE)
         |      / len(string_split(text, ' ')) END AS score
@@ -240,8 +318,9 @@ object Selection {
     Q("q_budget_per_source", Some(
       s"""WITH sc AS (
         |  SELECT doc_id, source,
-        |    CAST(greatest(len(string_split(text, ' ')), 0) AS BIGINT) AS toks,
-        |    CASE WHEN len(string_split(text, ' ')) <= 0 THEN 0.0
+        |    CAST(greatest(coalesce(len(string_split(text, ' ')), 0), 0)
+        |      AS BIGINT) AS toks,
+        |    CASE WHEN coalesce(len(string_split(text, ' ')), 0) <= 0 THEN 0.0
         |      ELSE CAST(len(list_filter(string_split(text, ' '),
         |         w -> w IN (${TextOps.StopwordsSql}))) AS DOUBLE)
         |      / len(string_split(text, ' ')) END AS score,
@@ -273,76 +352,49 @@ object Selection {
     // corpus crosses the wire once in the dedup shuffle; every stage after
     // it is map-only until the selection's 32-byte-row range shuffle.
     Q("q_pipeline_selection", Some(
-      s"""WITH scored AS (
-        |  SELECT doc_id, source, text,
-        |    len(string_split(text, ' ')) AS n_words,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |         w -> w IN (${TextOps.StopwordsSql}))) AS DOUBLE)
-        |      / len(string_split(text, ' ')) AS stop_ratio
-        |  FROM documents),
-        |kept AS (
-        |  SELECT * FROM scored WHERE n_words >= 30 AND stop_ratio > 0.01),
-        |dd AS (SELECT text, min(doc_id) AS keep_id FROM kept GROUP BY text),
-        |ded AS (SELECT k.* FROM kept k JOIN dd ON k.doc_id = dd.keep_id),
-        |dec AS (SELECT * FROM ded WHERE NOT EXISTS (
-        |  SELECT 1 FROM documents e
-        |  WHERE e.doc_id % 10 = 0 AND e.text = ded.text)),
-        |mix AS (SELECT * FROM dec WHERE (doc_id % 1000003) * 31 % 100 <
-        |  CASE WHEN source = 'src0' THEN 100
-        |       WHEN source IN ('src1', 'src2', 'src3') THEN 50
-        |       ELSE 20 END),
-        |blk AS (
-        |  SELECT * FROM mix WHERE len(list_filter(
-        |    [${sqlList(Blocklist)}], p -> contains(text, p))) = 0),
-        |sc AS (
-        |  SELECT doc_id, source, CAST(n_words AS BIGINT) AS toks,
-        |    stop_ratio AS score,
-        |    CASE source WHEN 'src0' THEN 600 WHEN 'src2' THEN 300
-        |      WHEN 'src5' THEN 400 END AS budget
-        |  FROM blk),
-        |cum AS (
-        |  SELECT *, sum(toks) OVER (PARTITION BY source
-        |    ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM sc WHERE budget IS NOT NULL)
+      s"""$selectionChainSql
         |SELECT source, count(*) AS n_sel,
         |  CAST(sum(toks) AS BIGINT) AS tok_sum,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM cum WHERE cum <= budget
         |GROUP BY source ORDER BY source""".stripMargin),
-      (s, d) => {
-        val w = TextOps.words(col("text"))
-        val docs = Tables(s, d, "documents")
-        val kept = docs
-          .withColumn("n_words", size(w).cast("long"))
-          .withColumn("stop_ratio",
-            size(filter(w, x => x.isin(TextOps.STOPWORDS: _*)))
-              .cast("double") / size(w))
-          .filter(col("n_words") >= 30 && col("stop_ratio") > 0.01)
-        val keeps = TextOps.exactDedup(kept, col("text"), col("doc_id"))
-          .select(col("keep_id").as("doc_id"))
-        val deduped = kept.join(keeps, "doc_id")
-        val decon = TextOps.decontaminate(deduped,
-          docs.filter(col("doc_id") % 10 === 0), "text")
-        val mixed = decon
-          .withColumn("rate",
-            when(col("source") === "src0", 100)
-              .when(col("source").isin("src1", "src2", "src3"), 50)
-              .otherwise(20))
-          .filter((col("doc_id") % 1000003L) * 31L % 100L < col("rate"))
-        val blocked = mixed.filter(size(
-          graft.functions.MatchPhrases.matchPhrases(col("text"),
-            Blocklist)) === 0)
-        // the gate already computed n_words/stop_ratio — select over the
-        // scored frame so the corpus text is tokenized exactly once
-        budgetSelectPerSourceScored(
-          blocked.select(col("doc_id"), col("source"),
-            col("n_words").as("toks"), col("stop_ratio").as("score")),
-          Map("src0" -> 600L, "src2" -> 300L, "src5" -> 400L))
-          .groupBy("source")
-          .agg(cnt.as("n_sel"), sum("toks").as("tok_sum"),
-            sum("doc_id").as("id_sum"))
-          .orderBy("source")
-      }),
+      (s, d) => selectionChain(s, d)
+        .groupBy("source")
+        .agg(cnt.as("n_sel"), sum("toks").as("tok_sum"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("source")),
+
+    // ---- L∅++: the FULL training prep chain, selection THROUGH packing ----
+    // The one missing link after q_pipeline_selection: the selected set
+    // packs into fixed-budget training sequences (concat-and-split per
+    // source, ordered by doc_id) with per-(source, sequence) accounting —
+    // the artifact a trainer actually consumes. Scale shape: packing adds
+    // ONE window over the budget-bounded (≪ corpus) selected set of
+    // 32-byte rows — token counts ride from the gate, the corpus text is
+    // still tokenized exactly once end-to-end.
+    Q("q_pipeline_packed", Some(
+      s"""$selectionChainSql,
+        |sel AS (SELECT source, doc_id, toks FROM cum WHERE cum <= budget),
+        |packed AS (
+        |  SELECT source, doc_id, toks,
+        |    CAST(coalesce(sum(toks) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start
+        |  FROM sel)
+        |SELECT source, CAST(floor(start / 512) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS tok_sum,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM packed GROUP BY source, seq_id
+        |ORDER BY source, seq_id""".stripMargin),
+      (s, d) => TextOps.packSequences(selectionChain(s, d),
+          budget = 512L, partitionCols = Seq("source"),
+          orderCols = Seq("doc_id"), tokens = col("toks"))
+        .groupBy("source", "seq_id")
+        .agg(cnt.as("n_docs"), sum("n_tokens").as("tok_sum"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("source", "seq_id")),
 
     // ---- L40: blocklist filter (Aho–Corasick multi-phrase scan) -----------
     // Per-phrase hit counts + an id checksum of the flagged docs; the

@@ -172,7 +172,15 @@ object IndexGenerations {
       // the group value itself is constant mod the bucket modulus)
       val splits = coalesce(element_at(typedLit(counts),
         col(partCol).cast("string")), lit(1L))
-      df.repartition(col(partCol), pmod(subKey, splits))
+      // EXPLICIT partition count: without it AQE coalesces the (small at
+      // test scale, but also possible mid-range) shuffle back into few
+      // partitions and re-merges the very sub-groups the split created.
+      // 2x the combo count keeps hash-collision double-loading rare; the
+      // bound is then maxRows x small-constant, never bucket-sized.
+      val combos = math.min(counts.valuesIterator.sum, 32768L).toInt
+      val nParts = math.max(
+        df.sparkSession.sparkContext.defaultParallelism, 2 * combos)
+      df.repartition(nParts, col(partCol), pmod(subKey, splits))
     }
   }
 

@@ -289,12 +289,17 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
       (i.toLong, base.toSeq)
     }
     val df = rows.toDF("vec_id", "embedding")
+    var audit: Option[Clustering.RefineAudit] = None
     val graph = Clustering.knnGraph(df, k = 3, nCells = 3, nProbe = 3,
-      refine = 2)
+      refine = 2, onRefineAudit = a => audit = Some(a))
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val exact = VectorOps.bruteForceTopK(df, df, 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(graph == exact)
+    // the guard stays quiet on the separated corpus AND says so:
+    // committed pre-rank, measured recall at/above the threshold
+    assert(audit.exists(a => a.usedPreRank && a.auditRecall >= 0.9),
+      s"audit: $audit")
   }
 
   test("knnGraph refine self-guard: fires on an isotropic near-tie corpus " +
@@ -315,18 +320,29 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
       g.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val exact = edges(Clustering.knnGraph(df, k = 5, nCells = 4, nProbe = 4))
     // guarded refine: the audit recall is sub-threshold here, so the call
-    // must WARN and fall back — the graph equals the exact path's
+    // must WARN, fall back — AND surface the verdict to the caller
+    // through onRefineAudit (the production alerting hook; a pipeline
+    // must not have to grep driver logs to learn its dial was refused)
+    var audit: Option[Clustering.RefineAudit] = None
     val guarded = edges(Clustering.knnGraph(df, k = 5, nCells = 4,
-      nProbe = 4, refine = 2, pqKsub = 4))
+      nProbe = 4, refine = 2, pqKsub = 4, onRefineAudit = a => audit = Some(a)))
     assert(guarded === exact,
       "guard did not fall back to the exact path on the near-tie corpus")
+    val a = audit.getOrElse(fail("onRefineAudit not invoked"))
+    assert(!a.usedPreRank, "audit verdict disagrees with the fallback")
+    assert(a.auditRecall >= 0.0 && a.auditRecall < 0.9,
+      s"sub-threshold recall expected, got ${a.auditRecall}")
     // the guard is not vacuous: forcing the pre-rank (guardMinRecall=0)
     // on the same corpus yields a DIFFERENT neighbor set — exactly the
-    // silent divergence the guard exists to catch
+    // silent divergence the guard exists to catch; the audit reports
+    // the forced path (recall unmeasured = -1)
+    var forcedAudit: Option[Clustering.RefineAudit] = None
     val forced = edges(Clustering.knnGraph(df, k = 5, nCells = 4,
-      nProbe = 4, refine = 2, pqKsub = 4, guardMinRecall = 0.0))
+      nProbe = 4, refine = 2, pqKsub = 4, guardMinRecall = 0.0,
+      onRefineAudit = a => forcedAudit = Some(a)))
     assert(forced !== exact,
       "fixture does not exercise the quantization-loss regime")
+    assert(forcedAudit.exists(a => a.usedPreRank && a.auditRecall == -1.0))
   }
 
   test("SdcScore reads the (j,a,b) table exactly; the table is symmetric") {

@@ -115,6 +115,93 @@ class IndexCompactionSpec extends AnyFunSuite with SparkFixture {
     rm(dirInc, dirFull, dirAll)
   }
 
+  test("bm25: a HALF-LANDED batch (postings committed, stats missing — " +
+    "the two-write appender's crash window) is never folded; the replay " +
+    "completes it and the next compact folds it exactly once") {
+    val docs = docsDf
+    val queries = docs.select($"doc_id".as("query_id"),
+      array_distinct(split($"text", " ")).as("terms"))
+    def run(dir: String) =
+      Retrieval.bm25Stored(spark, dir, queries, k = 5, nBuckets = 8)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    val dir = tmp("bm25half")
+    Retrieval.buildBm25Index(docs.filter($"doc_id" < 3), dir, nBuckets = 8)
+    Retrieval.bm25IndexAppend(spark, dir, 1L,
+      docs.filter($"doc_id" >= 3 && $"doc_id" < 5), nBuckets = 8)
+    Retrieval.bm25IndexAppend(spark, dir, 2L,
+      docs.filter($"doc_id" >= 5 && $"doc_id" < 7), nBuckets = 8)
+    // crash between the two writes: batch 2's stats never committed
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/stats_appends/batch=2"))
+    Retrieval.compactBm25Index(spark, dir)
+    val b0 = IndexGenerations.current(spark, dir)
+    assert(b0.gen === 0 && b0.maxFolded === 1L,
+      "watermark crossed a half-landed batch — its replayed stats would " +
+        "be stranded below it forever")
+    // at-least-once replay completes batch 2; the NEXT compact folds it
+    Retrieval.bm25IndexAppend(spark, dir, 2L,
+      docs.filter($"doc_id" >= 5 && $"doc_id" < 7), nBuckets = 8)
+    Retrieval.compactBm25Index(spark, dir)
+    assert(IndexGenerations.current(spark, dir).maxFolded === 2L)
+    val dirFull = tmp("bm25halffull")
+    Retrieval.buildBm25Index(docs.filter($"doc_id" < 7), dirFull, nBuckets = 8)
+    assert(run(dir) === run(dirFull),
+      "replayed half-landed batch lost or double-counted")
+    rm(dir, dirFull)
+  }
+
+  test("bm25: the mirror half-landing (stats committed, postings missing) " +
+    "is not folded and not double-counted through replay + compact") {
+    val docs = docsDf
+    val queries = docs.select($"doc_id".as("query_id"),
+      array_distinct(split($"text", " ")).as("terms"))
+    def run(dir: String) =
+      Retrieval.bm25Stored(spark, dir, queries, k = 5, nBuckets = 8)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    val dir = tmp("bm25half2")
+    Retrieval.buildBm25Index(docs.filter($"doc_id" < 5), dir, nBuckets = 8)
+    Retrieval.bm25IndexAppend(spark, dir, 1L,
+      docs.filter($"doc_id" >= 5 && $"doc_id" < 7), nBuckets = 8)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/appends/batch=1"))
+    Retrieval.compactBm25Index(spark, dir) // folds the flat base only
+    assert(IndexGenerations.current(spark, dir).maxFolded === -1L)
+    Retrieval.bm25IndexAppend(spark, dir, 1L,
+      docs.filter($"doc_id" >= 5 && $"doc_id" < 7), nBuckets = 8)
+    Retrieval.compactBm25Index(spark, dir)
+    assert(IndexGenerations.current(spark, dir).maxFolded === 1L)
+    val dirFull = tmp("bm25half2full")
+    Retrieval.buildBm25Index(docs.filter($"doc_id" < 7), dirFull, nBuckets = 8)
+    assert(run(dir) === run(dirFull),
+      "orphan stats row folded twice or dropped")
+    rm(dir, dirFull)
+  }
+
+  test("phrase: a FAT bucket splits into bounded sub-files at fold time " +
+    "instead of one bucket-sized task; results unchanged") {
+    val docs = docsDf
+    val dir = tmp("phrasefat")
+    // 2 buckets over ~50 postings rows: both buckets exceed a 5-row task
+    // bound, so the fold must emit multiple files per bucket dir
+    PhraseIndex.buildPhraseIndex(docs, dir, n = 3, nBuckets = 2)
+    val before = PhraseIndex.phraseSearch(spark, dir, docs,
+      "the quick brown", n = 3, nBuckets = 2).as[Long].collect().toSet
+    assert(before.nonEmpty)
+    PhraseIndex.compactPhraseIndex(spark, dir, maxFoldRows = 5L)
+    assert(IndexGenerations.current(spark, dir).gen === 0)
+    val after = PhraseIndex.phraseSearch(spark, dir, docs,
+      "the quick brown", n = 3, nBuckets = 2).as[Long].collect().toSet
+    assert(after === before, "fold changed search results")
+    val files = parquetFiles(s"$dir/g0/grams")
+    val perBucket = files.groupBy(p =>
+      "bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("?"))
+    assert(perBucket.values.exists(_.size >= 2),
+      s"fat bucket not split: ${perBucket.view.mapValues(_.size).toMap}")
+    rm(dir)
+  }
+
   test("bm25: a reader PLANNED before a later compact+GC still " +
     "materializes against the grace generation") {
     val docs = docsDf

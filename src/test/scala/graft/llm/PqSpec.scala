@@ -133,6 +133,33 @@ class PqSpec extends AnyFunSuite with SparkFixture {
       new java.io.File(dir).getParentFile)
   }
 
+  test("ivfPqQueryPruned == ivfPqQuery bit-for-bit; the rerank fetch " +
+    "reads a BOUNDED file set of the corpus store, never the whole table") {
+    val queries = emb.filter($"vec_id" < 5)
+    val built = Pq.buildIvfPqIndex(emb)
+    val exact = Pq.ivfPqQuery(built, emb, queries, k = 5,
+      nProbe = 8, shortlist = 8)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val root = java.nio.file.Files.createTempDirectory("ivfpqpr").toString
+    // 50 range-laid files over the 500-vector fixture: ~10 ids per file,
+    // so a <=40-id shortlist leaves many files with no candidate to keep
+    emb.repartitionByRange(50, $"vec_id").write.parquet(s"$root/corpus")
+    graft.store.BloomSkip.write(spark, s"$root/corpus", Seq("vec_id"))
+    var fetch: Option[(Int, Int)] = None
+    val pruned = Pq.ivfPqQueryPruned(built, spark, s"$root/corpus", queries,
+        k = 5, nProbe = 8, shortlist = 8,
+        onFetch = (k, t) => fetch = Some((k, t)))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(pruned === exact)
+    val (kept, total) = fetch.getOrElse(fail("pruned fetch did not run"))
+    assert(total >= 40, s"corpus store has $total files — no grain")
+    // ~40 candidate ids over ~10-id files keeps ≈ total·(1−0.92^10) ≈ 29
+    // files; equality above pins zero correctness loss, this pins that a
+    // MATERIAL slice of the store is skipped (≥ 15 files at 50)
+    assert(kept <= total - 15, s"fetch kept $kept of $total files")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("ivfPqAppend: build-on-half + append-half EQUALS encoding the union " +
     "under fixed quantizers (the add-to-trained-index law)") {
     val low = emb.filter($"vec_id" < 250)

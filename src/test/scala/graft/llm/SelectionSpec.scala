@@ -37,6 +37,32 @@ class SelectionSpec extends AnyFunSuite with SparkFixture {
     assert(sel16 == Seq(0L, 1L, 2L))
   }
 
+  test("degenerate docs (null text) score 0 and never outrank real docs — " +
+    "no NaN enters the range partitioner or the selected set") {
+    val docs = Seq(
+      (0L, "the the the signal doc", "src0"),   // score 3/5
+      (1L, null.asInstanceOf[String], "src0"),  // degenerate: toks 0
+      (2L, "", "src0"),                          // one empty token: score 0
+      (3L, "the a the a", "src0")                // score 1.0, 4 toks
+    ).toDF("doc_id", "text", "source")
+    // neither crashes nor sorts nondeterministically; budget 9 takes the
+    // two scored docs (4 + 5 toks); the null doc (toks 0, score 0) ranks
+    // LAST among score-0 rows by id and must not displace anything
+    val sel = Selection.budgetSelect(docs, budget = 9L, parts = 2)
+      .select("doc_id", "toks", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(sel.map(_._1).toSeq === Seq(0L, 3L))
+    assert(sel.forall(r => !r._3.isNaN), s"NaN score leaked: ${sel.toSeq}")
+    // with a budget past every real doc, the zero-token docs are admitted
+    // at score 0 / toks 0 — present, harmless, deterministic
+    val all = Selection.budgetSelect(docs, budget = 100L, parts = 2)
+      .select("doc_id", "toks", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(all.length === 4)
+    val nullDoc = all.find(_._1 === 1L).get
+    assert(nullDoc._2 === 0L && nullDoc._3 === 0.0)
+  }
+
   test("budgetSelect: two-phase scan == driver-side global prefix sum, " +
     "invariant under the partition count") {
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))

@@ -115,6 +115,67 @@ class BloomSpec extends AnyFunSuite with SparkFixture {
     assert(orphans.isEmpty, s"generation-0 sidecars leaked: ${orphans.toSeq}")
   }
 
+  test("a 3k-value probe stays a constant-size plan (literal probe array " +
+    "+ exists/forall), prunes, and loses no rows") {
+    // the per-value boolean-subtree form nested the column-to-expression
+    // conversion ~5·N deep and overflowed the stack near 2.5k values —
+    // exactly the shortlist×queries shape the IVF-PQ rerank probes with
+    val dir = scatteredStore()
+    val probes = (0L until 3000L).map(i => i * 7919L % 1000000L).distinct
+    val pr = BloomSkip.readPrunedEq(spark, dir, "id", probes)
+    assert(pr.statsSource === "bloom")
+    val present = probes.filter(_ < 4000L)
+    val got = pr.df.filter($"id".isin(probes: _*)).select("id")
+      .as[Long].collect().toSet
+    assert(got === present.toSet, "pruned read lost probed rows")
+  }
+
+  test("a FLAT table whose root dir is NAMED g<digits> is still a flat " +
+    "table: sidecar lands inside it, not orphaned beside it") {
+    // layout is decided by what currentGeneration RESOLVES, never by the
+    // directory's name — the name-pattern trap this pins
+    val dir = tmpDir() + "/g5"
+    (0L until 400L).map { i =>
+      (i, s"p$i", java.sql.Date.valueOf(s"2024-01-0${i % 4 + 1}"))
+    }.toDF("id", "payload", "date")
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false)
+    BloomSkip.write(spark, dir, Seq("id"))
+    assert(f.exists(new org.apache.hadoop.fs.Path(dir, "_bloom")),
+      "g-named flat table's sidecar must live inside the table dir")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir).getParent, "bloom_g5")),
+      "sidecar orphaned OUTSIDE the table, keyed by the dir's name")
+    val pr = BloomSkip.readPrunedEq(spark, dir, "id", Seq(17L))
+    assert(pr.statsSource === "bloom")
+    assert(pr.filesKept < pr.filesTotal)
+    assert(pr.df.filter($"id" === 17L).count() === 1)
+  }
+
+  test("a flat table's PRE-_bloom sidecar at the legacy sibling location " +
+    "keeps being consulted until the next write rebuilds it in place") {
+    val dir = tmpDir() + "/legacy"
+    (0L until 400L).map { i =>
+      (i, s"p$i", java.sql.Date.valueOf(s"2024-01-0${i % 4 + 1}"))
+    }.toDF("id", "payload", "date")
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false)
+    BloomSkip.write(spark, dir, Seq("id"))
+    // relocate the sidecar to where the pre-change convention put it
+    assert(f.rename(new org.apache.hadoop.fs.Path(dir, "_bloom"),
+      new org.apache.hadoop.fs.Path(hp.getParent, "bloom_legacy")))
+    val pr = BloomSkip.readPrunedEq(spark, dir, "id", Seq(17L))
+    assert(pr.statsSource === "bloom")
+    assert(pr.filesKept < pr.filesTotal,
+      "legacy sibling sidecar ignored — skipping silently lost")
+    assert(pr.df.filter($"id" === 17L).count() === 1)
+    f.delete(new org.apache.hadoop.fs.Path(hp.getParent, "bloom_legacy"), true)
+  }
+
   test("probe positions are stable across build and probe sides") {
     // the build hashes executor-side through the aggregator, the probe
     // driver-side through position(): both must be THIS function

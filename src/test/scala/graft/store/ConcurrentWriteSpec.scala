@@ -330,6 +330,12 @@ class ConcurrentWriteSpec extends AnyFunSuite with SparkFixture {
     intercept[TableStore.ConcurrentWriteException] {
       TableStore.append(mkBatch("2024-08-03", 5 until 8), dir)
     }
+    // the backed-off attempt reclaims its staged batch copy: the re-run
+    // stages under a fresh uuid, so leftovers would leak one full batch
+    // of invisible disk debris per back-off
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/.staging")
+    assert(!f.exists(staging) || f.listStatus(staging).isEmpty,
+      "backed-off append leaked its staging dir")
     // an UNclaimed date commits freely in the same window
     TableStore.append(mkBatch("2024-08-04", 8 until 10), dir)
     assert(TableStore.read(spark, dir).count() === 7)
