@@ -46,6 +46,14 @@ object PhraseIndex {
     * and commit with a fold watermark covering every append batch present,
     * because the rebuild indexed the CURRENT corpus and pre-rebuild
     * appends must not union back in.
+    *
+    * Rebuilds need appender QUIESCENCE (a stronger contract than
+    * compaction's): an append racing the rebuild can land AFTER the
+    * watermark listing with the OLD (n, nBuckets) — it stays live, but
+    * its postings are bucketed mod a modulus the new searchers no longer
+    * probe (a silent recall hole, the exact mismatch `_meta` guards
+    * against between sessions). Pause the index's maintainer across a
+    * rebuild; plain compaction stays append-safe.
     */
   def buildPhraseIndex(docs: DataFrame, dir: String, n: Int = 3,
       nBuckets: Int = 64): Unit = {
@@ -60,11 +68,14 @@ object PhraseIndex {
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs",
         fresh.toString) // generation visibility is G.commit's _SUCCESS
       .parquet(s"$tgt/grams")
-    writeMeta(spark, dir, n, nBuckets)
-    if (!fresh) {
+    if (!fresh)
       G.commit(spark, dir, prev.gen + 1, (prev.maxFolded +: appendIds).max)
+    // meta AFTER the commit: a rebuild may CHANGE (n, nBuckets), and the
+    // root sidecar must never advertise parameters the live generation
+    // does not serve (validators racing the swap would spuriously reject)
+    writeMeta(spark, dir, n, nBuckets)
+    if (!fresh)
       G.gc(spark, dir, prev.gen + 1, prev, Seq("appends"), Seq("grams"))
-    }
   }
 
   /** The index's (n, nBuckets) sidecar. Appenders, searchers and the

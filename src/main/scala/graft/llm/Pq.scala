@@ -311,7 +311,9 @@ object Pq {
     // a rebuild over a live (generational or appended-to) index is a
     // generation swap: both quantizers may have retrained, so the commit's
     // fold watermark covers every append batch present — the rebuilt index
-    // REPLACES history (see [[VectorOps.writeIvfIndex]])
+    // REPLACES history. Appender QUIESCENCE required across a rebuild,
+    // per [[VectorOps.writeIvfIndex]] (a racing append would stay live
+    // with codes from the superseded quantizers)
     val tgt = if (fresh) dir else s"$dir/g${prev.gen + 1}"
     index.assignments.write.mode("overwrite").partitionBy("cell")
       .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")

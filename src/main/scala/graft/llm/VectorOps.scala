@@ -623,6 +623,14 @@ object VectorOps {
     * append batch present — the rebuilt index REPLACES history, so
     * pre-rebuild appends must not union back in — while in-flight readers
     * keep the generation they resolved.
+    *
+    * Rebuilds need appender QUIESCENCE (stronger than compaction's
+    * append-safety): an append racing the rebuild can land after the
+    * watermark listing, assigned with the OLD centroids — it stays live
+    * but probes against the retrained centroids no longer find it in the
+    * right cells (silent recall loss). Pause the index's maintainer
+    * across a rebuild ([[PhraseIndex.buildPhraseIndex]] has the same
+    * contract); plain compaction stays append-safe.
     */
   def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
     import index.assignments.sparkSession.implicits._
