@@ -30,7 +30,16 @@ import graft.query.Tables
   */
 object Dsir {
 
-  /** Per-doc unigram+bigram occurrences (doc_id, f). */
+  /** Per-doc unigram+bigram occurrences (doc_id, f).
+    *
+    * Deliberately TWO scans unioned, not one explode over a concat'd
+    * array: the fused single-pass form was measured (r11, isolated
+    * same-phase A/B) at q_dsir_select 1.17 -> 1.67 s — each union leg is a
+    * cheap fully-codegen'd scan+explode, while the concat builds a wider
+    * per-row array and loses that, despite shuffling 4 MB less. A true
+    * one-pass fix needs a counting DeclarativeAggregate (no explode),
+    * not a fused explode.
+    */
   private def features(docs: DataFrame, hashBuckets: Int): DataFrame = {
     val uni = docs.select(col("doc_id"),
       explode(TextOps.words(col("text"))).as("f"))

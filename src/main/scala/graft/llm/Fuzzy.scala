@@ -42,8 +42,18 @@ object Fuzzy {
     * rows inherit it by joining back on the string.
     */
   def fuzzyJoinPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    // SNAP the shared frames (r11): lazily, `base` (often a full-table
+    // aggregate in the caller) is rebuilt THREE times — under `variants`
+    // and under each of the two name re-attach joins — and `variants`
+    // (the explode + distinct, the expensive leg) TWICE, since the a/b
+    // projections differ and ReuseExchange cannot unify their exchanges
+    // (the r11 before-plan: 30 Exchanges / 16 scans). Both frames are
+    // bounded (base = the input rows; variants = ids × (len+1) 16-byte
+    // hash rows); blocks are ContextCleaner-reclaimed once the returned
+    // pair frame is GC'd (the Retrieval.bm25 pattern).
     val base = df.select(col(idCol).cast("long").as("id"),
       col(strCol).as("name"))
+      .localCheckpoint()
     // self + every single-deletion variant, hashed; ids only past this point
     val variants = base.select(col("id"), explode(array_union(
         array(col("name")),
@@ -53,6 +63,7 @@ object Fuzzy {
       .as("variant"))
       .select(col("id"), xxhash64(col("variant")).as("vh"))
       .distinct()
+      .localCheckpoint()
     val a = variants.select(col("vh"), col("id").as("id_a"))
     val b = variants.select(col("vh"), col("id").as("id_b"))
     val candidates = a.join(b, "vh")

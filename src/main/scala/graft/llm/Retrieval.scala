@@ -64,8 +64,15 @@ object Retrieval {
       .select(col("doc_id"), size(col("ws")).as("dl"),
         explode(col("ws")).as("term"))
       .join(broadcast(allTerms), Seq("term"), "left_semi")
+    // SNAP the matched-postings frame: `tf` feeds both the df aggregate
+    // and the scoring join, and unsnapped each consumer re-runs the full
+    // corpus tokenize + explode + semi-join + shuffle (two corpus passes
+    // where one suffices — the r11 before-plan). tf is match-bounded
+    // (query terms × matching docs), far under corpus scale; blocks are
+    // ContextCleaner-reclaimed once the returned ranking is GC'd.
     val tf = postings.groupBy("term", "doc_id")
       .agg(Tables.cnt.as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint()
     // df over matched postings IS the corpus-wide df for those terms
     val dfs = tf.groupBy("term").agg(Tables.cnt.as("df"))
     // corpus length stats: one scalar row, broadcast-crossed (PlanLint's
@@ -278,6 +285,10 @@ object Retrieval {
         Seq("th", "doc_id", "tf", "dl", "bucket"))
       .filter(col("bucket").isin(buckets.toSeq: _*)) // partition pruning
       .filter(col("th").isin(ths.toSeq: _*))
+    // NOT snapped (unlike the ad-hoc form's corpus-scan tf): both consumers
+    // re-read only the pruned buckets — a bounded, index-sized read — and a
+    // checkpoint here would hide the bucket partition filter from the
+    // executed plan (the RetrievalSpec scale-law assert)
     // df is DERIVED from the probed postings (a term's matched-posting
     // count IS its corpus-wide df — the ad-hoc form's identity); no
     // stored sidecar to maintain under appends

@@ -252,34 +252,52 @@ object Graph {
     * undirected edge frame `pairs` (u < v, distinct). See q_triangles for
     * the O(√m) out-degree bound the orientation buys.
     */
-  def triangleStats(pairs: DataFrame): DataFrame = {
-    val deg = pairs.select(col("u").as("node"))
-      .unionAll(pairs.select(col("v").as("node")))
-      .groupBy("node").agg(cnt.as("deg"))
-    val du = deg.select(col("node").as("u"), col("deg").as("du"))
-    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
-    val lower = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val o = pairs.join(du, "u").join(dv, "v")
-      .select(when(lower, col("u")).otherwise(col("v")).as("lo"),
-        when(lower, col("v")).otherwise(col("u")).as("hi"))
-    val e1 = o.select(col("lo").as("lo1"), col("hi").as("hi1"))
-    val e2 = o.select(col("lo").as("lo2"), col("hi").as("hi2"))
-    val wedges = e1.join(e2, col("lo2") === col("hi1"))
-    val tri = wedges.join(o,
-        col("lo") === col("lo1") && col("hi") === col("hi2"))
-      .agg(cnt.as("n_triangles"))
-    val wedge = deg.agg(
-      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("w"),
-      cnt.as("n_nodes"))
-    val nEdges = pairs.agg(cnt.as("n_edges"))
-    tri.crossJoin(wedge).crossJoin(nEdges)
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
-        // a wedge-free graph (perfect matching) has w=0: clustering is
-        // undefined → null, not a div-by-zero (ANSI mode would throw)
-        when(col("w") > 0,
-          round(lit(3.0) * col("n_triangles") / col("w"), 6))
-          .as("clustering"))
+  def triangleStats(pairs0: DataFrame): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    // the lazy tree reads `pairs` six times and the oriented edge set
+    // three times; unsnapped, the edge-build join re-executes under every
+    // consumer (the r11 before-plan carried 36 lineitem scans / 58
+    // Exchanges for ONE triangle count). Snap each shared frame once —
+    // edges, degrees, oriented edges are all O(m) — and every consumer
+    // reads blocks. The wedge join itself is unchanged (that is the
+    // algorithm's cost).
+    val pairs = pairs0.localCheckpoint()
+    try {
+      val deg = pairs.select(col("u").as("node"))
+        .unionAll(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(cnt.as("deg"))
+        .localCheckpoint() // read by du, dv and the wedge aggregate
+      try {
+        val du = deg.select(col("node").as("u"), col("deg").as("du"))
+        val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+        val lower = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val o = pairs.join(du, "u").join(dv, "v")
+          .select(when(lower, col("u")).otherwise(col("v")).as("lo"),
+            when(lower, col("v")).otherwise(col("u")).as("hi"))
+          .localCheckpoint() // read by e1, e2 and the closing join
+        try {
+          val e1 = o.select(col("lo").as("lo1"), col("hi").as("hi1"))
+          val e2 = o.select(col("lo").as("lo2"), col("hi").as("hi2"))
+          val wedges = e1.join(e2, col("lo2") === col("hi1"))
+          val tri = wedges.join(o,
+              col("lo") === col("lo1") && col("hi") === col("hi2"))
+            .agg(cnt.as("n_triangles"))
+          val wedge = deg.agg(
+            (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("w"),
+            cnt.as("n_nodes"))
+          val nEdges = pairs.agg(cnt.as("n_edges"))
+          tri.crossJoin(wedge).crossJoin(nEdges)
+            .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+              // a wedge-free graph (perfect matching) has w=0: clustering is
+              // undefined → null, not a div-by-zero (ANSI mode would throw)
+              when(col("w") > 0,
+                round(lit(3.0) * col("n_triangles") / col("w"), 6))
+                .as("clustering"))
+            .localCheckpoint() // one row; lets the O(m) snaps release
+        } finally { bridge.releaseLocalCheckpoint(o) }
+      } finally { bridge.releaseLocalCheckpoint(deg) }
+    } finally { bridge.releaseLocalCheckpoint(pairs) }
   }
 
   /** G3: synchronous label propagation over an undirected edge frame
@@ -302,6 +320,10 @@ object Graph {
     */
   def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"need >= 1 round, got $rounds")
+    // the union's two legs share the caller's pair-build exchange via
+    // ReuseExchange (measured: an extra pairs-level snap REGRESSED the
+    // build 1.36 -> 1.68 s — the eager materialization pass cost more
+    // than the reuse it chased); only the round-scanned edge frame snaps
     val e = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint() // scanned every round; snap once

@@ -60,6 +60,10 @@ object JsonQueries {
     // ---- P4/U3: null-guarded extraction — corrupt/missing JSON drops the row ----
     // from_json yields null for absent fields / broken records instead of
     // raising, mirroring the skip-and-log loop (preprocess.py:131-136).
+    // The parse is wrapped Opaque: pushing the null filter below the
+    // projection substitutes the alias and the plan carries TWO
+    // JsonToStructs nodes over the same `props` — every row pays the parse
+    // twice (r11 before-plan). Opaque pins one evaluation; values unchanged.
     Q("q_null_guard", Some(
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -68,7 +72,8 @@ object JsonQueries {
         |ORDER BY event_id""".stripMargin),
       (s, d) => Tables(s, d, "events")
         .select(col("event_id"),
-          from_json(col("props"), propsSchema).getField("k").as("k"))
+          graft.functions.Opaque.once(
+            from_json(col("props"), propsSchema).getField("k")).as("k"))
         .filter(col("k").isNotNull)
         .orderBy("event_id"))
   )
