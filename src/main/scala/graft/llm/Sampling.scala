@@ -119,6 +119,11 @@ object Sampling {
     */
   def temperatureMix(docs: org.apache.spark.sql.DataFrame, budget: Int,
       alpha: Double): org.apache.spark.sql.DataFrame = {
+    // `counts` is deliberately NOT snapped despite 3-4 lazy rebuilds: the
+    // r11 A/B measured localCheckpoint on it (here, in epochMix, and in
+    // the q_mix_epochs twin) at +8-15% — the map-side-combined count scan
+    // is cheaper than the eager barrier + block write it would save (the
+    // labelPropagation lesson; at larger SFs AQE reuses the exchange).
     val counts = docs.groupBy("source").agg(Tables.cnt.as("n"))
     val tot = counts.agg(sum(pow(col("n"), lit(alpha))).as("tw"))
     val quota = counts.crossJoin(broadcast(tot))
