@@ -18,10 +18,15 @@ import graft.query.Tables
   *   standard hybrid-search combiner) of a BM25 ranking and an exact
   *   cosine ranking over a shared id space.
   *
-  * Scale shape (100 TB): the corpus is scanned ONCE; postings are
-  * immediately semi-joined against the (broadcast) query-term set, so the
-  * only shuffle carries matched (term, doc) pairs with map-side partial
-  * aggregation — the ad-hoc analog of an inverted-index seek. Per-term
+  * Scale shape (100 TB): each corpus pass is a narrow codegen'd
+  * tokenize whose postings are immediately semi-joined against the
+  * (broadcast) query-term set, so the only shuffle carries matched
+  * (term, doc) pairs with map-side partial aggregation — the ad-hoc
+  * analog of an inverted-index seek. The df branch and the scoring
+  * branch each run that pass (column pruning narrows the df branch, so
+  * exchange reuse cannot unify them; materializing the shared frame was
+  * A/B-measured SLOWER in all forms — see the note at `tf`); when the
+  * per-batch scans dominate, use the stored index ([[bm25Stored]]). Per-term
   * document frequencies and the corpus length stats are tiny aggregates
   * that re-attach by broadcast. Ranking never sorts a corpus-sized frame:
   * per-query top-k runs the [[graft.plans.TopK]] heap plan (bounded
@@ -64,15 +69,24 @@ object Retrieval {
       .select(col("doc_id"), size(col("ws")).as("dl"),
         explode(col("ws")).as("term"))
       .join(broadcast(allTerms), Seq("term"), "left_semi")
-    // SNAP the matched-postings frame: `tf` feeds both the df aggregate
-    // and the scoring join, and unsnapped each consumer re-runs the full
-    // corpus tokenize + explode + semi-join + shuffle (two corpus passes
-    // where one suffices — the r11 before-plan). tf is match-bounded
-    // (query terms × matching docs), far under corpus scale; blocks are
-    // ContextCleaner-reclaimed once the returned ranking is GC'd.
+    // NOT materialized — the r12 adjudication of the r11 eager
+    // localCheckpoint the driver measured +38%/+36% slower. Three forms
+    // were A/B'd interleaved, cold JVM per leg, best-of-2 (sf0.1):
+    //   lazy            1.88/1.94/1.90 s  shuffle 4.02 MB  input 0.15 MB
+    //   localCheckpoint 2.77/2.03/1.82 s  shuffle 2.84 MB  input 25.2 MB
+    //   persist(M&D)    2.23/2.92/2.49 s  shuffle 7.17 MB  input 1.99 MB
+    // The lazy form's duplicated tf subtree is real (column pruning
+    // narrows the df branch, so its exchange canonicalizes differently
+    // and ReuseExchange cannot unify — verified in the executed plan),
+    // i.e. the ad-hoc batch pays TWO tokenize passes; but the snap's
+    // blocking materialization job + block write/read traffic costs more
+    // than the saved pass (the corpus tokenize is a cheap codegen'd scan;
+    // the barrier is not), and the cache's columnar ser/deser + AQE
+    // isolation costs more still. At a scale where the second tokenize
+    // pass dominates, the answer is the STORED index ([[bm25Stored]] —
+    // one build pass amortized over every batch), not a per-call snap.
     val tf = postings.groupBy("term", "doc_id")
       .agg(Tables.cnt.as("tf"), first(col("dl")).as("dl"))
-      .localCheckpoint()
     // df over matched postings IS the corpus-wide df for those terms
     val dfs = tf.groupBy("term").agg(Tables.cnt.as("df"))
     // corpus length stats: one scalar row, broadcast-crossed (PlanLint's
