@@ -64,6 +64,12 @@ object JsonQueries {
     // projection substitutes the alias and the plan carries TWO
     // JsonToStructs nodes over the same `props` — every row pays the parse
     // twice (r11 before-plan). Opaque pins one evaluation; values unchanged.
+    // The explicit props.isNotNull BEFORE the projection restores the scan
+    // pushdown Opaque's non-determinism otherwise blocks (r12; the r11
+    // after-plan had lost PushedFilters entirely): from_json(null) is null
+    // and the k-filter drops it anyway, so results are identical while the
+    // scan skips null-props rows — at scale, a real row-width win on a
+    // sparse column (guide §6).
     Q("q_null_guard", Some(
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -71,6 +77,7 @@ object JsonQueries {
         |WHERE json_extract_string(props, '$.k') IS NOT NULL
         |ORDER BY event_id""".stripMargin),
       (s, d) => Tables(s, d, "events")
+        .filter(col("props").isNotNull)
         .select(col("event_id"),
           graft.functions.Opaque.once(
             from_json(col("props"), propsSchema).getField("k")).as("k"))

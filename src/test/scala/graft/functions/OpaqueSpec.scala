@@ -19,7 +19,15 @@ class OpaqueSpec extends AnyFunSuite with SparkFixture {
   // constant-folded away by ConvertToLocalRelation and the control shows
   // nothing — the duplication under test is pushdown toward a scan
   private lazy val frame = {
-    val dir = java.nio.file.Files.createTempDirectory("opaque_spec").toString
+    val path = java.nio.file.Files.createTempDirectory("opaque_spec")
+    val dir = path.toString
+    // temp parquet is removed with the JVM, not left in /tmp
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(path.toFile)
+    }
     Seq(
       (1L, """{"k":"7"}"""), (2L, """not json"""), (3L, """{"x":1}"""),
       (4L, """{"k":"42"}"""), (5L, null.asInstanceOf[String])
@@ -51,7 +59,13 @@ class OpaqueSpec extends AnyFunSuite with SparkFixture {
         case j: org.apache.spark.sql.catalyst.expressions.JsonToStructs => j
       })).size
     }
-    assert(parses(plain) >= 2, "control: the optimizer duplicates the bare alias")
+    // assume, not assert: the control pins CURRENT Catalyst behavior
+    // (filter-pushdown alias substitution duplicates the expression). A
+    // Spark upgrade that stops duplicating would invalidate the control
+    // without making Opaque wrong — cancel with the actionable message
+    // instead of failing the suite.
+    assume(parses(plain) >= 2,
+      "optimizer no longer duplicates the bare alias — Opaque may be removable")
     assert(parses(wrapped) === 1, "Opaque must pin exactly one evaluation")
   }
 }
