@@ -16,9 +16,9 @@ import graft.query.Tables.cnt
   * 100 TB design stance:
   *  - k-means assignment is a narrow codegen'd argmin map over K broadcast
   *    centroid literals — no shuffle, no join for the corpus side; the
-  *    centroid update shuffles only k x dim x partitions partial sums
-  *    (map-side partial aggregation), independent of corpus size. Each
-  *    Lloyd iteration is exactly one corpus scan.
+  *    centroid update shuffles only k x partitions partial-sum rows (dim
+  *    sums wide, map-side partial aggregation), independent of corpus
+  *    size. Each Lloyd iteration is exactly one corpus scan.
   *  - semantic dedup bounds the quadratic pair stage by CLUSTER, the
   *    SemDeDup construction: k grows with the corpus so per-cluster
   *    populations stay bounded, and only same-cluster pairs are ever
@@ -67,13 +67,14 @@ object Clustering {
   /** Distributed Lloyd k-means over (idCol, vecCol: array<double>).
     *
     * Seeds are the `k` lowest-id vectors (one TakeOrdered job,
-    * deterministic); each iteration then runs ONE corpus scan: the argmin
-    * assignment (narrow map over K literal centroids) feeds a posexplode +
-    * (cluster, dim) hash aggregate whose map-side partials bound the
-    * exchange at k x dim x partitions rows, and the k x dim mean matrix —
-    * all that ever reaches the driver — rebuilds the centroids for the next
-    * round. Empty clusters keep their previous centroid (deterministic, no
-    * reseeding RNG).
+    * deterministic); each iteration then runs ONE corpus scan with NO
+    * corpus-sized exchange: the argmin assignment (narrow map over K
+    * literal centroids) keys a single hash aggregate whose per-dim
+    * `sum(element_at(v, i))` columns do the centroid sums in place —
+    * map-side partials bound the exchange at k x partitions rows, and
+    * the k x dim mean matrix — all that ever reaches the driver —
+    * rebuilds the centroids for the next round. Empty clusters keep
+    * their previous centroid (deterministic, no reseeding RNG).
     *
     * This is the EXACT full-corpus refinement; when scans are the budget,
     * train on a bounded sample instead ([[VectorOps.ivfCentroids]] — one
@@ -108,28 +109,38 @@ object Clustering {
     val dim = seeds.head.length
     var cents: IndexedSeq[(Int, Seq[Double])] =
       seeds.take(kEff).zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq
+    // Per-dim sums in ONE hash aggregate keyed by cluster (r12, VERDICT
+    // r11 item 2). The pre-r12 form ran `repartition + posexplode +
+    // groupBy(cluster, dim)` per iteration: the keyless repartition moved
+    // ALL n x (dim+1) doubles through an exchange every round (it existed
+    // only as a CollapseProject barrier so the argmin kernel would not be
+    // duplicated into the post-Generate projection — the round-8 probe),
+    // and the explode fanned every row into dim rows, each paying a
+    // (cluster, dim) hash probe. `sum(element_at(v, i))` needs no
+    // Generate (the CollapseProject hazard is gone with the explode), no
+    // barrier exchange, and ONE hash probe per row: the corpus-sized
+    // exchange per iteration is REMOVED; the only shuffle left is the
+    // k x partitions partial-aggregate rows. Requires fixed-dim vectors
+    // (dim from the seeds — already this function's contract; ANSI
+    // element_at would throw on a short vector instead of silently
+    // skipping dims, which is the better failure).
     for (_ <- 1 to iters) {
+      val sumCols = (0 until dim).map(i =>
+        sum(element_at(col("__v"), i + 1)).as(s"s$i")) :+ cnt.as("n")
       val stats = corpus
+        .filter(col(vecCol).isNotNull) // match posexplode: null rows count nowhere
         .select(clusterOf(cents)(col(vecCol)).as("cluster"),
           col(vecCol).as("__v"))
-        // BARRIER before the explode: without it CollapseProject merges
-        // the argbest kernel into the post-Generate projection and the
-        // k x dim assignment loop runs once per EXPLODED ELEMENT — dim x
-        // redundant work (measured 55 s vs 2.7 s per iteration at
-        // n=200k, k=1600, dim=64 — the round-8 `semprof` probe). The
-        // exchange moves n x (dim+1) doubles once per iteration, orders
-        // of magnitude under the kernel work it prevents.
-        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-        .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim")
-        .agg(sum("x").as("s"), cnt.as("n"))
+        .groupBy("cluster")
+        .agg(sumCols.head, sumCols.tail: _*)
         .collect()
       val sums = Array.fill(kEff, dim)(0.0)
       val ns = new Array[Long](kEff)
       stats.foreach { r =>
         val c = r.getInt(0)
-        sums(c)(r.getInt(1)) = r.getDouble(2)
-        ns(c) = r.getLong(3)
+        var i = 0
+        while (i < dim) { sums(c)(i) = r.getDouble(i + 1); i += 1 }
+        ns(c) = r.getLong(dim + 1)
       }
       cents = IndexedSeq.tabulate(kEff) { i =>
         if (ns(i) == 0L) (i, cents(i)._2)
