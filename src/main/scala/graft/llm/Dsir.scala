@@ -21,26 +21,42 @@ import graft.query.Tables
   * DuckDB oracle restates (no cross-engine xxhash — the same
   * fixture-vs-production split as nCells=16 in the IVF keys).
   *
-  * Scale shape: the raw corpus featurizes ONCE into a (doc, f, c) frame
-  * (map-side-combined group-by); the raw model is a re-aggregate of that
-  * frame, never a second scan. Model tables are vocab/bucket-sized; the
+  * Scale shape: featurization is a ROW-LOCAL counting kernel
+  * ([[graft.functions.UnibiCounts]]) — the (doc, f, c) frame is a pure
+  * map over the scan with no token-grain fan-out and NO shuffle (the
+  * per-doc counts the r11 form bought with the suite's largest exchange
+  * are per-row state). Model tables are vocab/bucket-sized; the
   * per-doc scoring join is hinted SHUFFLE_HASH (model as build side) so
   * the doc-feature stream never sorts. Scalars (V, totals) ride a 1-row
   * broadcast. Selection is a bounded TakeOrdered, not a global sort.
   */
 object Dsir {
 
-  /** Per-doc unigram+bigram occurrences (doc_id, f).
-    *
-    * Deliberately TWO scans unioned, not one explode over a concat'd
-    * array: the fused single-pass form was measured (r11, isolated
-    * same-phase A/B) at q_dsir_select 1.17 -> 1.67 s — each union leg is a
-    * cheap fully-codegen'd scan+explode, while the concat builds a wider
-    * per-row array and loses that, despite shuffling 4 MB less. A true
-    * one-pass fix needs a counting DeclarativeAggregate (no explode),
-    * not a fused explode.
+  /** Per-doc feature counts (doc_id, f, c) — ONE row-local counting
+    * kernel ([[graft.functions.UnibiCounts]]) + an explode of the
+    * already-aggregated map. No token-grain fan-out, no (doc_id, f)
+    * count shuffle: a document's feature counts need no cross-row
+    * information, so the r11 pipeline (two explode scans unioned +
+    * `groupBy(doc_id, f).count()` — the suite's largest shuffle at
+    * 15.8 MB) computed per-row state with a corpus-wide exchange. The
+    * r11 note here anticipated this ("a true one-pass fix needs a
+    * counting aggregate, not a fused explode") — per-ROW counting is
+    * even cheaper than a DeclarativeAggregate: nothing crosses rows at
+    * all. [[featuresReference]] keeps the HOF explode form as the
+    * drift-guard definition (DsirSpec parity law, both key modes).
     */
-  private def features(docs: DataFrame, hashBuckets: Int): DataFrame = {
+  private def docFeatureCounts(docs: DataFrame, hashBuckets: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.UnibiCounts
+        .unibiCounts(col("text"), hashBuckets)).as(Seq("f", "c")))
+
+  /** The composed-HOF reference form: per-doc unigram+bigram occurrence
+    * ROWS (doc_id, f), one row per occurrence — `groupBy(doc_id, f)
+    * .count()` over it restates [[docFeatureCounts]] by definition.
+    * Kept for the DsirSpec drift-guard.
+    */
+  private[llm] def featuresReference(docs: DataFrame,
+      hashBuckets: Int): DataFrame = {
     val uni = docs.select(col("doc_id"),
       explode(TextOps.words(col("text"))).as("f"))
     val bi = docs.select(col("doc_id"),
@@ -57,10 +73,9 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, isTarget: Column,
       hashBuckets: Int = 0): DataFrame = {
-    val docF = features(docs.filter(!isTarget), hashBuckets)
-      .groupBy("doc_id", "f").agg(Tables.cnt.as("c"))
-    val tf = features(docs.filter(isTarget), hashBuckets)
-      .groupBy("f").agg(Tables.cnt.as("tc"))
+    val docF = docFeatureCounts(docs.filter(!isTarget), hashBuckets)
+    val tf = docFeatureCounts(docs.filter(isTarget), hashBuckets)
+      .groupBy("f").agg(sum(col("c")).as("tc"))
     val rf = docF.groupBy("f").agg(sum(col("c")).as("rc"))
     val model = tf.join(rf, Seq("f"), "full_outer")
       .select(col("f"), coalesce(col("tc"), lit(0L)).as("tc"),

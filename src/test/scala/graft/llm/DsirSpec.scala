@@ -32,6 +32,23 @@ class DsirSpec extends AnyFunSuite with SparkFixture {
     assert(selMean > corpusMean)
   }
 
+  test("counting kernel == HOF explode+groupBy reference, both key modes") {
+    // the r12 row-local UnibiCounts kernel replaced the explode-union +
+    // groupBy(doc_id, f).count() pipeline; DSIR weights feed oracle-hashed
+    // selection, so the two featurizers must never drift — pin exact
+    // (string) and hashed (bucketed xxhash64) modes on the fixture corpus
+    for (buckets <- Seq(0, 4096)) {
+      val kernel = docs.select(col("doc_id"),
+          explode(graft.functions.UnibiCounts
+            .unibiCounts(col("text"), buckets)).as(Seq("f", "c")))
+        .orderBy("doc_id", "f").collect().toSeq
+      val reference = Dsir.featuresReference(docs, buckets)
+        .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+        .orderBy("doc_id", "f").collect().toSeq
+      assert(kernel === reference, s"buckets=$buckets")
+    }
+  }
+
   test("hashed-bucket form tracks the exact-feature form") {
     def top(hashBuckets: Int): Set[Long] =
       Dsir.importanceWeights(docs, isTarget, hashBuckets)
