@@ -917,14 +917,20 @@ object VectorOps {
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(x => if (n > 0) x / n else 0.0)
     }
+    // the kernel runs on the RAW double vector and the row norm divides
+    // the emitted dot AFTERWARDS (r12): argmax over dot(v, c)/||v|| is the
+    // argmax over dot(v, c) — scaling by a positive per-row constant
+    // preserves the order and the tie policy — so the per-row interpreted
+    // `transform(x => x / n)` HOF (64 lambda calls + an array allocation
+    // per row, outside whole-stage codegen) is unnecessary; only the
+    // threshold compare needs the true cosine, one division per row.
     corpus
       .withColumn("__vd", toDouble(col(vecCol)))
       .withColumn("__n", l2norm(col("__vd")))
       .filter(col("__n") > 0) // a zero vector has no direction, no cosine
-      .withColumn("__u", transform(col("__vd"), x => x / col("__n")))
       .withColumn("__bc", GraftFunctions.bestCentroid(
-        col("__u"), units.flatten.toSeq, dim))
-      .filter(col("__bc.dot") >= cosThreshold)
+        col("__vd"), units.flatten.toSeq, dim))
+      .filter(col("__bc.dot") / col("__n") >= cosThreshold)
       .select(col(idCol),
         element_at(lit(ev.map(_._1)), col("__bc.idx") + 1).as("eval_id"))
   }
@@ -1029,7 +1035,15 @@ object VectorOps {
         val corpus = emb
           .select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
           .unionByName(planted)
+        // output-sized exchange BELOW the global sort (r12): orderBy's
+        // range partitioner SAMPLES its child, and with no exchange in
+        // between the sample re-ran the whole kernel scan — the probe
+        // showed two ~0.65 s jobs for one corpus pass. With the
+        // repartition, AQE materializes the kernel stage once and the
+        // sampler reads its shuffle output (contaminated-rows-sized at
+        // any scale, ≪ a corpus pass).
         semanticContaminationPairs(corpus, evalSet, 0.9)
+          .repartition(col("vec_id"))
           .orderBy("vec_id")
       }),
 
