@@ -51,19 +51,18 @@ object Fuzzy {
     // bounded (base = the input rows; variants = ids × (len+1) 16-byte
     // hash rows); blocks are ContextCleaner-reclaimed once the returned
     // pair frame is GC'd (the Retrieval.bm25 pattern).
-    val base = df.select(col(idCol).cast("long").as("id"),
-      col(strCol).as("name"))
-      .localCheckpoint()
+    val base = graft.plans.Snap.snap(
+      df.select(col(idCol).cast("long").as("id"), col(strCol).as("name")))
     // self + every single-deletion variant, hashed; ids only past this point
-    val variants = base.select(col("id"), explode(array_union(
-        array(col("name")),
-        transform(sequence(lit(0), length(col("name")) - 1),
-          i => concat(col("name").substr(lit(1), i),
-            col("name").substr(i + lit(2), length(col("name")))))))
-      .as("variant"))
+    val variants = graft.plans.Snap.snap(base.select(col("id"),
+        explode(array_union(
+          array(col("name")),
+          transform(sequence(lit(0), length(col("name")) - 1),
+            i => concat(col("name").substr(lit(1), i),
+              col("name").substr(i + lit(2), length(col("name")))))))
+        .as("variant"))
       .select(col("id"), xxhash64(col("variant")).as("vh"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val a = variants.select(col("vh"), col("id").as("id_a"))
     val b = variants.select(col("vh"), col("id").as("id_b"))
     val candidates = a.join(b, "vh")

@@ -60,11 +60,12 @@ object Graph {
     require(iters >= 1, "pageRank needs >=1 iteration")
     val n = nNodes.getOrElse(nodes.count())
     require(n > 0, "pageRank over an empty vertex set")
-    // outw once, stapled to each edge; checkpointed so the 8-iteration
+    // outw once, stapled to each edge; snapped so the 8-iteration
     // lazy plan re-reads blocks instead of re-running the join per round
+    // (mode knob: [[graft.plans.Snap]])
     val outw = edges.groupBy("src").agg(sum("w").as("outw"))
-    val e = edges.join(outw, "src")
-      .select("src", "dst", "w", "outw").localCheckpoint()
+    val e = graft.plans.Snap.snap(edges.join(outw, "src")
+      .select("src", "dst", "w", "outw"))
     val bridge = org.apache.spark.sql.graft.ColumnBridge
     try {
       val teleport = lit(math.round((1.0 - damping) / n * SCALE))
@@ -94,7 +95,7 @@ object Graph {
       rounds.foreach(bridge.releaseLocalCheckpoint) // out is independent of them
       out
     } finally {
-      bridge.releaseLocalCheckpoint(e)
+      graft.plans.Snap.release(e)
     }
   }
 
@@ -253,29 +254,32 @@ object Graph {
     * the O(√m) out-degree bound the orientation buys.
     */
   def triangleStats(pairs0: DataFrame): DataFrame = {
-    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val snap = graft.plans.Snap
     // the lazy tree reads `pairs` six times and the oriented edge set
     // three times; unsnapped, the edge-build join re-executes under every
     // consumer (the r11 before-plan carried 36 lineitem scans / 58
     // Exchanges for ONE triangle count). Snap each shared frame once —
     // edges, degrees, oriented edges are all O(m) — and every consumer
     // reads blocks. The wedge join itself is unchanged (that is the
-    // algorithm's cost).
-    val pairs = pairs0.localCheckpoint()
+    // algorithm's cost). NOTE: `pairs` is O(dataset) — on an elastic
+    // cluster run this path under `spark.graft.snapMode=persist` (or
+    // `reliable`), the executor-loss-safe modes ([[graft.plans.Snap]]);
+    // the `local` default is the static-executor / local[*] contract.
+    val pairs = snap.snap(pairs0)
     try {
-      val deg = pairs.select(col("u").as("node"))
+      val deg = snap.snap(pairs.select(col("u").as("node"))
         .unionAll(pairs.select(col("v").as("node")))
         .groupBy("node").agg(cnt.as("deg"))
-        .localCheckpoint() // read by du, dv and the wedge aggregate
+      ) // read by du, dv and the wedge aggregate
       try {
         val du = deg.select(col("node").as("u"), col("deg").as("du"))
         val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
         val lower = col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v"))
-        val o = pairs.join(du, "u").join(dv, "v")
+        val o = snap.snap(pairs.join(du, "u").join(dv, "v")
           .select(when(lower, col("u")).otherwise(col("v")).as("lo"),
             when(lower, col("v")).otherwise(col("u")).as("hi"))
-          .localCheckpoint() // read by e1, e2 and the closing join
+        ) // read by e1, e2 and the closing join
         try {
           val e1 = o.select(col("lo").as("lo1"), col("hi").as("hi1"))
           val e2 = o.select(col("lo").as("lo2"), col("hi").as("hi2"))
@@ -287,17 +291,17 @@ object Graph {
             (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("w"),
             cnt.as("n_nodes"))
           val nEdges = pairs.agg(cnt.as("n_edges"))
-          tri.crossJoin(wedge).crossJoin(nEdges)
+          snap.snap(tri.crossJoin(wedge).crossJoin(nEdges)
             .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
               // a wedge-free graph (perfect matching) has w=0: clustering is
               // undefined → null, not a div-by-zero (ANSI mode would throw)
               when(col("w") > 0,
                 round(lit(3.0) * col("n_triangles") / col("w"), 6))
                 .as("clustering"))
-            .localCheckpoint() // one row; lets the O(m) snaps release
-        } finally { bridge.releaseLocalCheckpoint(o) }
-      } finally { bridge.releaseLocalCheckpoint(deg) }
-    } finally { bridge.releaseLocalCheckpoint(pairs) }
+          ) // one row; lets the O(m) snaps release
+        } finally { snap.release(o) }
+      } finally { snap.release(deg) }
+    } finally { snap.release(pairs) }
   }
 
   /** G3: synchronous label propagation over an undirected edge frame
@@ -324,9 +328,10 @@ object Graph {
     // ReuseExchange (measured: an extra pairs-level snap REGRESSED the
     // build 1.36 -> 1.68 s — the eager materialization pass cost more
     // than the reuse it chased); only the round-scanned edge frame snaps
-    val e = pairs.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint() // scanned every round; snap once
+    val e = graft.plans.Snap.snap(
+      pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+    ) // scanned every round; snap once (mode knob: graft.plans.Snap)
     try {
       var labels = e.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
@@ -337,9 +342,9 @@ object Graph {
           Seq(col("votes").desc, col("label").asc), 1)
           .select(col("n").as("node"), col("label"))
       }
-      labels.localCheckpoint() // node-count rows; lets the edge snap go
+      graft.plans.Snap.snap(labels) // node-count rows; lets the edge snap go
     } finally {
-      org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(e)
+      graft.plans.Snap.release(e)
     }
   }
 }

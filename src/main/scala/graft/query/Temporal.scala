@@ -343,13 +343,12 @@ object Behavior {
         // ~6x; before-plan 22 Exchanges / 12 scans). Each stage frame is
         // user-bounded (<= distinct users); snapping s1/s2 leaves exactly
         // one corpus scan per stage — the funnel's inherent cost.
-        val s1 = e.filter(col("event_type") === "signup")
-          .groupBy("user_id").agg(min("ts").as("t1"))
-          .localCheckpoint()
-        val s2 = e.join(s1, "user_id")
+        val s1 = graft.plans.Snap.snap(
+          e.filter(col("event_type") === "signup")
+            .groupBy("user_id").agg(min("ts").as("t1")))
+        val s2 = graft.plans.Snap.snap(e.join(s1, "user_id")
           .filter(col("event_type") === "click" && col("ts") > col("t1"))
-          .groupBy("user_id").agg(min("ts").as("t2"))
-          .localCheckpoint()
+          .groupBy("user_id").agg(min("ts").as("t2")))
         val s3 = e.join(s2, "user_id")
           .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
           .groupBy("user_id").agg(min("ts").as("t3"))

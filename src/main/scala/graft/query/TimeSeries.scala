@@ -144,16 +144,15 @@ object TimeSeries {
         // 8 scans). One localCheckpoint makes the scaladoc's "ONE hash
         // aggregate over the corpus" literally true; 10-row blocks are
         // ContextCleaner-reclaimed with the result.
-        val h = e.groupBy("bucket").agg(
+        val h = graft.plans.Snap.snap(e.groupBy("bucket").agg(
           sum(when(!col("late"), 1L).otherwise(0L)).as("na"),
-          sum(when(col("late"), 1L).otherwise(0L)).as("nb"))
-          .localCheckpoint()
+          sum(when(col("late"), 1L).otherwise(0L)).as("nb")))
         val t = h.agg(sum("na").as("ta"), sum("nb").as("tb"))
         val p = (col("na") + 0.5) / (col("ta") + 5.0)
         val q = (col("nb") + 0.5) / (col("tb") + 5.0)
-        val c = h.crossJoin(broadcast(t))
+        val c = graft.plans.Snap.snap(h.crossJoin(broadcast(t))
           .withColumn("contrib", (p - q) * log(p / q))
-          .localCheckpoint() // read by `tot` and the final projection
+        ) // read by `tot` and the final projection
         // total via a 1-row broadcast, not an unpartitioned window
         val tot = c.agg(sum("contrib").as("psi"))
         c.crossJoin(broadcast(tot))
