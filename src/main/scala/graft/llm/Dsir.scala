@@ -89,7 +89,19 @@ object Dsir {
       .select(col("f"),
         (log((col("tc") + lit(1.0)) / (col("tt") + col("v"))) -
          log((col("rc") + lit(1.0)) / (col("tr") + col("v")))).as("lr"))
-    docF.join(ratio.hint("shuffle_hash"), Seq("f"))
+    // the scoring join runs on 8-byte feature hashes when features are
+    // strings (r12, guide §2.3 "narrower types"): past this join nothing
+    // reads `f` — only Σ c·lr per doc — so the doc-feature stream (the
+    // corpus-scale side) and the ratio build side shuffle 8-byte keys
+    // instead of gram strings (bigrams dominate the bytes). Hash-grain ≡
+    // string-grain up to 2⁻⁶⁴ — the engine-wide accepted identity
+    // (SubstringDedup / Fuzzy / the stored-BM25 `th` keys). The hashed-
+    // bucket mode's `f` is already a long; it joins as-is.
+    val (docFJ, ratioJ) =
+      if (hashBuckets > 0) (docF, ratio)
+      else (docF.select(col("doc_id"), xxhash64(col("f")).as("f"), col("c")),
+        ratio.select(xxhash64(col("f")).as("f"), col("lr")))
+    docFJ.join(ratioJ.hint("shuffle_hash"), Seq("f"))
       .groupBy("doc_id")
       .agg(round(sum(col("c") * col("lr")), 6).as("logw"))
   }
